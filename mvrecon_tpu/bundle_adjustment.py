@@ -1,0 +1,92 @@
+"""Reference-compatible ``bundle_adjustment`` module.
+
+API parity with ``lib/bundle_adjustment.py``: a ``BundleAdjuster`` class
+with ``__init__(x, init_X, init_K, init_R, init_t, f0, visibility_index,
+axis)``, ``optimize(scale_factor, delta_tol, max_iter, is_debug)`` and
+``get_log()``. Internally everything runs through the functional jitted
+LM core (``models/bundle_adjustment.py``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LMConfig
+from .models.bundle_adjustment import bundle_adjust
+
+
+class BundleAdjuster:
+    """Drop-in replacement for the reference class
+    (``lib/bundle_adjustment.py:10-206``)."""
+
+    def __init__(
+        self,
+        x,
+        init_X,
+        init_K,
+        init_R,
+        init_t,
+        f0: float = 1.0,
+        visibility_index=None,
+        axis: str = "x-right_z-forward",
+    ):
+        self._x = jnp.asarray(x)
+        self._init = (
+            jnp.asarray(init_X),
+            jnp.asarray(init_K),
+            jnp.asarray(init_R),
+            jnp.asarray(init_t),
+        )
+        self._f0 = float(f0)
+        self._axis = axis
+        self._vis = None if visibility_index is None else jnp.asarray(visibility_index)
+        self._log: list[dict] = []
+
+    def optimize(
+        self,
+        scale_factor: float = 10.0,
+        delta_tol: float = 1e-8,
+        max_iter: int = 100,
+        is_debug: bool = False,
+    ):
+        """Reference ``optimize`` (``bundle_adjustment.py:77-202``):
+        returns (X, K, R, t) in the original frame."""
+        config = LMConfig(
+            scale_factor=float(scale_factor),
+            delta_tol=float(delta_tol),
+            max_iter=int(max_iter),
+            record_log=bool(is_debug),
+        )
+        init_X, init_K, init_R, init_t = self._init
+        res = bundle_adjust(
+            self._x,
+            init_X,
+            init_K,
+            init_R,
+            init_t,
+            f0=self._f0,
+            visibility=self._vis,
+            axis=self._axis,
+            config=config,
+        )
+        if is_debug and res.log is not None:
+            n = int(res.n_iter) + 1
+            self._log = [
+                {
+                    "points": np.asarray(res.log["points"][i]),
+                    "basis": np.asarray(res.log["basis"][i]),
+                    "pos": np.asarray(res.log["pos"][i]),
+                    "reprojection_error": float(res.log["reprojection_error"][i]),
+                }
+                for i in range(n)
+            ]
+        self.result = res
+        return res.X, res.K, res.R, res.t
+
+    def get_log(self):
+        """Reference ``get_log`` (``bundle_adjustment.py:204-206``).
+
+        Note: the recorded (points, basis, pos) are in the normalized gauge
+        frame, matching the reference which logs pre-restore state."""
+        return self._log

@@ -1,0 +1,73 @@
+"""Global numerics / execution configuration.
+
+The reference implementation is float64 NumPy end-to-end. TPUs natively
+compute in f32/bf16; float64 is available on CPU (and emulated on TPU) only
+when x64 is enabled. The framework is dtype-polymorphic: every public entry
+point derives its working dtype from its inputs, so
+
+- parity mode: feed float64 arrays (with ``JAX_ENABLE_X64=1``) and get the
+  reference's float64 semantics (used by the test suite on CPU);
+- fast mode: feed float32 arrays and run TPU-native.
+
+``default_dtype()`` is what synthetic-data helpers use when the caller does
+not specify one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# Matmul/einsum precision for numerically sensitive contractions. On TPU,
+# f32 matmuls default to bf16 passes; HIGHEST forces full f32 (6-pass)
+# which the small-but-ill-conditioned normal equations here need.
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def default_dtype() -> jnp.dtype:
+    """float64 when x64 is enabled (parity/CPU), else float32 (TPU)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def result_dtype(*arrays: Any) -> jnp.dtype:
+    dt = jnp.result_type(*[a for a in arrays if a is not None])
+    if not jnp.issubdtype(dt, jnp.floating):
+        return default_dtype()
+    return dt
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Levenberg–Marquardt hyperparameters.
+
+    Defaults mirror the reference driver calls
+    (``optimize(2.0, 1e-8, max_iter=100)``, init damping ``c=1e-4``).
+    """
+
+    scale_factor: float = 10.0
+    delta_tol: float = 1e-8
+    max_iter: int = 100
+    init_damping: float = 1e-4
+    max_inner_retries: int = 64  # bound for the (unbounded) reference retry loop
+    record_log: bool = False  # keep per-iteration (X, R, t, E) for animation
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthConfig:
+    """Projective-depth iteration hyperparameters (reference defaults:
+    tol driver-set, max_iter 200 primary / 50 dual)."""
+
+    tolerance: float = 0.01
+    max_iter: int = 200
+
+
+@dataclasses.dataclass(frozen=True)
+class UpgradeConfig:
+    """Euclidean upgrading loop (reference loop is unbounded; stops on
+    median self-calibration cost ``J`` < 1e-8 or non-decreasing)."""
+
+    j_tol: float = 1e-8
+    max_iter: int = 100

@@ -1,0 +1,474 @@
+"""Levenberg–Marquardt bundle adjustment with camera/point Schur elimination.
+
+Capability parity: reference ``lib/bundle_adjustment.py`` (class
+``BundleAdjuster``) — minimizes the sum of squared reprojection errors over
+all 3D points X (3P params) and per-camera (f, u0, v0, t, omega) (9F
+params), with gauge fixing (camera-0 pose + one baseline component = 7 DoF,
+``:62-72``), analytic first/second derivatives (``:309-427``), and the
+point-block Schur complement (``:118-152``).
+
+TPU-first re-design (not a port):
+
+- **Pure function over a PyTree state.** The reference's mutable class
+  becomes ``lm_optimize(observations, init_state, config) -> result``; the
+  outer LM iteration and the inner damping retry are bounded
+  ``lax.while_loop``s. The inner retry reuses the precomputed derivative
+  tensors exactly as the reference does (``:118-167`` re-damps and
+  re-solves without recomputing derivatives).
+
+- **Static shapes via gauge masks.** The reference deletes 7 rows/columns
+  (dynamic shapes, ``np.insert``/boolean indexing at ``:62-72, :267,
+  :511-515, :610-614, :658-662``). Here the full 9F system is kept and the
+  7 gauge-fixed parameters are projected out with a mask (their rows/cols
+  are identity in the reduced camera matrix, their gradient entries zero),
+  which yields the identical solution with XLA-friendly static shapes.
+
+- **MXU-shaped Schur.** Per-point 3x3 blocks are inverted in closed form
+  (adjugate, VPU); the reduced camera system
+  ``A = blockdiag(G) - sum_p F_p^T E_p^-1 F_p`` is accumulated as one
+  (9F, 3P) x (3P, 9F) matmul — the MXU does the heavy lifting. A chunked
+  ``lax.scan`` variant (``models/bundle_adjustment_chunked.py``) streams
+  points through HBM for the 100k-point regime.
+
+- **Derivatives are broadcast, never tiled** (the reference materializes
+  (P, F, 3) tiles of per-camera constants, ``:318-320, :368-377``).
+
+All math (projection pqr, d_P/d_F, matE/matF/matG, damping protocol,
+stopping rules, coordinate gauge normalize/restore) matches the reference
+line-for-line in *semantics*; citations on each function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HIGHEST, LMConfig
+from ..ops.linalg import inv3x3
+from ..ops.rotations import rodrigues
+
+
+class BAState(NamedTuple):
+    """Optimizable parameters (normalized gauge frame)."""
+
+    X: jax.Array  # (P, 3)
+    f: jax.Array  # (F,)
+    u: jax.Array  # (F, 2)
+    t: jax.Array  # (F, 3)
+    R: jax.Array  # (F, 3, 3)
+
+
+class BAResult(NamedTuple):
+    X: jax.Array  # (P, 3) in the original (global) frame
+    K: jax.Array  # (F, 3, 3)
+    R: jax.Array  # (F, 3, 3)
+    t: jax.Array  # (F, 3)
+    error: jax.Array  # final reprojection error E (sum of squares)
+    n_iter: jax.Array
+    log: dict | None  # stacked per-iteration (X, R, t, E) when recorded
+
+
+AXIS_MODES = ("x-right_z-forward", "x-up_z-forward")
+
+
+def _axis_index(axis: str) -> int:
+    """0 for x-right (baseline component t1_x), 1 for x-up (t1_y)
+    (reference ``:62-72, :227-238``)."""
+    if axis not in AXIS_MODES:
+        raise ValueError(f"unknown axis mode: {axis}")
+    return AXIS_MODES.index(axis)
+
+
+def gauge_mask(n_images: int, axis: str, dtype) -> jax.Array:
+    """(9F,) mask: 0 at the 7 gauge-fixed camera parameters
+    (camera-0 t and omega, plus one component of t1 — reference
+    ``_remove_ind`` at ``bundle_adjustment.py:62-72``), 1 elsewhere."""
+    ax = _axis_index(axis)
+    mask = np.ones(9 * n_images, dtype=bool)
+    mask[[3, 4, 5, 6, 7, 8]] = False  # camera-0 t, omega
+    mask[12 + ax] = False  # t1_x (x-right) or t1_y (x-up)
+    return jnp.asarray(mask, dtype=dtype)
+
+
+def normalize_gauge(
+    X: jax.Array, R: jax.Array, t: jax.Array, axis: str
+) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
+    """Normalize the scene to camera 0 with a unit baseline component
+    (reference ``_transform_to_normalize_coodinates``, ``:208-240``).
+    Returns the normalized (X, R, t) and the restore info
+    (R0, t0, c0c1_len) (``:22-33``)."""
+    ax = _axis_index(axis)
+    c0c1_len = jnp.abs(R[0, :, ax] @ (t[1] - t[0]))
+
+    X_ = X - t[0]
+    t_ = t - t[0]
+    j = jnp.zeros(3, dtype=X.dtype).at[ax].set(jnp.sign(t_[1, ax]))
+    s = j @ R[0].T @ t_[1]
+    X_ = (X_ @ R[0]) / s
+    R_ = jnp.einsum("ji,fjk->fik", R[0], R)
+    t_ = (t_ @ R[0]) / s
+    return X_, R_, t_, {"R0": R[0], "t0": t[0], "scale": c0c1_len}
+
+
+def restore_gauge(
+    info: dict, X: jax.Array, R: jax.Array, t: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Invert ``normalize_gauge`` using the saved camera-0 frame and the
+    original baseline length (reference ``:242-258``)."""
+    r0, t0, scale = info["R0"], info["t0"], info["scale"]
+    X_ = (scale * X) @ r0.T + t0
+    t_ = (scale * t) @ r0.T + t0
+    R_ = jnp.einsum("ij,fjk->fik", r0, R)
+    return X_, R_, t_
+
+
+def build_K(f: jax.Array, u: jax.Array, f0: float) -> jax.Array:
+    """(F, 3, 3) intrinsics from f, (u0, v0), f0 (reference ``:283-289``)."""
+    nf = f.shape[0]
+    k = jnp.zeros((nf, 3, 3), dtype=f.dtype)
+    k = k.at[:, 0, 0].set(f)
+    k = k.at[:, 1, 1].set(f)
+    k = k.at[:, :2, 2].set(u)
+    k = k.at[:, 2, 2].set(f0)
+    return k
+
+
+def calc_pqr(
+    X: jax.Array, K: jax.Array, R: jax.Array, t: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Camera matrices P (F, 3, 4) and homogeneous image coordinates
+    (p, q, r) each (P, F) (reference ``_calc_pqr``, ``:291-307``)."""
+    rt = jnp.swapaxes(R, -1, -2)
+    trans = -jnp.einsum("fij,fj->fi", rt, t)
+    pmat = jnp.einsum(
+        "fij,fjk->fik", K, jnp.concatenate([rt, trans[..., None]], axis=-1),
+        precision=HIGHEST,
+    )
+    xh = jnp.concatenate([X, jnp.ones((X.shape[0], 1), dtype=X.dtype)], axis=-1)
+    pqr = jnp.einsum("fca,pa->pfc", pmat, xh, precision=HIGHEST)  # (P, F, 3)
+    return pmat, pqr[..., 0], pqr[..., 1], pqr[..., 2]
+
+
+def reprojection_error(
+    x: jax.Array, p: jax.Array, q: jax.Array, r: jax.Array, vis: jax.Array, f0: float
+) -> jax.Array:
+    """Sum of squared residuals E (reference ``:666-677``)."""
+    e = (p / r - x[..., 0] / f0) ** 2 + (q / r - x[..., 1] / f0) ** 2
+    return jnp.sum(vis * e)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Derivs:
+    """Per-outer-iteration derivative tensors (reference ``:106-116``)."""
+
+    d_P: jax.Array  # (P, 3) gradient wrt points
+    d_F: jax.Array  # (9F,) gradient wrt cameras (gauge-masked)
+    matE: jax.Array  # (P, 3, 3) point blocks
+    matF: jax.Array  # (P, 3, 9F) coupling blocks (gauge-masked columns)
+    matG: jax.Array  # (F, 9, 9) camera blocks
+
+
+def _camera_param_derivs(
+    state: BAState, p: jax.Array, q: jax.Array, r: jax.Array, f0: float
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(dp, dq, dr)/d(f, u0, v0, t, omega): (P, F, 9) each
+    (reference ``:324-427``)."""
+    f, u, t, R, X = state.f, state.u, state.t, state.R, state.X
+    npts = X.shape[0]
+    nf = f.shape[0]
+
+    # d/df (reference ``:324-340``)
+    dpdf = (p - (u[:, 0] / f0)[None] * r) / f[None]
+    dqdf = (q - (u[:, 1] / f0)[None] * r) / f[None]
+    drdf = jnp.zeros_like(dpdf)
+
+    # d/du (reference ``:342-358``)
+    r_over_f0 = r / f0
+    zeros = jnp.zeros_like(r_over_f0)
+    dpdu = jnp.stack([r_over_f0, zeros], axis=-1)
+    dqdu = jnp.stack([zeros, r_over_f0], axis=-1)
+    drdu = jnp.zeros_like(dpdu)
+
+    # d/dt: per-image constants (reference ``:360-378``), broadcast not tiled
+    dpdt_f = -(f[:, None] * R[:, :, 0] + u[:, :1] * R[:, :, 2])  # (F, 3)
+    dqdt_f = -(f[:, None] * R[:, :, 1] + u[:, 1:2] * R[:, :, 2])
+    drdt_f = -f0 * R[:, :, 2]
+
+    # d/domega = cross(-d/dt, X - t) (reference ``:380-398``)
+    x_minus_t = X[:, None, :] - t[None, :, :]  # (P, F, 3)
+    dpdw = jnp.cross(-dpdt_f[None], x_minus_t)
+    dqdw = jnp.cross(-dqdt_f[None], x_minus_t)
+    drdw = jnp.cross(-drdt_f[None], x_minus_t)
+
+    dpdt = jnp.broadcast_to(dpdt_f[None], (npts, nf, 3))
+    dqdt = jnp.broadcast_to(dqdt_f[None], (npts, nf, 3))
+    drdt = jnp.broadcast_to(drdt_f[None], (npts, nf, 3))
+
+    dp = jnp.concatenate([dpdf[..., None], dpdu, dpdt, dpdw], axis=-1)
+    dq = jnp.concatenate([dqdf[..., None], dqdu, dqdt, dqdw], axis=-1)
+    dr = jnp.concatenate([drdf[..., None], drdu, drdt, drdw], axis=-1)
+    return dp, dq, dr
+
+
+def _compute_derivs(
+    state: BAState,
+    x: jax.Array,
+    vis: jax.Array,
+    free: jax.Array,
+    f0: float,
+) -> tuple[_Derivs, jax.Array]:
+    """All first/second derivative blocks for one outer LM iteration
+    (reference ``:102-116``). Returns (derivs, current E)."""
+    npts, nf = x.shape[0], state.f.shape[0]
+    K = build_K(state.f, state.u, f0)
+    pmat, p, q, r = calc_pqr(state.X, K, state.R, state.t)
+
+    # dX derivatives are the camera-matrix rows (reference ``:309-322``).
+    dpdX = pmat[:, 0, :3]  # (F, 3), broadcast over points
+    dqdX = pmat[:, 1, :3]
+    drdX = pmat[:, 2, :3]
+
+    dpdc, dqdc, drdc = _camera_param_derivs(state, p, q, r, f0)  # (P, F, 9)
+
+    res_p = p / r - x[..., 0] / f0  # (P, F)
+    res_q = q / r - x[..., 1] / f0
+    e_now = jnp.sum(vis * (res_p**2 + res_q**2))
+
+    # Jacobian blocks scaled by 1/r^2 (folded into the factors so every
+    # second-derivative block is a plain product of two tensors):
+    #   a1 = (r * dp/dX - p * dr/dX) / r^2,   a2 = likewise for q
+    #   b1 = (r * dp/dc - p * dr/dc) / r^2,   b2 = likewise for q
+    inv_r2 = 1.0 / (r * r)
+    a1 = (r[..., None] * dpdX[None] - p[..., None] * drdX[None]) * inv_r2[..., None]
+    a2 = (r[..., None] * dqdX[None] - q[..., None] * drdX[None]) * inv_r2[..., None]
+    b1 = (r[..., None] * dpdc - p[..., None] * drdc) * inv_r2[..., None]
+    b2 = (r[..., None] * dqdc - q[..., None] * drdc) * inv_r2[..., None]
+
+    visf = vis[..., None]
+
+    # Gradients (reference _calc_d_P ``:429-469``, _calc_d_F ``:471-517``).
+    d_P = 2.0 * jnp.sum(visf * (res_p[..., None] * a1 + res_q[..., None] * a2), axis=1)
+    d_F = 2.0 * jnp.sum(visf * (res_p[..., None] * b1 + res_q[..., None] * b2), axis=0)
+    d_F = d_F.reshape(9 * nf) * free
+
+    # Gauss-Newton blocks. The reference divides the outer products by r^4
+    # (``:554, :605, :653``); with the 1/r^2 folded into a*, b* above the
+    # scale factors multiply to exactly r^-4.
+    vw = visf[..., None]
+    matE = 2.0 * jnp.sum(vw * jnp.einsum("pfi,pfj->pfij", a1, a1, precision=HIGHEST)
+                         + vw * jnp.einsum("pfi,pfj->pfij", a2, a2, precision=HIGHEST), axis=1)
+    matG = 2.0 * jnp.sum(vw * jnp.einsum("pfi,pfj->pfij", b1, b1, precision=HIGHEST)
+                         + vw * jnp.einsum("pfi,pfj->pfij", b2, b2, precision=HIGHEST), axis=0)
+    matF_blocks = 2.0 * (
+        vw * jnp.einsum("pfi,pfj->pfij", a1, b1, precision=HIGHEST)
+        + vw * jnp.einsum("pfi,pfj->pfij", a2, b2, precision=HIGHEST)
+    )  # (P, F, 3, 9)
+    matF = matF_blocks.transpose(0, 2, 1, 3).reshape(npts, 3, 9 * nf)
+    matF = matF * free[None, None, :]
+
+    return _Derivs(d_P=d_P, d_F=d_F, matE=matE, matF=matF, matG=matG), e_now
+
+
+def _damped_solve(
+    derivs: _Derivs, c: jax.Array, free: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Solve the damped normal equations by the point-block Schur
+    complement (reference inner loop ``:118-152``).
+
+    Returns (delta_xi (9F,), delta_X (P, 3)). Gauge-fixed entries of
+    delta_xi are exactly zero (identity rows in the masked system).
+    """
+    npts = derivs.matE.shape[0]
+    nf9 = derivs.matF.shape[2]
+    dt = derivs.matE.dtype
+
+    # Damp block diagonals by (1 + c) (reference ``:119-125``).
+    eye3 = jnp.eye(3, dtype=dt)
+    matEc = derivs.matE + c * derivs.matE * eye3[None]
+    eye9 = jnp.eye(9, dtype=dt)
+    matGc = derivs.matG + c * derivs.matG * eye9[None]
+
+    einv = inv3x3(matEc)  # (P, 3, 3)
+    einv_f = jnp.einsum("pxy,pym->pxm", einv, derivs.matF, precision=HIGHEST)  # (P, 3, 9F)
+
+    # Reduced camera system: A = blockdiag(Gc) - sum_p F^T Einv F as one
+    # (9F, 3P) @ (3P, 9F) MXU matmul.
+    fmat = derivs.matF.reshape(npts * 3, nf9)
+    einv_fmat = einv_f.reshape(npts * 3, nf9)
+    schur = jnp.einsum("km,kn->mn", fmat, einv_fmat, precision=HIGHEST)
+
+    nf = nf9 // 9
+    a = -schur
+    a = a.reshape(nf, 9, nf, 9)
+    idx = jnp.arange(nf)
+    a = a.at[idx, :, idx, :].add(matGc)
+    a = a.reshape(nf9, nf9)
+
+    # Project out gauge-fixed params: identity rows/cols, zero rhs.
+    free2d = free[:, None] * free[None, :]
+    a = a * free2d + jnp.diag(1.0 - free)
+
+    b = jnp.einsum("pxm,px->m", einv_f, derivs.d_P, precision=HIGHEST) - derivs.d_F
+
+    delta_xi = jnp.linalg.solve(a, b)
+    delta_xi = delta_xi * free  # exact zeros on fixed params
+
+    # Back-substitute point updates (reference ``:152``).
+    rhs = jnp.einsum("pxm,m->px", derivs.matF, delta_xi, precision=HIGHEST) + derivs.d_P
+    delta_x = -jnp.einsum("pxy,py->px", einv, rhs, precision=HIGHEST)
+    return delta_xi, delta_x
+
+
+def _apply_update(state: BAState, delta_xi: jax.Array, delta_x: jax.Array) -> BAState:
+    """Parameter update; rotations via the axis-angle exponential
+    (reference ``_update_camera_params``, ``:263-281``)."""
+    nf = state.f.shape[0]
+    d = delta_xi.reshape(nf, 9)
+    delta_r = rodrigues(d[:, 6:9])
+    return BAState(
+        X=state.X + delta_x,
+        f=state.f + d[:, 0],
+        u=state.u + d[:, 1:3],
+        t=state.t + d[:, 3:6],
+        R=delta_r @ state.R,
+    )
+
+
+def _state_error(state: BAState, x: jax.Array, vis: jax.Array, f0: float) -> jax.Array:
+    K = build_K(state.f, state.u, f0)
+    _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
+    return reprojection_error(x, p, q, r, vis, f0)
+
+
+def lm_optimize(
+    x: jax.Array,
+    state0: BAState,
+    vis: jax.Array,
+    free: jax.Array,
+    f0: float,
+    config: LMConfig,
+) -> tuple[BAState, jax.Array, jax.Array, dict | None]:
+    """Levenberg–Marquardt outer loop (reference ``optimize``, ``:77-195``).
+
+    Protocol parity: damping starts at ``init_damping`` (``:100``); the
+    inner retry multiplies c by ``scale_factor`` and re-solves *without*
+    recomputing derivatives (``:118-167``); an accepted step divides c
+    (``:195``); stop when |E' - E| <= delta_tol or max_iter (``:186-191``).
+
+    Returns (final state, final error, n_iters, log).
+    """
+    record = config.record_log
+    max_iter = config.max_iter
+
+    e0 = _state_error(state0, x, vis, f0)
+
+    if record:
+        npts, nf = state0.X.shape[0], state0.f.shape[0]
+        log0 = {
+            "points": jnp.zeros((max_iter + 1, npts, 3), x.dtype).at[0].set(state0.X),
+            "basis": jnp.zeros((max_iter + 1, nf, 3, 3), x.dtype).at[0].set(state0.R),
+            "pos": jnp.zeros((max_iter + 1, nf, 3), x.dtype).at[0].set(state0.t),
+            "reprojection_error": jnp.zeros((max_iter + 1,), x.dtype).at[0].set(e0),
+        }
+    else:
+        log0 = {}
+
+    def inner(derivs, e_prev, c):
+        """Damping retry loop (reference ``:118-167``), bounded."""
+
+        def cond(carry):
+            _, _, accepted, tries, _ = carry
+            return (~accepted) & (tries < config.max_inner_retries)
+
+        def body(carry):
+            c_cur, _, _, tries, state_best = carry
+            delta_xi, delta_x = _damped_solve(derivs, c_cur, free)
+            trial = _apply_update(state, delta_xi, delta_x)
+            e_trial = _state_error(trial, x, vis, f0)
+            accepted = e_trial <= e_prev
+            c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
+            return c_next, e_trial, accepted, tries + 1, trial
+
+        dummy = jax.tree.map(jnp.zeros_like, state)
+        c_out, e_new, _, _, trial = jax.lax.while_loop(
+            cond, body, (c, jnp.asarray(jnp.inf, x.dtype), jnp.asarray(False), 0, dummy)
+        )
+        return c_out, e_new, trial
+
+    def cond(carry):
+        _, _, _, count, done, _ = carry
+        return (~done) & (count < max_iter)
+
+    def body(carry):
+        state_c, e_prev, c, count, _, log = carry
+        nonlocal state
+        state = state_c  # closure for inner()
+        derivs, _ = _compute_derivs(state_c, x, vis, free, f0)
+        c_new, e_new, trial = inner(derivs, e_prev, c)
+        delta = jnp.abs(e_new - e_prev)
+        done = delta <= config.delta_tol
+        if record:
+            log = {
+                "points": log["points"].at[count + 1].set(trial.X),
+                "basis": log["basis"].at[count + 1].set(trial.R),
+                "pos": log["pos"].at[count + 1].set(trial.t),
+                "reprojection_error": log["reprojection_error"].at[count + 1].set(e_new),
+            }
+        # Accepted step divides the damping (reference ``:195``).
+        return trial, e_new, c_new / config.scale_factor, count + 1, done, log
+
+    state = state0
+    init_c = jnp.asarray(config.init_damping, x.dtype)
+    final_state, e_final, _, n_iter, _, log = jax.lax.while_loop(
+        cond, body, (state0, e0, init_c, jnp.asarray(0), jnp.asarray(False), log0)
+    )
+    return final_state, e_final, n_iter, (log if record else None)
+
+
+@partial(jax.jit, static_argnames=("f0", "axis", "config"))
+def bundle_adjust(
+    x: jax.Array,
+    init_X: jax.Array,
+    init_K: jax.Array,
+    init_R: jax.Array,
+    init_t: jax.Array,
+    f0: float = 1.0,
+    visibility: jax.Array | None = None,
+    axis: str = "x-right_z-forward",
+    config: LMConfig = LMConfig(),
+) -> BAResult:
+    """Full bundle adjustment: gauge-normalize, LM-optimize, restore
+    (reference ``BundleAdjuster.__init__`` + ``optimize``).
+
+    x: (P, F, 2) observations; init_K/R/t: (F, ...) camera init;
+    visibility: optional (P, F) mask (reference ``:56-59``).
+    """
+    dt = x.dtype
+    npts, nf, _ = x.shape
+    vis = (
+        jnp.ones((npts, nf), dtype=dt)
+        if visibility is None
+        else jnp.asarray(visibility, dtype=dt)
+    )
+
+    X0, R0, t0, info = normalize_gauge(init_X, init_R, init_t, axis)
+    state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
+    free = gauge_mask(nf, axis, dt)
+
+    final, e, n_iter, log = lm_optimize(x, state0, vis, free, f0, config)
+
+    Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
+    return BAResult(
+        X=Xg,
+        K=build_K(final.f, final.u, f0),
+        R=Rg,
+        t=tg,
+        error=e,
+        n_iter=n_iter,
+        log=log,
+    )

@@ -1,0 +1,91 @@
+"""Test configuration.
+
+- Forces the CPU backend with 8 virtual devices so sharded code paths run
+  in CI without a TPU (SURVEY.md §4).
+- Enables x64 so parity tests run in the reference's float64.
+- Exposes the reference implementation (read-only, at /root/reference) as a
+  parity *oracle*: tests call it and compare outputs; its code is never
+  vendored.
+"""
+
+import os
+import sys
+
+# Tests must run on the virtual 8-device CPU mesh in float64. NOTE: this
+# image preloads jax at interpreter startup (sitecustomize registers a TPU
+# platform plugin and pins JAX_PLATFORMS), so plain env vars are read too
+# late — jax.config.update is the authoritative override.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def ref():
+    """Namespace of reference modules used as numeric oracles."""
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import lib.affine_camera_calibration as affine
+    import lib.bundle_adjustment as ba
+    import lib.camera as camera
+    import lib.factorization as factorization
+    import lib.minimum_spanning_tree as mst
+    import lib.perspective_camera_calibration as perspective
+    import lib.utils as utils
+
+    class Ref:
+        pass
+
+    r = Ref()
+    r.affine = affine
+    r.ba = ba
+    r.camera = camera
+    r.factorization = factorization
+    r.mst = mst
+    r.perspective = perspective
+    r.utils = utils
+    return r
+
+
+@pytest.fixture()
+def quiet():
+    """Silence the reference's per-iteration prints."""
+
+    @contextlib.contextmanager
+    def _quiet():
+        with contextlib.redirect_stdout(io.StringIO()):
+            yield
+
+    return _quiet
+
+
+def make_ref_scene(ref, n_images: int, f: float = 1.0, seed: int = 123, noise: float = 0.005):
+    """Reference demo scene (``affine_reconstruction.py:15-41`` /
+    ``euclidiean_reconstruction.py:14-40``) built *with the reference's own
+    code* so both implementations consume byte-identical observations."""
+    np.random.seed(seed)
+    camera_pos = ref.utils.sample_hemisphere_points(n_images, 5)
+    targets = np.random.normal(0, 0.5, (n_images, 3))
+    cameras = [
+        ref.camera.Camera.create(pos, target, f=f, f0=1.0)
+        for pos, target in zip(camera_pos, targets)
+    ]
+    K, R, t = ref.camera.get_camera_parames(cameras)
+    X = ref.utils.set_points()
+    x_list = ref.camera.calc_projected_points(X, K, R, t)
+    for x in x_list:
+        x += noise * np.random.randn(*x.shape)
+    return X, K, R, t, x_list

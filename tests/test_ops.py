@@ -1,0 +1,137 @@
+"""Unit tests for core ops against NumPy / reference oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mvrecon_tpu.ops import (
+    factorization_method,
+    inv3x3,
+    min_eigvec_sym,
+    orthonormalize,
+    rodrigues,
+    unit_vec,
+)
+from mvrecon_tpu.ops.linalg import blockdiag_scatter
+from mvrecon_tpu.ops.moments import sym_expand, sym_reduce
+
+
+def test_unit_vec():
+    v = np.array([3.0, 0.0, 4.0])
+    np.testing.assert_allclose(np.asarray(unit_vec(jnp.asarray(v))), v / 5.0)
+
+
+def test_rodrigues_matches_reference(ref):
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        omega = rng.normal(size=3) * rng.uniform(0.01, 3.0)
+        expected = ref.utils.get_rotation_matrix(omega)
+        got = np.asarray(rodrigues(jnp.asarray(omega)))
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+def test_rodrigues_zero_is_identity():
+    got = np.asarray(rodrigues(jnp.zeros(3)))
+    np.testing.assert_allclose(got, np.eye(3), atol=1e-15)
+
+
+def test_rodrigues_tiny_angle_taylor():
+    omega = jnp.array([1e-10, -2e-10, 5e-11])
+    got = np.asarray(rodrigues(omega))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, np.eye(3), atol=1e-9)
+
+
+def test_factorization_matches_reference(ref):
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(20, 50))
+    m_ref, s_ref = ref.factorization.factorization_method(w, n_rank=4)
+    m, s = factorization_method(jnp.asarray(w), n_rank=4)
+    # Column signs of SVD are convention-dependent; compare the product.
+    np.testing.assert_allclose(np.asarray(m @ s), m_ref @ s_ref, atol=1e-10)
+    np.testing.assert_allclose(np.abs(np.asarray(m)), np.abs(m_ref), atol=1e-10)
+
+
+def test_inv3x3():
+    rng = np.random.default_rng(2)
+    m = rng.normal(size=(100, 3, 3)) + 3 * np.eye(3)
+    got = np.asarray(inv3x3(jnp.asarray(m)))
+    np.testing.assert_allclose(got, np.linalg.inv(m), atol=1e-10)
+
+
+def test_min_eigvec_sym():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(6, 6))
+    a = a + a.T
+    w, v = min_eigvec_sym(jnp.asarray(a))
+    ew, ev = np.linalg.eigh(a)
+    np.testing.assert_allclose(float(w), ew[0], atol=1e-10)
+    np.testing.assert_allclose(np.abs(np.asarray(v)), np.abs(ev[:, 0]), atol=1e-8)
+
+
+def test_orthonormalize():
+    rng = np.random.default_rng(4)
+    m = rng.normal(size=(5, 3, 3))
+    r = np.asarray(orthonormalize(jnp.asarray(m)))
+    eye = np.einsum("fij,fkj->fik", r, r)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (5, 3, 3)), atol=1e-10)
+
+
+def test_blockdiag_scatter():
+    rng = np.random.default_rng(5)
+    blocks = rng.normal(size=(4, 3, 3))
+    got = np.asarray(blockdiag_scatter(jnp.asarray(blocks)))
+    import scipy.linalg
+
+    np.testing.assert_allclose(got, scipy.linalg.block_diag(*blocks))
+
+
+def test_sym_reduce_expand_roundtrip_n3():
+    rng = np.random.default_rng(6)
+    t_sym = rng.normal(size=(3, 3))
+    t_sym = t_sym + t_sym.T
+    # Pack T into the reduced tau layout used by the reference, expand back.
+    tau = np.array(
+        [
+            t_sym[0, 0],
+            t_sym[1, 1],
+            t_sym[2, 2],
+            np.sqrt(2) * t_sym[1, 2],
+            np.sqrt(2) * t_sym[0, 2],
+            np.sqrt(2) * t_sym[0, 1],
+        ]
+    )
+    got = np.asarray(sym_expand(jnp.asarray(tau), 3))
+    np.testing.assert_allclose(got, t_sym, atol=1e-12)
+
+
+def test_sym_reduce_quadratic_form_identity():
+    """<B_cal, T x T> must be preserved by the reduced 6x6 form:
+    tau^T B6 tau == sum_ijkl B_cal[ijkl] T[ij] T[kl] for symmetric T."""
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(5, 3, 9))
+    # make each basis row a flattened symmetric matrix
+    vm = v.reshape(5, 3, 3, 3)
+    vm = vm + vm.transpose(0, 1, 3, 2)
+    v = vm.reshape(5, 3, 9)
+    c = rng.normal(size=(5, 3, 3))
+    c = c + c.transpose(0, 2, 1)
+    bcal = np.einsum("fab,fai,fbj->ij", c, v, v)
+    b6 = np.asarray(sym_reduce(jnp.asarray(bcal), 3))
+
+    t_sym = rng.normal(size=(3, 3))
+    t_sym = t_sym + t_sym.T
+    tau = np.array(
+        [
+            t_sym[0, 0],
+            t_sym[1, 1],
+            t_sym[2, 2],
+            np.sqrt(2) * t_sym[1, 2],
+            np.sqrt(2) * t_sym[0, 2],
+            np.sqrt(2) * t_sym[0, 1],
+        ]
+    )
+    lhs = tau @ b6 @ tau
+    rhs = np.einsum("ij,kl,ikjl->", t_sym, t_sym, bcal.reshape(3, 3, 3, 3))
+    # note: bcal flat index is [3i+j, 3k+l] -> tensor index [i, j, k, l]
+    rhs = np.einsum("ij,kl,ijkl->", t_sym, t_sym, bcal.reshape(3, 3, 3, 3))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
