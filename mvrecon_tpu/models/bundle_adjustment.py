@@ -378,23 +378,25 @@ def lm_optimize(
     else:
         log0 = {}
 
-    def inner(derivs, e_prev, c):
-        """Damping retry loop (reference ``:118-167``), bounded."""
+    def inner(state_c, derivs, e_prev, c):
+        """Damping retry loop (reference ``:118-167``), bounded. Re-damps
+        and re-solves from the same derivative tensors until the trial
+        error stops exceeding the current error."""
 
         def cond(carry):
             _, _, accepted, tries, _ = carry
             return (~accepted) & (tries < config.max_inner_retries)
 
         def body(carry):
-            c_cur, _, _, tries, state_best = carry
+            c_cur, _, _, tries, _ = carry
             delta_xi, delta_x = _damped_solve(derivs, c_cur, free)
-            trial = _apply_update(state, delta_xi, delta_x)
+            trial = _apply_update(state_c, delta_xi, delta_x)
             e_trial = _state_error(trial, x, vis, f0)
             accepted = e_trial <= e_prev
             c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
             return c_next, e_trial, accepted, tries + 1, trial
 
-        dummy = jax.tree.map(jnp.zeros_like, state)
+        dummy = jax.tree.map(jnp.zeros_like, state_c)
         c_out, e_new, _, _, trial = jax.lax.while_loop(
             cond, body, (c, jnp.asarray(jnp.inf, x.dtype), jnp.asarray(False), 0, dummy)
         )
@@ -406,10 +408,8 @@ def lm_optimize(
 
     def body(carry):
         state_c, e_prev, c, count, _, log = carry
-        nonlocal state
-        state = state_c  # closure for inner()
         derivs, _ = _compute_derivs(state_c, x, vis, free, f0)
-        c_new, e_new, trial = inner(derivs, e_prev, c)
+        c_new, e_new, trial = inner(state_c, derivs, e_prev, c)
         delta = jnp.abs(e_new - e_prev)
         done = delta <= config.delta_tol
         if record:
@@ -422,7 +422,6 @@ def lm_optimize(
         # Accepted step divides the damping (reference ``:195``).
         return trial, e_new, c_new / config.scale_factor, count + 1, done, log
 
-    state = state0
     init_c = jnp.asarray(config.init_damping, x.dtype)
     final_state, e_final, _, n_iter, _, log = jax.lax.while_loop(
         cond, body, (state0, e0, init_c, jnp.asarray(0), jnp.asarray(False), log0)

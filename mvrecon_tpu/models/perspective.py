@@ -216,6 +216,12 @@ def calc_omega(q: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array
     _, omega_vec = min_eigvec_sym(a10)
     omega = sym_expand(omega_vec, 4)  # symmetric 4x4
 
+    # The constraint determines omega only up to sign (the reference
+    # inherits LAPACK eig's arbitrary sign and carries a second code branch
+    # for the negated orientation, ``:329-330``). Canonicalize to the
+    # positive-trace orientation so the branch choice is deterministic.
+    omega = omega * jnp.where(jnp.trace(omega) < 0, -1.0, 1.0)
+
     eigval, eigvec = jnp.linalg.eigh(omega)  # ascending
     sigma = eigval[::-1]  # descending
     w = eigvec[:, ::-1].T  # rows = eigenvectors, descending

@@ -60,7 +60,7 @@ def ref():
     return r
 
 
-@pytest.fixture()
+@pytest.fixture(scope="session")
 def quiet():
     """Silence the reference's per-iteration prints."""
 
