@@ -215,15 +215,30 @@ def _camera_param_derivs(
     return dp, dq, dr
 
 
+def _psum(v: jax.Array, axis_name: str | None) -> jax.Array:
+    """Cross-device reduction over the points axis (no-op single-device).
+
+    This is the framework's entire "communication backend" for BA: per-point
+    partial sums of camera-side quantities (d_F, matG, the Schur system, the
+    scalar error) reduce over the ``points`` mesh axis; XLA lowers the psum
+    onto ICI. Everything else stays device-local.
+    """
+    return v if axis_name is None else jax.lax.psum(v, axis_name)
+
+
 def _compute_derivs(
     state: BAState,
     x: jax.Array,
     vis: jax.Array,
     free: jax.Array,
     f0: float,
+    axis_name: str | None = None,
 ) -> tuple[_Derivs, jax.Array]:
     """All first/second derivative blocks for one outer LM iteration
-    (reference ``:102-116``). Returns (derivs, current E)."""
+    (reference ``:102-116``). Returns (derivs, current E).
+
+    With ``axis_name`` set (inside shard_map over points), the camera-side
+    sums (d_F, matG, E) are psum-reduced; point-side blocks stay local."""
     npts, nf = x.shape[0], state.f.shape[0]
     K = build_K(state.f, state.u, f0)
     pmat, p, q, r = calc_pqr(state.X, K, state.R, state.t)
@@ -237,7 +252,7 @@ def _compute_derivs(
 
     res_p = p / r - x[..., 0] / f0  # (P, F)
     res_q = q / r - x[..., 1] / f0
-    e_now = jnp.sum(vis * (res_p**2 + res_q**2))
+    e_now = _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
 
     # Jacobian blocks scaled by 1/r^2 (folded into the factors so every
     # second-derivative block is a plain product of two tensors):
@@ -254,7 +269,7 @@ def _compute_derivs(
     # Gradients (reference _calc_d_P ``:429-469``, _calc_d_F ``:471-517``).
     d_P = 2.0 * jnp.sum(visf * (res_p[..., None] * a1 + res_q[..., None] * a2), axis=1)
     d_F = 2.0 * jnp.sum(visf * (res_p[..., None] * b1 + res_q[..., None] * b2), axis=0)
-    d_F = d_F.reshape(9 * nf) * free
+    d_F = _psum(d_F.reshape(9 * nf), axis_name) * free
 
     # Gauss-Newton blocks. The reference divides the outer products by r^4
     # (``:554, :605, :653``); with the 1/r^2 folded into a*, b* above the
@@ -264,6 +279,13 @@ def _compute_derivs(
                          + vw * jnp.einsum("pfi,pfj->pfij", a2, a2, precision=HIGHEST), axis=1)
     matG = 2.0 * jnp.sum(vw * jnp.einsum("pfi,pfj->pfij", b1, b1, precision=HIGHEST)
                          + vw * jnp.einsum("pfi,pfj->pfij", b2, b2, precision=HIGHEST), axis=0)
+    matG = _psum(matG, axis_name)
+
+    # Points with no visible observation (padding under point-sharding)
+    # get an identity E block so the Schur elimination stays well-posed and
+    # their update is exactly zero.
+    seen = (jnp.sum(vis, axis=1) > 0).astype(matE.dtype)  # (P,)
+    matE = matE + (1.0 - seen)[:, None, None] * jnp.eye(3, dtype=matE.dtype)
     matF_blocks = 2.0 * (
         vw * jnp.einsum("pfi,pfj->pfij", a1, b1, precision=HIGHEST)
         + vw * jnp.einsum("pfi,pfj->pfij", a2, b2, precision=HIGHEST)
@@ -275,7 +297,7 @@ def _compute_derivs(
 
 
 def _damped_solve(
-    derivs: _Derivs, c: jax.Array, free: jax.Array
+    derivs: _Derivs, c: jax.Array, free: jax.Array, axis_name: str | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """Solve the damped normal equations by the point-block Schur
     complement (reference inner loop ``:118-152``).
@@ -300,7 +322,7 @@ def _damped_solve(
     # (9F, 3P) @ (3P, 9F) MXU matmul.
     fmat = derivs.matF.reshape(npts * 3, nf9)
     einv_fmat = einv_f.reshape(npts * 3, nf9)
-    schur = jnp.einsum("km,kn->mn", fmat, einv_fmat, precision=HIGHEST)
+    schur = _psum(jnp.einsum("km,kn->mn", fmat, einv_fmat, precision=HIGHEST), axis_name)
 
     nf = nf9 // 9
     a = -schur
@@ -313,7 +335,8 @@ def _damped_solve(
     free2d = free[:, None] * free[None, :]
     a = a * free2d + jnp.diag(1.0 - free)
 
-    b = jnp.einsum("pxm,px->m", einv_f, derivs.d_P, precision=HIGHEST) - derivs.d_F
+    b = _psum(jnp.einsum("pxm,px->m", einv_f, derivs.d_P, precision=HIGHEST), axis_name)
+    b = b - derivs.d_F
 
     delta_xi = jnp.linalg.solve(a, b)
     delta_xi = delta_xi * free  # exact zeros on fixed params
@@ -339,10 +362,34 @@ def _apply_update(state: BAState, delta_xi: jax.Array, delta_x: jax.Array) -> BA
     )
 
 
-def _state_error(state: BAState, x: jax.Array, vis: jax.Array, f0: float) -> jax.Array:
+def _state_error(
+    state: BAState, x: jax.Array, vis: jax.Array, f0: float, axis_name: str | None = None
+) -> jax.Array:
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
-    return reprojection_error(x, p, q, r, vis, f0)
+    return _psum(reprojection_error(x, p, q, r, vis, f0), axis_name)
+
+
+def lm_step(
+    x: jax.Array,
+    state: BAState,
+    vis: jax.Array,
+    free: jax.Array,
+    f0: float,
+    c: jax.Array,
+    axis_name: str | None = None,
+) -> tuple[BAState, jax.Array, jax.Array]:
+    """One damped Gauss-Newton/LM step: derivatives -> Schur solve ->
+    update -> new error. The framework's "train step" building block
+    (used by the compile-check entry point and custom loops).
+
+    Returns (new_state, error_before, error_after).
+    """
+    derivs, e0 = _compute_derivs(state, x, vis, free, f0, axis_name)
+    delta_xi, delta_x = _damped_solve(derivs, c, free, axis_name)
+    new = _apply_update(state, delta_xi, delta_x)
+    e1 = _state_error(new, x, vis, f0, axis_name)
+    return new, e0, e1
 
 
 def lm_optimize(
@@ -352,6 +399,7 @@ def lm_optimize(
     free: jax.Array,
     f0: float,
     config: LMConfig,
+    axis_name: str | None = None,
 ) -> tuple[BAState, jax.Array, jax.Array, dict | None]:
     """Levenberg–Marquardt outer loop (reference ``optimize``, ``:77-195``).
 
@@ -365,7 +413,7 @@ def lm_optimize(
     record = config.record_log
     max_iter = config.max_iter
 
-    e0 = _state_error(state0, x, vis, f0)
+    e0 = _state_error(state0, x, vis, f0, axis_name)
 
     if record:
         npts, nf = state0.X.shape[0], state0.f.shape[0]
@@ -389,9 +437,9 @@ def lm_optimize(
 
         def body(carry):
             c_cur, _, _, tries, _ = carry
-            delta_xi, delta_x = _damped_solve(derivs, c_cur, free)
+            delta_xi, delta_x = _damped_solve(derivs, c_cur, free, axis_name)
             trial = _apply_update(state_c, delta_xi, delta_x)
-            e_trial = _state_error(trial, x, vis, f0)
+            e_trial = _state_error(trial, x, vis, f0, axis_name)
             accepted = e_trial <= e_prev
             c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
             return c_next, e_trial, accepted, tries + 1, trial
@@ -408,7 +456,7 @@ def lm_optimize(
 
     def body(carry):
         state_c, e_prev, c, count, _, log = carry
-        derivs, _ = _compute_derivs(state_c, x, vis, free, f0)
+        derivs, _ = _compute_derivs(state_c, x, vis, free, f0, axis_name)
         c_new, e_new, trial = inner(state_c, derivs, e_prev, c)
         delta = jnp.abs(e_new - e_prev)
         done = delta <= config.delta_tol

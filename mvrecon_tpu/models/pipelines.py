@@ -1,0 +1,109 @@
+"""End-to-end reconstruction pipelines.
+
+Capability parity: the reference's two demo drivers
+(``affine_reconstruction.py:14-65``, ``euclidiean_reconstruction.py:13-66``)
+re-expressed as jittable functions over a scene's observations — no global
+RNG, no prints, no plotting inside; visualization/logging happen at the
+edges. These are the "flagship models" of the framework: each maps
+observations (F, P, 2) -> reconstruction (X, K, R, t) + diagnostics, and
+both vmap over a leading scenes axis (see ``parallel/batched.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LMConfig
+from .affine import affine_self_calibration
+from .bundle_adjustment import BAResult, bundle_adjust
+from .perspective import perspective_self_calibration
+
+
+class ReconstructionResult(NamedTuple):
+    X: jax.Array  # (P, 3)
+    K: jax.Array  # (F, 3, 3)
+    R: jax.Array  # (F, 3, 3)
+    t: jax.Array  # (F, 3)
+    error: jax.Array  # final BA reprojection error (sum of squares / f0^2)
+    n_iter: jax.Array  # BA iterations
+    calib_X: jax.Array  # pre-BA points (the self-calibration output)
+    status: jax.Array  # perspective calibration status (0 = ok); 0 for affine
+
+
+@partial(jax.jit, static_argnames=("model", "f0", "config"))
+def affine_reconstruction(
+    x: jax.Array,
+    f: jax.Array,
+    model: str = "paraperspective",
+    f0: float = 1.0,
+    config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+) -> ReconstructionResult:
+    """Affine pipeline (reference ``affine_reconstruction.py:43-58``):
+    self-calibration -> heuristic camera init (t = -3 R[:, :, 2], K = I)
+    -> bundle adjustment in the x-up_z-forward gauge.
+
+    x: (F, P, 2) observations; f: (F,) focal lengths (paraperspective).
+    """
+    S, R = affine_self_calibration(x, model=model, f=f)
+    t = -3.0 * R[:, :, 2]
+    K = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), R.shape)
+
+    ba = bundle_adjust(
+        x.transpose(1, 0, 2),
+        S,
+        K,
+        R,
+        t,
+        f0=f0,
+        axis="x-up_z-forward",
+        config=config,
+    )
+    return ReconstructionResult(
+        X=ba.X,
+        K=ba.K,
+        R=ba.R,
+        t=ba.t,
+        error=ba.error,
+        n_iter=ba.n_iter,
+        calib_X=S,
+        status=jnp.asarray(0),
+    )
+
+
+@partial(jax.jit, static_argnames=("method", "f0", "tol", "config"))
+def euclidean_reconstruction(
+    x: jax.Array,
+    f0: float = 1.0,
+    tol: float = 1e-2,
+    method: str = "dual",
+    config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+) -> ReconstructionResult:
+    """Perspective pipeline (reference ``euclidiean_reconstruction.py:
+    42-56``): perspective self-calibration (projective depths + metric
+    upgrade) -> bundle adjustment in the x-up_z-forward gauge."""
+    calib = perspective_self_calibration(x, f0=f0, tol=tol, method=method)
+
+    ba = bundle_adjust(
+        x.transpose(1, 0, 2),
+        calib.X,
+        calib.K,
+        calib.R,
+        calib.t,
+        f0=f0,
+        axis="x-up_z-forward",
+        config=config,
+    )
+    return ReconstructionResult(
+        X=ba.X,
+        K=ba.K,
+        R=ba.R,
+        t=ba.t,
+        error=ba.error,
+        n_iter=ba.n_iter,
+        calib_X=calib.X,
+        status=calib.status,
+    )

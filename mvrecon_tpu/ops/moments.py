@@ -93,7 +93,7 @@ def sym_expand(tau: jax.Array, n: int) -> jax.Array:
     diag_part = jnp.zeros((n, n), dtype=tau.dtype)
     diag_part = diag_part + jnp.diag(tau[:n])
     off = jnp.zeros((n, n), dtype=tau.dtype)
-    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    inv_sqrt2 = float(1.0 / np.sqrt(2.0))  # weak scalar: no f64 promotion
     for q, (i, j) in enumerate(pairs):
         off = off.at[i, j].set(tau[n + q] * inv_sqrt2)
         off = off.at[j, i].set(tau[n + q] * inv_sqrt2)

@@ -1,0 +1,64 @@
+"""Scene-batched (data-parallel) reconstruction.
+
+The BASELINE north star: 256 scenes x 100 views of factorization + BA
+batched over a TPU slice. Each scene is an independent reconstruction;
+``vmap`` turns every per-scene SVD/eigh/einsum into its batched form
+(saturating the MXU on one chip), and sharding the leading ``scenes`` axis
+over the mesh scales across chips — the collectives-free pure-DP regime.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import LMConfig
+from ..models.pipelines import (
+    ReconstructionResult,
+    affine_reconstruction,
+    euclidean_reconstruction,
+)
+
+SCENES_AXIS = "scenes"
+
+
+def _device_put_sharded(tree, mesh: Mesh):
+    spec = NamedSharding(mesh, P(SCENES_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, spec), tree)
+
+
+@partial(jax.jit, static_argnames=("model", "f0", "config"))
+def batched_affine_reconstruction(
+    x: jax.Array,
+    f: jax.Array,
+    model: str = "paraperspective",
+    f0: float = 1.0,
+    config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+) -> ReconstructionResult:
+    """vmap the affine pipeline over a leading scenes axis:
+    x (S, F, P, 2), f (S, F)."""
+    fn = partial(affine_reconstruction, model=model, f0=f0, config=config)
+    return jax.vmap(fn)(x, f)
+
+
+@partial(jax.jit, static_argnames=("method", "f0", "tol", "config"))
+def batched_euclidean_reconstruction(
+    x: jax.Array,
+    f0: float = 1.0,
+    tol: float = 1e-2,
+    method: str = "dual",
+    config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+) -> ReconstructionResult:
+    """vmap the perspective pipeline over a leading scenes axis:
+    x (S, F, P, 2)."""
+    fn = partial(euclidean_reconstruction, f0=f0, tol=tol, method=method, config=config)
+    return jax.vmap(fn)(x)
+
+
+def shard_scenes(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a (S, ...) batch with the scenes axis sharded over the mesh —
+    XLA then runs the batched pipeline pure-DP with zero collectives."""
+    return jax.device_put(x, NamedSharding(mesh, P(SCENES_AXIS)))

@@ -1,0 +1,9 @@
+"""Host-side visualization (matplotlib)."""
+
+from .plotting import (  # noqa: F401
+    ThreeDimensionalPlotter,
+    TwoDimensionalMatrixPlotter,
+    animate,
+    show_2d_projection_data,
+    show_3d_scene_data,
+)

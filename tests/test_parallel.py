@@ -1,0 +1,111 @@
+"""Multi-device tests on the virtual 8-CPU-device mesh: sharded BA must
+agree with single-device BA; batched pipelines must reconstruct."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
+from mvrecon_tpu.parallel.mesh import make_mesh, scene_point_mesh
+from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
+from mvrecon_tpu.parallel.batched import (
+    batched_affine_reconstruction,
+    batched_euclidean_reconstruction,
+    shard_scenes,
+)
+
+from conftest import make_ref_scene
+
+
+def test_mesh_helpers():
+    mesh = scene_point_mesh(8)
+    assert mesh.shape["scenes"] * mesh.shape["points"] == 8
+    mesh2 = make_mesh({"points": 4})
+    assert mesh2.shape["points"] == 4
+
+
+@pytest.fixture(scope="module")
+def ba_problem(ref, quiet):
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=12)
+    with quiet():
+        X_, R_ = ref.affine.paraperspective_self_calibration(
+            [x.copy() for x in x_list], np.ones(12)
+        )
+    t_ = -3 * R_[:, :, 2]
+    K_ = np.broadcast_to(np.eye(3), R_.shape).copy()
+    x = np.stack(x_list).transpose(1, 0, 2)
+    return (
+        jnp.asarray(x),
+        jnp.asarray(X_),
+        jnp.asarray(K_),
+        jnp.asarray(R_),
+        jnp.asarray(t_),
+    )
+
+
+def test_sharded_ba_matches_single_device(ba_problem):
+    """Point-sharded LM over 4 devices == single-device LM (same psum
+    order up to fp addition reorder; tolerances reflect fp64 reassociation).
+    200 points do not divide 4 shards evenly -> also exercises padding."""
+    x, X_, K_, R_, t_ = ba_problem
+    config = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=10)
+
+    res_single = bundle_adjust(
+        x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward", config=config
+    )
+
+    mesh = make_mesh({"points": 4})
+    res_sharded = sharded_bundle_adjust(
+        mesh, x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward", config=config
+    )
+
+    assert res_sharded.X.shape == res_single.X.shape
+    np.testing.assert_allclose(
+        float(res_sharded.error), float(res_single.error), rtol=1e-8
+    )
+    np.testing.assert_allclose(np.asarray(res_sharded.X), np.asarray(res_single.X), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_sharded.R), np.asarray(res_single.R), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_sharded.t), np.asarray(res_single.t), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_sharded.K), np.asarray(res_single.K), atol=1e-8)
+
+
+def test_batched_euclidean_reconstruction(ref):
+    """3 scenes vmapped through the full perspective pipeline, scenes axis
+    sharded over the mesh."""
+    scenes = []
+    for seed in (123, 7, 99):
+        _, _, _, _, x_list = make_ref_scene(ref, n_images=6, seed=seed)
+        scenes.append(np.stack(x_list))
+    x = jnp.asarray(np.stack(scenes))  # (3, F, P, 2)
+
+    mesh = make_mesh({"scenes": 1})
+    x = shard_scenes(x, mesh)
+    res = batched_euclidean_reconstruction(
+        x, f0=1.0, tol=1e-2, method="dual",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=30),
+    )
+    assert res.X.shape == (3, 200, 3)
+    assert (np.asarray(res.status) == 0).all()
+    errs = np.asarray(res.error)
+    assert np.isfinite(errs).all()
+    # each scene must be reconstructed to near the noise floor:
+    # E ~ sum of squares over 200*6*2 residuals with sigma=0.005 noise
+    noise_floor = 200 * 6 * 2 * (0.005**2)
+    assert (errs < 5 * noise_floor).all()
+
+
+def test_batched_affine_reconstruction(ref):
+    scenes = []
+    for seed in (123, 7):
+        _, _, _, _, x_list = make_ref_scene(ref, n_images=12, seed=seed)
+        scenes.append(np.stack(x_list))
+    x = jnp.asarray(np.stack(scenes))  # (2, F, P, 2)
+    f = jnp.ones((2, 12), dtype=x.dtype)
+
+    res = batched_affine_reconstruction(
+        x, f, config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=10)
+    )
+    assert res.X.shape == (2, 200, 3)
+    assert np.isfinite(np.asarray(res.error)).all()
