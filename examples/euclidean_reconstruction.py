@@ -9,9 +9,17 @@ Run: python examples/euclidean_reconstruction.py [--no-viz] [--seed 123]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+from mvrecon_tpu.runtime.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 from mvrecon_tpu.config import LMConfig
 from mvrecon_tpu.geometry.camera import project_points

@@ -7,6 +7,13 @@ RNG, no prints, no plotting inside; visualization/logging happen at the
 edges. These are the "flagship models" of the framework: each maps
 observations (F, P, 2) -> reconstruction (X, K, R, t) + diagnostics, and
 both vmap over a leading scenes axis (see ``parallel/batched.py``).
+
+Each pipeline runs its stages through their own jitted entry points rather
+than one monolithic jit: the stage programs are already compiled+cached
+individually, compile times stay bounded (monolithic calib+BA programs
+take minutes to build on tunneled TPU backends), and the host transfer
+between stages is a few KB. The batched variants in ``parallel/batched.py``
+re-fuse everything under one jit+vmap where it pays off.
 """
 
 from __future__ import annotations
@@ -34,7 +41,6 @@ class ReconstructionResult(NamedTuple):
     status: jax.Array  # perspective calibration status (0 = ok); 0 for affine
 
 
-@partial(jax.jit, static_argnames=("model", "f0", "config"))
 def affine_reconstruction(
     x: jax.Array,
     f: jax.Array,
@@ -74,7 +80,6 @@ def affine_reconstruction(
     )
 
 
-@partial(jax.jit, static_argnames=("method", "f0", "tol", "config"))
 def euclidean_reconstruction(
     x: jax.Array,
     f0: float = 1.0,

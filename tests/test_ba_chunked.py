@@ -1,0 +1,64 @@
+"""Chunk-streamed BA must agree with the dense core bit-for-bit in
+protocol (same damping path) and numerically to fp-reassociation level."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
+from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+from conftest import make_ref_scene
+
+
+def _problem(ref, quiet):
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=12)
+    with quiet():
+        X_, R_ = ref.affine.paraperspective_self_calibration(
+            [x.copy() for x in x_list], np.ones(12)
+        )
+    t_ = -3 * R_[:, :, 2]
+    K_ = np.broadcast_to(np.eye(3), R_.shape).copy()
+    x = np.stack(x_list).transpose(1, 0, 2)
+    return (
+        jnp.asarray(x),
+        jnp.asarray(X_),
+        jnp.asarray(K_),
+        jnp.asarray(R_),
+        jnp.asarray(t_),
+    )
+
+
+def test_chunked_matches_dense(ref, quiet):
+    x, X_, K_, R_, t_ = _problem(ref, quiet)
+    config = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=12)
+
+    dense = bundle_adjust(x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward", config=config)
+    # chunk_size 64 over 200 points -> 4 chunks with 56 points of padding
+    chunked = bundle_adjust_chunked(
+        x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward", config=config, chunk_size=64
+    )
+
+    np.testing.assert_allclose(float(chunked.error), float(dense.error), rtol=1e-9)
+    assert int(chunked.n_iter) == int(dense.n_iter)
+    np.testing.assert_allclose(np.asarray(chunked.X), np.asarray(dense.X), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(chunked.K), np.asarray(dense.K), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(chunked.R), np.asarray(dense.R), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(chunked.t), np.asarray(dense.t), atol=1e-8)
+
+
+def test_chunked_with_visibility(ref, quiet):
+    x, X_, K_, R_, t_ = _problem(ref, quiet)
+    rng = np.random.default_rng(1)
+    vis = jnp.asarray(rng.uniform(size=x.shape[:2]) > 0.15)
+    config = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=8)
+
+    dense = bundle_adjust(
+        x, X_, K_, R_, t_, f0=1.0, visibility=vis, axis="x-up_z-forward", config=config
+    )
+    chunked = bundle_adjust_chunked(
+        x, X_, K_, R_, t_, f0=1.0, visibility=vis, axis="x-up_z-forward",
+        config=config, chunk_size=50,
+    )
+    np.testing.assert_allclose(float(chunked.error), float(dense.error), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(chunked.X), np.asarray(dense.X), atol=1e-8)
