@@ -17,6 +17,8 @@ Prints exactly one JSON line:
 import json
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -65,16 +67,21 @@ def main():
         res = bundle_adjust(
             x, X0, K, R, t0, f0=1.0, axis="x-up_z-forward", config=config
         )
-        jax.block_until_ready(res.X)
-        return res
+        # Force full materialization on the host: on tunneled backends
+        # block_until_ready can return before execution, so timing must
+        # round-trip actual result bytes.
+        err = float(res.error)
+        _ = np.asarray(res.X[:8])
+        return res, err
 
-    res = run()  # compile + warm-up
+    (res, err) = run()  # compile + warm-up
     times = []
     for _ in range(3):
         start = time.perf_counter()
-        res = run()
+        res, err = run()
         times.append(time.perf_counter() - start)
     wall = min(times)
+    assert np.isfinite(err), "BA diverged"
 
     baseline = REFERENCE_CPU_WALL_S
     vs_baseline = (baseline / wall) if baseline else None

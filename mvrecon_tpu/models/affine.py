@@ -215,6 +215,21 @@ def affine_self_calibration(
     return S.T, R
 
 
+@partial(jax.jit, static_argnames=("model",))
+def affine_self_calibration_full(
+    x: jax.Array, model: str = "paraperspective", f: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Like ``affine_self_calibration`` but additionally returns an
+    in-graph ``ok`` flag. The reference fails by *crashing* inside
+    ``np.linalg.cholesky`` when the metric matrix T is not positive
+    definite under noise (``affine_camera_calibration.py:49,127,214``);
+    on TPU that failure mode is NaN propagation, surfaced here as a status
+    flag (SURVEY.md §5, sanitizers row)."""
+    s, r = affine_self_calibration(x, model=model, f=f)
+    ok = jnp.isfinite(s).all() & jnp.isfinite(r).all()
+    return s, r, ok
+
+
 def orthographic_self_calibration(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Orthographic metric upgrade (reference
     ``affine_camera_calibration.py:7-56``)."""

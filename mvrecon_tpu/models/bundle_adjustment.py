@@ -400,7 +400,8 @@ def lm_optimize(
     f0: float,
     config: LMConfig,
     axis_name: str | None = None,
-) -> tuple[BAState, jax.Array, jax.Array, dict | None]:
+    init_c: jax.Array | None = None,
+) -> tuple[BAState, jax.Array, jax.Array, jax.Array, dict | None]:
     """Levenberg–Marquardt outer loop (reference ``optimize``, ``:77-195``).
 
     Protocol parity: damping starts at ``init_damping`` (``:100``); the
@@ -408,7 +409,10 @@ def lm_optimize(
     recomputing derivatives (``:118-167``); an accepted step divides c
     (``:195``); stop when |E' - E| <= delta_tol or max_iter (``:186-191``).
 
-    Returns (final state, final error, n_iters, log).
+    ``init_c`` overrides the starting damping (checkpoint/resume support:
+    pass the damping returned by a previous segment to continue exactly).
+
+    Returns (final state, final error, final damping, n_iters, log).
     """
     record = config.record_log
     max_iter = config.max_iter
@@ -470,11 +474,11 @@ def lm_optimize(
         # Accepted step divides the damping (reference ``:195``).
         return trial, e_new, c_new / config.scale_factor, count + 1, done, log
 
-    init_c = jnp.asarray(config.init_damping, x.dtype)
-    final_state, e_final, _, n_iter, _, log = jax.lax.while_loop(
-        cond, body, (state0, e0, init_c, jnp.asarray(0), jnp.asarray(False), log0)
+    c0 = jnp.asarray(config.init_damping, x.dtype) if init_c is None else init_c
+    final_state, e_final, c_final, n_iter, _, log = jax.lax.while_loop(
+        cond, body, (state0, e0, c0, jnp.asarray(0), jnp.asarray(False), log0)
     )
-    return final_state, e_final, n_iter, (log if record else None)
+    return final_state, e_final, c_final, n_iter, (log if record else None)
 
 
 @partial(jax.jit, static_argnames=("f0", "axis", "config"))
@@ -507,7 +511,7 @@ def bundle_adjust(
     state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
 
-    final, e, n_iter, log = lm_optimize(x, state0, vis, free, f0, config)
+    final, e, _, n_iter, log = lm_optimize(x, state0, vis, free, f0, config)
 
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     return BAResult(

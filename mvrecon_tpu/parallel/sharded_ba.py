@@ -123,7 +123,7 @@ def sharded_bundle_adjust(
 
     def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r):
         st0 = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)
-        final, e, n_iter, _ = lm_optimize(
+        final, e, _, n_iter, _ = lm_optimize(
             x_l, st0, vis_l, free_r, f0, config, axis_name=POINTS_AXIS
         )
         return final.X, final.f, final.u, final.t, final.R, e, n_iter

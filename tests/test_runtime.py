@@ -1,0 +1,85 @@
+"""Runtime subsystems: checkpoint/resume, structured logging, native MST."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.models.bundle_adjustment import (
+    BAState,
+    gauge_mask,
+    lm_optimize,
+    normalize_gauge,
+)
+from mvrecon_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+from mvrecon_tpu.runtime.logging import (
+    convergence_curve,
+    device_log_to_records,
+    format_convergence,
+)
+
+from conftest import make_ref_scene
+
+
+def _ba_inputs(ref, quiet):
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=12)
+    with quiet():
+        X_, R_ = ref.affine.paraperspective_self_calibration(
+            [x.copy() for x in x_list], np.ones(12)
+        )
+    t_ = -3 * R_[:, :, 2]
+    x = jnp.asarray(np.stack(x_list).transpose(1, 0, 2))
+    Xn, Rn, tn, _ = normalize_gauge(
+        jnp.asarray(X_), jnp.asarray(R_), jnp.asarray(t_), "x-up_z-forward"
+    )
+    state = BAState(
+        X=Xn,
+        f=jnp.ones((12,), x.dtype),
+        u=jnp.zeros((12, 2), x.dtype),
+        t=tn,
+        R=Rn,
+    )
+    vis = jnp.ones(x.shape[:2], x.dtype)
+    free = gauge_mask(12, "x-up_z-forward", x.dtype)
+    return x, state, vis, free
+
+
+def test_checkpoint_roundtrip(tmp_path, ref, quiet):
+    x, state, vis, free = _ba_inputs(ref, quiet)
+    path = os.path.join(tmp_path, "state.npz")
+    save_checkpoint(path, state, step=7)
+    restored, step = load_checkpoint(path, state)
+    assert step == 7
+    for a, b in zip(state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_segmented_lm_resume_matches_continuous(ref, quiet):
+    """Running 4+4 iterations with carried (state, damping) must equal one
+    8-iteration run — the checkpoint/resume contract."""
+    x, state, vis, free = _ba_inputs(ref, quiet)
+    cfg8 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=8)
+    cfg4 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=4)
+
+    s8, e8, c8, n8, _ = lm_optimize(x, state, vis, free, 1.0, cfg8)
+
+    s4, e4, c4, n4, _ = lm_optimize(x, state, vis, free, 1.0, cfg4)
+    # resume: carry damping; the divide-on-accept already applied
+    s44, e44, c44, n44, _ = lm_optimize(x, s4, vis, free, 1.0, cfg4, init_c=c4)
+
+    np.testing.assert_allclose(float(e44), float(e8), rtol=1e-10)
+    for a, b in zip(s8, s44):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_device_log_records(ref, quiet):
+    x, state, vis, free = _ba_inputs(ref, quiet)
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=6, record_log=True)
+    s, e, c, n, log = lm_optimize(x, state, vis, free, 1.0, cfg)
+    records = device_log_to_records(log, n)
+    assert len(records) == int(n) + 1
+    curve = convergence_curve(log, n)
+    assert (np.diff(curve) <= 1e-12).all()
+    text = format_convergence(log, n)
+    assert "Iteration 1" in text
