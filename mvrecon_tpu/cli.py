@@ -1,0 +1,197 @@
+"""Unified command-line interface.
+
+The reference is driven by editing two demo scripts (SURVEY.md §5: no
+config/flag system); here every pipeline is reachable headlessly:
+
+    python -m mvrecon_tpu euclidean --n-images 10 --method dual
+    python -m mvrecon_tpu affine --model paraperspective --n-images 12
+    python -m mvrecon_tpu batch --scenes 16 --n-images 20
+    python -m mvrecon_tpu bench-ba --points 2000 --views 50
+
+All knobs of the pipelines (tolerances, LM hyperparameters, scene size,
+precision, dtype) are flags; results print as one JSON object.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _common(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--seed", type=int, default=123)
+    parser.add_argument("--noise", type=float, default=0.005)
+    parser.add_argument("--f", type=float, default=1.0, help="focal length")
+    parser.add_argument("--f0", type=float, default=1.0)
+    parser.add_argument("--max-iter", type=int, default=100)
+    parser.add_argument("--delta-tol", type=float, default=1e-8)
+    parser.add_argument("--scale-factor", type=float, default=2.0)
+    parser.add_argument("--float64", action="store_true", help="run in float64")
+    parser.add_argument("--viz", action="store_true", help="show plots")
+    parser.add_argument("--log-json", type=str, default=None,
+                        help="append convergence records to this JSONL file")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="mvrecon_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_eucl = sub.add_parser("euclidean", help="perspective self-calibration + BA")
+    _common(p_eucl)
+    p_eucl.add_argument("--n-images", type=int, default=10)
+    p_eucl.add_argument("--method", choices=["primary", "dual"], default="dual")
+    p_eucl.add_argument("--tol", type=float, default=1e-2)
+
+    p_aff = sub.add_parser("affine", help="affine self-calibration + BA")
+    _common(p_aff)
+    p_aff.add_argument("--n-images", type=int, default=12)
+    p_aff.add_argument(
+        "--model",
+        choices=["orthographic", "symmetric", "paraperspective"],
+        default="paraperspective",
+    )
+
+    p_batch = sub.add_parser("batch", help="vmap-batched euclidean reconstruction")
+    _common(p_batch)
+    p_batch.add_argument("--scenes", type=int, default=8)
+    p_batch.add_argument("--n-images", type=int, default=10)
+    p_batch.add_argument("--method", choices=["primary", "dual"], default="dual")
+    p_batch.add_argument("--tol", type=float, default=1e-2)
+
+    p_bench = sub.add_parser("bench-ba", help="time bundle adjustment")
+    _common(p_bench)
+    p_bench.add_argument("--points", type=int, default=2000)
+    p_bench.add_argument("--views", type=int, default=50)
+    p_bench.add_argument("--iters", type=int, default=10)
+    p_bench.add_argument("--chunked", action="store_true")
+    p_bench.add_argument("--chunk-size", type=int, default=4096)
+
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from .runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from .config import LMConfig
+    from .geometry.scenes import make_synthetic_scene
+
+    dtype = jnp.float64 if args.float64 else jnp.float32
+    config = LMConfig(
+        scale_factor=args.scale_factor,
+        delta_tol=args.delta_tol,
+        max_iter=args.max_iter,
+    )
+
+    out: dict = {"command": args.command}
+    t_start = time.perf_counter()
+
+    if args.command in ("euclidean", "affine"):
+        scene = make_synthetic_scene(
+            jax.random.key(args.seed), n_images=args.n_images, f=args.f,
+            f0=args.f0, noise=args.noise, dtype=dtype,
+        )
+        if args.command == "euclidean":
+            from .models.pipelines import euclidean_reconstruction
+
+            res = euclidean_reconstruction(
+                scene.x, f0=args.f0, tol=args.tol, method=args.method, config=config
+            )
+        else:
+            from .models.pipelines import affine_reconstruction
+
+            f_arr = jnp.full((args.n_images,), args.f, dtype=dtype)
+            res = affine_reconstruction(scene.x, f_arr, model=args.model,
+                                        f0=args.f0, config=config)
+        out.update(
+            status=int(res.status),
+            ba_iterations=int(res.n_iter),
+            reprojection_error=float(res.error),
+            n_points=int(res.X.shape[0]),
+        )
+        if args.viz:
+            from .geometry.camera import project_points
+            from .viz import show_2d_projection_data, show_3d_scene_data
+
+            show_3d_scene_data(res.X, res.R, res.t)
+            reproj = project_points(res.X, res.K, res.R, res.t)
+            show_2d_projection_data(
+                [scene.x[i] for i in range(scene.x.shape[0])],
+                [reproj[i] for i in range(reproj.shape[0])],
+            )
+
+    elif args.command == "batch":
+        from .parallel.batched import batched_euclidean_reconstruction
+
+        keys = jax.random.split(jax.random.key(args.seed), args.scenes)
+        scenes = [
+            make_synthetic_scene(k, n_images=args.n_images, f=args.f, f0=args.f0,
+                                 noise=args.noise, dtype=dtype)
+            for k in keys
+        ]
+        x = jnp.stack([s.x for s in scenes])
+        res = batched_euclidean_reconstruction(
+            x, f0=args.f0, tol=args.tol, method=args.method, config=config
+        )
+        errs = np.asarray(res.error)
+        out.update(
+            scenes=args.scenes,
+            statuses=[int(s) for s in np.asarray(res.status)],
+            reprojection_errors=[float(e) for e in errs],
+        )
+
+    elif args.command == "bench-ba":
+        scene = make_synthetic_scene(
+            jax.random.key(0), n_images=args.views, n_slices=args.points // 20,
+            n_angles=20, noise=args.noise, dtype=dtype,
+        )
+        k1, k2 = jax.random.split(jax.random.key(0))
+        X0 = scene.X + 0.05 * jax.random.normal(k1, scene.X.shape, dtype=dtype)
+        t0 = scene.t + 0.05 * jax.random.normal(k2, scene.t.shape, dtype=dtype)
+        x = scene.x.transpose(1, 0, 2)
+        cfg = LMConfig(scale_factor=args.scale_factor, delta_tol=0.0,
+                       max_iter=args.iters)
+
+        if args.chunked:
+            from .models.bundle_adjustment_chunked import bundle_adjust_chunked as ba_fn
+
+            def run():
+                r = ba_fn(x, X0, scene.K, scene.R, t0, f0=args.f0,
+                          axis="x-up_z-forward", config=cfg,
+                          chunk_size=args.chunk_size)
+                return r, float(r.error)
+        else:
+            from .models.bundle_adjustment import bundle_adjust as ba_fn
+
+            def run():
+                r = ba_fn(x, X0, scene.K, scene.R, t0, f0=args.f0,
+                          axis="x-up_z-forward", config=cfg)
+                return r, float(r.error)
+
+        _, err = run()  # compile
+        t1 = time.perf_counter()
+        _, err = run()
+        out.update(
+            points=args.points, views=args.views, iters=args.iters,
+            wall_s=round(time.perf_counter() - t1, 4),
+            reprojection_error=err,
+        )
+
+    out["total_wall_s"] = round(time.perf_counter() - t_start, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

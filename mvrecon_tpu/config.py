@@ -16,6 +16,7 @@ not specify one.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -24,7 +25,18 @@ import jax.numpy as jnp
 # Matmul/einsum precision for numerically sensitive contractions. On TPU,
 # f32 matmuls default to bf16 passes; HIGHEST forces full f32 (6-pass)
 # which the small-but-ill-conditioned normal equations here need.
-HIGHEST = jax.lax.Precision.HIGHEST
+#
+# Set MVRECON_PRECISION=default (before import) to use the hardware-native
+# fast path (bf16x6->f32 off, single-pass) for the large-scale regime — LM's
+# accept/retry protocol tolerates an approximate Gauss-Newton system, so
+# this trades ~0 accuracy of the *converged* result for ~6x matmul
+# throughput on TPU. Parity tests always run f64 on CPU where this constant
+# is a no-op.
+_PRECISION_MODES = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+HIGHEST = _PRECISION_MODES[os.environ.get("MVRECON_PRECISION", "highest").lower()]
 
 
 def default_dtype() -> jnp.dtype:

@@ -46,12 +46,13 @@ def rodrigues(omega: jax.Array) -> jax.Array:
     branch at ``utils.py:14-15``.
     """
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2)
-    small = theta < 1e-8
-    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks near zero.
-    safe_t = jnp.where(small, jnp.ones_like(theta), theta)
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe_t) / safe_t)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe_t)) / (safe_t * safe_t))
+    small = theta2 < 1e-16
+    # Gradient-safe: branch BEFORE the sqrt (d sqrt/d x at 0 is inf, and
+    # jnp.where differentiates both branches), then select series vs exact.
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(theta2_safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     K = _hat(omega)
     eye = jnp.eye(3, dtype=omega.dtype)
     return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)

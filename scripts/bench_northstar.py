@@ -1,0 +1,75 @@
+"""North-star workload: 1000-view / 100k-point bundle adjustment on one
+TPU chip (BASELINE.json target: < 5 s). The reference cannot run this at
+all (its Schur reduction would need a (P, 9F, 9F) float64 intermediate —
+~65 TB here), so this is TPU-only capability, reported separately from
+bench.py's reference-comparable headline.
+
+Usage: [MVRECON_PRECISION=default] python scripts/bench_northstar.py \
+            [n_points] [n_views] [n_iters] [chunk]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from mvrecon_tpu.runtime.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+
+def main():
+    n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_views = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
+
+    dtype = jnp.float32
+    key = jax.random.key(0)
+    print(f"building scene P={n_points} F={n_views} ...", flush=True)
+    scene = make_synthetic_scene(
+        key, n_images=n_views, n_slices=n_points // 20, n_angles=20, dtype=dtype
+    )
+    k1, k2 = jax.random.split(key)
+    X0 = scene.X + 0.05 * jax.random.normal(k1, scene.X.shape, dtype=dtype)
+    t0 = scene.t + 0.05 * jax.random.normal(k2, scene.t.shape, dtype=dtype)
+    x = scene.x.transpose(1, 0, 2)
+    print("scene ready", flush=True)
+
+    config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=n_iters)
+
+    def run():
+        res = bundle_adjust_chunked(
+            x, X0, scene.K, scene.R, t0,
+            f0=1.0, axis="x-up_z-forward", config=config, chunk_size=chunk,
+        )
+        err = float(res.error)  # host round-trip = real completion
+        return res, err
+
+    t_start = time.perf_counter()
+    res, err = run()
+    print(f"first run (incl. compile): {time.perf_counter() - t_start:.2f}s "
+          f"E={err:.6e} iters={int(res.n_iter)}", flush=True)
+
+    times = []
+    for _ in range(2):
+        t_start = time.perf_counter()
+        res, err = run()
+        times.append(time.perf_counter() - t_start)
+    print(
+        f"northstar P={n_points} F={n_views} iters={n_iters} chunk={chunk}: "
+        f"wall={min(times):.3f}s E={err:.6e}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
