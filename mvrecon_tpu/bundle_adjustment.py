@@ -71,16 +71,9 @@ class BundleAdjuster:
             config=config,
         )
         if is_debug and res.log is not None:
-            n = int(res.n_iter) + 1
-            self._log = [
-                {
-                    "points": np.asarray(res.log["points"][i]),
-                    "basis": np.asarray(res.log["basis"][i]),
-                    "pos": np.asarray(res.log["pos"][i]),
-                    "reprojection_error": float(res.log["reprojection_error"][i]),
-                }
-                for i in range(n)
-            ]
+            from .runtime.logging import device_log_to_records
+
+            self._log = device_log_to_records(res.log, res.n_iter)
         self.result = res
         return res.X, res.K, res.R, res.t
 

@@ -1,0 +1,69 @@
+"""Batched-scenes throughput: N independent reconstructions
+(perspective self-calibration + BA) vmapped into one program on one chip
+(BASELINE.json config row: "256 scenes x 100 views ... via vmap").
+
+Usage: [MVRECON_PRECISION=default] python scripts/bench_batched.py \
+            [n_scenes] [n_views] [ba_iters]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from mvrecon_tpu.runtime.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+from mvrecon_tpu.parallel.batched import batched_euclidean_reconstruction
+
+
+def main():
+    n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n_views = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    ba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+    dtype = jnp.float32
+    keys = jax.random.split(jax.random.key(0), n_scenes)
+    print(f"building {n_scenes} scenes x {n_views} views ...", flush=True)
+    x = jnp.stack(
+        [
+            make_synthetic_scene(k, n_images=n_views, dtype=dtype).x
+            for k in keys
+        ]
+    )  # (S, F, P, 2)
+    print("scenes ready", x.shape, flush=True)
+
+    config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=ba_iters)
+
+    def run():
+        res = batched_euclidean_reconstruction(
+            x, f0=1.0, tol=1e-2, method="dual", config=config
+        )
+        errs = np.asarray(res.error)  # host round-trip
+        return res, errs
+
+    t0 = time.perf_counter()
+    res, errs = run()
+    print(f"first run (incl. compile): {time.perf_counter() - t0:.2f}s", flush=True)
+
+    t0 = time.perf_counter()
+    res, errs = run()
+    wall = time.perf_counter() - t0
+    ok = int((np.asarray(res.status) == 0).sum())
+    print(
+        f"batched S={n_scenes} F={n_views} BA_iters={ba_iters}: wall={wall:.3f}s "
+        f"({n_scenes / wall:.1f} scenes/s), converged={ok}/{n_scenes}, "
+        f"median E={np.median(errs):.4e}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
