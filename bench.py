@@ -1,6 +1,6 @@
 """Benchmark: mid-scale bundle adjustment on one TPU chip.
 
-Workload: P=2,000 points x F=50 views, full visibility, 10 LM iterations
+Workload: P=10,000 points x F=100 views, full visibility, 10 LM iterations
 (forced via delta_tol=0), float32 on TPU.
 
 Baseline: the reference implementation (takah29/3d-reconstruction-from-
@@ -33,13 +33,14 @@ from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
 # Reference NumPy wall-clock for the same P/F/iterations (CPU, float64),
 # measured on this machine; see BASELINE.md ("mid-scale BA baseline").
 # Measured 2026-08-16 on this machine (see BASELINE.md):
-#   python scripts/measure_reference_baseline.py 2000 50 10 -> 651.36 s
-# (The reference cannot run much larger: its Schur reduction materializes a
-# (P, 9F-7, 9F-7) float64 intermediate - 63 GB at P=10k/F=100.)
-REFERENCE_CPU_WALL_S = 651.36
+#   python scripts/measure_reference_baseline.py 10000 100 10 -> 5650.26 s
+#   (94 minutes; >33 GB resident - the reference materializes a
+#   (P, 9F-7, 9F-7) float64 Schur intermediate. The smaller 2000x50 config
+#   measured 651.36 s.)
+REFERENCE_CPU_WALL_S = 5650.26
 
-N_POINTS = 2_000
-N_VIEWS = 50
+N_POINTS = 10_000
+N_VIEWS = 100
 N_ITERS = 10
 
 

@@ -190,7 +190,11 @@ def main(argv=None) -> None:
         )
 
     out["total_wall_s"] = round(time.perf_counter() - t_start, 2)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if args.log_json:
+        with open(args.log_json, "a") as fh:
+            fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -157,7 +157,9 @@ def calc_pqr(
 def reprojection_error(
     x: jax.Array, p: jax.Array, q: jax.Array, r: jax.Array, vis: jax.Array, f0: float
 ) -> jax.Array:
-    """Sum of squared residuals E (reference ``:666-677``)."""
+    """Sum of squared residuals E (reference ``:666-677``). r is sanitized
+    where vis == 0 so masked/padded entries cannot produce 0 * inf."""
+    r = jnp.where(vis > 0, r, jnp.ones_like(r))
     e = (p / r - x[..., 0] / f0) ** 2 + (q / r - x[..., 1] / f0) ** 2
     return jnp.sum(vis * e)
 
@@ -250,6 +252,10 @@ def _compute_derivs(
 
     dpdc, dqdc, drdc = _camera_param_derivs(state, p, q, r, f0)  # (P, F, 9)
 
+    # Invisible entries contribute nothing but must not poison the sums
+    # (0 * inf = nan when a masked/padded point sits on a camera plane,
+    # r = 0), so r is sanitized wherever vis == 0.
+    r = jnp.where(vis > 0, r, jnp.ones_like(r))
     res_p = p / r - x[..., 0] / f0  # (P, F)
     res_q = q / r - x[..., 1] / f0
     e_now = _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
@@ -338,7 +344,11 @@ def _damped_solve(
     b = _psum(jnp.einsum("pxm,px->m", einv_f, derivs.d_P, precision=HIGHEST), axis_name)
     b = b - derivs.d_F
 
-    delta_xi = jnp.linalg.solve(a, b)
+    # The damped, gauge-projected reduced system is SPD -> Cholesky
+    # (~4x faster than LU on TPU for the (9F, 9F) solve).
+    delta_xi = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(a), b
+    )
     delta_xi = delta_xi * free  # exact zeros on fixed params
 
     # Back-substitute point updates (reference ``:152``).

@@ -46,32 +46,35 @@ from .bundle_adjustment import (
 )
 
 
-def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0):
-    """Derivative blocks for one point chunk (C points): the chunk-local
-    analog of ``_compute_derivs`` (same math, same reference citations)."""
+def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0):
+    """Rank-2 Jacobian factors for one point chunk: every second-derivative
+    block is 2 * vis * (a1 (x) b1 + a2 (x) b2), so downstream stages work
+    from (a1, a2 (C, F, 3); b1, b2 (C, F, 9); residuals) without
+    materializing the blocks they don't need."""
     st = state_cam._replace(X=X_c)
-    nf = st.f.shape[0]
     K = build_K(st.f, st.u, f0)
     pmat, p, q, r = calc_pqr(X_c, K, st.R, st.t)
 
     dpdX, dqdX, drdX = pmat[:, 0, :3], pmat[:, 1, :3], pmat[:, 2, :3]
     dpdc, dqdc, drdc = _camera_param_derivs(st, p, q, r, f0)
 
+    r = jnp.where(vis_c > 0, r, jnp.ones_like(r))  # 0*inf guard (padding)
     res_p = p / r - x_c[..., 0] / f0
     res_q = q / r - x_c[..., 1] / f0
-    e_chunk = jnp.sum(vis_c * (res_p**2 + res_q**2))
 
     inv_r2 = 1.0 / (r * r)
     a1 = (r[..., None] * dpdX[None] - p[..., None] * drdX[None]) * inv_r2[..., None]
     a2 = (r[..., None] * dqdX[None] - q[..., None] * drdX[None]) * inv_r2[..., None]
     b1 = (r[..., None] * dpdc - p[..., None] * drdc) * inv_r2[..., None]
     b2 = (r[..., None] * dqdc - q[..., None] * drdc) * inv_r2[..., None]
+    return a1, a2, b1, b2, res_p, res_q
 
+
+def _point_grad_and_block(a1, a2, res_p, res_q, vis_c):
+    """d_P (C, 3) and matE (C, 3, 3) from the factors (with the unseen-
+    point identity guard)."""
     visf = vis_c[..., None]
     d_P = 2.0 * jnp.sum(visf * (res_p[..., None] * a1 + res_q[..., None] * a2), axis=1)
-    d_F = 2.0 * jnp.sum(visf * (res_p[..., None] * b1 + res_q[..., None] * b2), axis=0)
-    d_F = d_F.reshape(9 * nf) * free
-
     vw = visf[..., None]
     matE = 2.0 * jnp.sum(
         vw * jnp.einsum("pfi,pfj->pfij", a1, a1, precision=HIGHEST)
@@ -80,18 +83,35 @@ def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0):
     )
     seen = (jnp.sum(vis_c, axis=1) > 0).astype(matE.dtype)
     matE = matE + (1.0 - seen)[:, None, None] * jnp.eye(3, dtype=matE.dtype)
+    return d_P, matE
 
+
+def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0):
+    """Derivative blocks for one point chunk (C points): the chunk-local
+    analog of ``_compute_derivs`` (same math, same reference citations)."""
+    nf = state_cam.f.shape[0]
+    a1, a2, b1, b2, res_p, res_q = _chunk_factors(state_cam, X_c, x_c, vis_c, f0)
+    e_chunk = jnp.sum(vis_c * (res_p**2 + res_q**2))
+
+    visf = vis_c[..., None]
+    d_F = 2.0 * jnp.sum(visf * (res_p[..., None] * b1 + res_q[..., None] * b2), axis=0)
+    d_F = d_F.reshape(9 * nf) * free
+
+    d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
+
+    vw = visf[..., None]
     matG = 2.0 * jnp.sum(
         vw * jnp.einsum("pfi,pfj->pfij", b1, b1, precision=HIGHEST)
         + vw * jnp.einsum("pfi,pfj->pfij", b2, b2, precision=HIGHEST),
         axis=0,
     )
+    # Build matF directly in (C, 3i, F, 9j) layout (no transpose copy).
     matF_blocks = 2.0 * (
-        vw * jnp.einsum("pfi,pfj->pfij", a1, b1, precision=HIGHEST)
-        + vw * jnp.einsum("pfi,pfj->pfij", a2, b2, precision=HIGHEST)
+        vw.transpose(0, 2, 1, 3) * jnp.einsum("pfi,pfj->pifj", a1, b1, precision=HIGHEST)
+        + vw.transpose(0, 2, 1, 3) * jnp.einsum("pfi,pfj->pifj", a2, b2, precision=HIGHEST)
     )
     npts_c = X_c.shape[0]
-    matF = matF_blocks.transpose(0, 2, 1, 3).reshape(npts_c, 3, 9 * nf)
+    matF = matF_blocks.reshape(npts_c, 3, 9 * nf)
     matF = matF * free[None, None, :]
 
     return d_P, d_F, matE, matF, matG, e_chunk
@@ -153,15 +173,30 @@ def _backsub_and_trial(state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, de
     eye3 = jnp.eye(3, dtype=dt)
     K_trial = build_K(trial_cam.f, trial_cam.u, f0)
 
+    nf = state_cam.f.shape[0]
+    dxi = (delta_xi * free).reshape(nf, 9)
+
     def body(e_acc, inp):
         X_c, x_c, vis_c = inp
-        d_P, _, matE, matF, _, _ = _chunk_blocks(state_cam, X_c, x_c, vis_c, free, f0)
+        # F @ delta_xi factors through the rank-2 block structure:
+        #   (F dxi)[p, x] = 2 sum_f vis (a1[p,f,x] <b1[p,f], dxi_f>
+        #                             + a2[p,f,x] <b2[p,f], dxi_f>)
+        # so the (C, 3, 9F) coupling block is never materialized here.
+        a1, a2, b1, b2, res_p, res_q = _chunk_factors(state_cam, X_c, x_c, vis_c, f0)
+        d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
         matEc = matE + c * matE * eye3[None]
         einv = inv3x3(matEc)
-        rhs = jnp.einsum("pxm,m->px", matF, delta_xi, precision=HIGHEST) + d_P
+        s1 = vis_c * jnp.einsum("pfi,fi->pf", b1, dxi, precision=HIGHEST)
+        s2 = vis_c * jnp.einsum("pfi,fi->pf", b2, dxi, precision=HIGHEST)
+        f_dxi = 2.0 * (
+            jnp.einsum("pf,pfx->px", s1, a1, precision=HIGHEST)
+            + jnp.einsum("pf,pfx->px", s2, a2, precision=HIGHEST)
+        )
+        rhs = f_dxi + d_P
         X_new = X_c - jnp.einsum("pxy,py->px", einv, rhs, precision=HIGHEST)
 
         _, p, q, r = calc_pqr(X_new, K_trial, trial_cam.R, trial_cam.t)
+        r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
         e_c = jnp.sum(
             vis_c
             * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
@@ -211,6 +246,7 @@ def lm_optimize_chunked(
         def body(acc, inp):
             X_c, x_c, vis_c = inp
             _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+            r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
             e = jnp.sum(
                 vis_c
                 * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
@@ -231,7 +267,9 @@ def lm_optimize_chunked(
         def body(carry):
             c_cur, _, _, _, _, tries = carry
             a, b, _ = _build_system(cam, X_ch_, x_ch, vis_ch, free, f0, c_cur)
-            delta_xi = jnp.linalg.solve(a, b) * free
+            delta_xi = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(a), b
+        ) * free
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             X_new_ch, e_trial = _backsub_and_trial(
                 cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi

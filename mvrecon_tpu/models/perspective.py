@@ -84,7 +84,34 @@ def _sign_fix(xi: jax.Array) -> jax.Array:
     return jnp.where(jnp.sum(xi, axis=1, keepdims=True) < 0, -xi, xi)
 
 
-def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float):
+def _top_eigvec(mat: jax.Array, v0: jax.Array, method: str, n_power: int = 12) -> jax.Array:
+    """Leading eigenvector of a batch of symmetric PSD matrices
+    (..., N, N).
+
+    ``method='eigh'``: full decomposition (reference semantics,
+    ``np.linalg.eigh`` + argmax at ``:112-119, :204-211``).
+
+    ``method='power'``: warm-started power iteration — both depth-loop
+    matrices are PSD (primary A is a Gram quadratic form; dual B is a
+    Hadamard product of PSD Grams, PSD by the Schur product theorem), and
+    the *outer* depth loop supplies an excellent warm start (the previous
+    iteration's depths), so a handful of batched matvecs (MXU matmuls)
+    replaces a full O(N^3) eigendecomposition. The depth loop's fixed point
+    and its stopping rule (actual reprojection error) are unchanged.
+    """
+    if method == "eigh":
+        _, eigvecs = jnp.linalg.eigh(mat)
+        return eigvecs[..., -1]
+
+    def body(_, v):
+        w = jnp.einsum("...ij,...j->...i", mat, v, precision=HIGHEST)
+        return w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+
+    v0 = v0 / jnp.linalg.norm(v0, axis=-1, keepdims=True)
+    return jax.lax.fori_loop(0, n_power, body, v0)
+
+
+def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float, eig_method: str = "eigh"):
     """One primary-method depth update (reference ``:79-133``): per-point
     F x F Rayleigh-quotient eigenproblem over the rank-4 motion subspace."""
     npts, nf, _ = xh.shape
@@ -101,8 +128,8 @@ def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float):
     xnorm = jnp.linalg.norm(xh, axis=2)  # (P, F)
     a = denom / (xnorm[:, :, None] * xnorm[:, None, :])
 
-    _, eigvecs = jnp.linalg.eigh(a)
-    xi = _sign_fix(eigvecs[..., -1])  # max-eigenvalue eigenvector (P, F)
+    xi = _top_eigvec(a, z * xnorm, eig_method)
+    xi = _sign_fix(xi)  # max-eigenvalue eigenvector (P, F)
     z_new = xi / xnorm
 
     m = u4
@@ -111,7 +138,7 @@ def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float):
     return z_new, e
 
 
-def _depth_step_dual(xh: jax.Array, z: jax.Array, f0: float):
+def _depth_step_dual(xh: jax.Array, z: jax.Array, f0: float, eig_method: str = "eigh"):
     """One dual-method depth update (reference ``:165-227``): per-image
     P x P eigenproblem over the rank-4 shape subspace."""
     npts, nf, _ = xh.shape
@@ -132,8 +159,8 @@ def _depth_step_dual(xh: jax.Array, z: jax.Array, f0: float):
     xnorm = jnp.linalg.norm(xt, axis=1)  # (F, P)
     b = denom / (xnorm[:, :, None] * xnorm[:, None, :])
 
-    _, eigvecs = jnp.linalg.eigh(b)
-    xi = _sign_fix(eigvecs[..., -1].T)  # (P, F)
+    xi_t = _top_eigvec(b, (z * xnorm.T).T, eig_method)  # (F, P)
+    xi = _sign_fix(xi_t.T)  # (P, F)
     z_new = xi / xnorm.T
 
     m = u[:, :4]
@@ -142,13 +169,14 @@ def _depth_step_dual(xh: jax.Array, z: jax.Array, f0: float):
     return z_new, e
 
 
-@partial(jax.jit, static_argnames=("method", "max_iter", "f0"))
+@partial(jax.jit, static_argnames=("method", "max_iter", "f0", "eig_method"))
 def projective_depths(
     xh: jax.Array,
     f0: float = 1.0,
     tolerance: float = 0.01,
     method: str = "primary",
     max_iter: int | None = None,
+    eig_method: str = "eigh",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Iterate projective depths z (P, F) until the factorization's RMS
     reprojection error < tolerance (reference ``:61-144`` / ``:147-235``).
@@ -159,7 +187,8 @@ def projective_depths(
     """
     if max_iter is None:
         max_iter = 200 if method == "primary" else 50
-    step = _depth_step_primary if method == "primary" else _depth_step_dual
+    step_fn = _depth_step_primary if method == "primary" else _depth_step_dual
+    step = partial(step_fn, eig_method=eig_method)
 
     npts, nf, _ = xh.shape
     z0 = jnp.ones((npts, nf), dtype=xh.dtype)
@@ -396,7 +425,10 @@ def correct_world_coordinates(
     raise ValueError(f"unknown method: {method}")
 
 
-@partial(jax.jit, static_argnames=("f0", "method", "max_iter", "upgrade_max_iter"))
+@partial(
+    jax.jit,
+    static_argnames=("f0", "method", "max_iter", "upgrade_max_iter", "eig_method"),
+)
 def perspective_self_calibration(
     x: jax.Array,
     f0: float = 1.0,
@@ -404,6 +436,7 @@ def perspective_self_calibration(
     method: str = "primary",
     max_iter: int | None = None,
     upgrade_max_iter: int = 100,
+    eig_method: str = "eigh",
 ) -> CalibrationResult:
     """Full perspective self-calibration of observations x (F, P, 2)
     (reference ``perspective_self_calibration``, ``:513-540``).
@@ -417,7 +450,8 @@ def perspective_self_calibration(
 
     xh = homogenize(x, f0)
     z, depth_err, iters = projective_depths(
-        xh, f0=f0, tolerance=tol, method=method, max_iter=max_iter
+        xh, f0=f0, tolerance=tol, method=method, max_iter=max_iter,
+        eig_method=eig_method,
     )
 
     w = xh * z[..., None]  # (P, F, 3)

@@ -86,11 +86,14 @@ def euclidean_reconstruction(
     tol: float = 1e-2,
     method: str = "dual",
     config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+    eig_method: str = "eigh",
 ) -> ReconstructionResult:
     """Perspective pipeline (reference ``euclidiean_reconstruction.py:
     42-56``): perspective self-calibration (projective depths + metric
     upgrade) -> bundle adjustment in the x-up_z-forward gauge."""
-    calib = perspective_self_calibration(x, f0=f0, tol=tol, method=method)
+    calib = perspective_self_calibration(
+        x, f0=f0, tol=tol, method=method, eig_method=eig_method
+    )
 
     ba = bundle_adjust(
         x.transpose(1, 0, 2),

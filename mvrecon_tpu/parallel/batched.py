@@ -44,17 +44,19 @@ def batched_affine_reconstruction(
     return jax.vmap(fn)(x, f)
 
 
-@partial(jax.jit, static_argnames=("method", "f0", "tol", "config"))
+@partial(jax.jit, static_argnames=("method", "f0", "tol", "config", "eig_method"))
 def batched_euclidean_reconstruction(
     x: jax.Array,
     f0: float = 1.0,
     tol: float = 1e-2,
     method: str = "dual",
     config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+    eig_method: str = "eigh",
 ) -> ReconstructionResult:
     """vmap the perspective pipeline over a leading scenes axis:
     x (S, F, P, 2)."""
-    fn = partial(euclidean_reconstruction, f0=f0, tol=tol, method=method, config=config)
+    fn = partial(euclidean_reconstruction, f0=f0, tol=tol, method=method,
+                 config=config, eig_method=eig_method)
     return jax.vmap(fn)(x)
 
 
