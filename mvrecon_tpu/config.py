@@ -65,6 +65,16 @@ class LMConfig:
     init_damping: float = 1e-4
     max_inner_retries: int = 64  # bound for the (unbounded) reference retry loop
     record_log: bool = False  # keep per-iteration (X, R, t, E) for animation
+    # damping divisor applied after an accepted step; None = scale_factor
+    # (the reference protocol, bundle_adjustment.py:195). Every failed retry
+    # at large scale costs a full Schur rebuild, so large-scene configs can
+    # set accept_divisor=1.0 (never shrink damping) to trade slightly
+    # smaller steps for ~1 retry per iteration.
+    accept_divisor: float | None = None
+
+    @property
+    def divisor(self) -> float:
+        return self.scale_factor if self.accept_divisor is None else self.accept_divisor
 
 
 @dataclasses.dataclass(frozen=True)

@@ -482,7 +482,7 @@ def lm_optimize(
                 "reprojection_error": log["reprojection_error"].at[count + 1].set(e_new),
             }
         # Accepted step divides the damping (reference ``:195``).
-        return trial, e_new, c_new / config.scale_factor, count + 1, done, log
+        return trial, e_new, c_new / config.divisor, count + 1, done, log
 
     c0 = jnp.asarray(config.init_damping, x.dtype) if init_c is None else init_c
     final_state, e_final, c_final, n_iter, _, log = jax.lax.while_loop(

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import HIGHEST, LMConfig
-from ..ops.linalg import inv3x3
+from ..ops.linalg import chol3x3, inv3x3, solve_lower3
+from ..ops.pallas_syrk import syrk_or_fallback
 from .bundle_adjustment import (
     BAResult,
     BAState,
@@ -132,17 +133,18 @@ def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c):
         d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
             state_cam, X_c, x_c, vis_c, free, f0
         )
+        # Cholesky-split the damped point blocks: F^T Einv F = (L^-1 F)^T
+        # (L^-1 F) — a *symmetric* rank-k product, computed by the Pallas
+        # SYRK kernel (lower-triangular tiles only) on TPU.
         matEc = matE + c * matE * eye3[None]
-        einv = inv3x3(matEc)
-        einv_f = jnp.einsum("pxy,pym->pxm", einv, matF, precision=HIGHEST)
+        l3 = chol3x3(matEc)
+        y = solve_lower3(l3, matF)  # (C, 3, 9F)
+        yd = solve_lower3(l3, d_P[..., None])[..., 0]  # (C, 3)
         npts_c = X_c.shape[0]
-        schur_acc = schur_acc + jnp.einsum(
-            "km,kn->mn",
-            matF.reshape(npts_c * 3, nf9),
-            einv_f.reshape(npts_c * 3, nf9),
-            precision=HIGHEST,
+        schur_acc = schur_acc + syrk_or_fallback(
+            y.reshape(npts_c * 3, nf9), HIGHEST
         )
-        b_acc = b_acc + jnp.einsum("pxm,px->m", einv_f, d_P, precision=HIGHEST)
+        b_acc = b_acc + jnp.einsum("pxm,px->m", y, yd, precision=HIGHEST)
         return (schur_acc, b_acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk), None
 
     init = (
@@ -221,7 +223,8 @@ def lm_optimize_chunked(
     chunk_size: int,
 ) -> tuple[BAState, jax.Array, jax.Array]:
     """Chunk-streamed LM with the dense core's exact protocol
-    (reference ``bundle_adjustment.py:77-195``)."""
+    (reference ``bundle_adjustment.py:77-195``). Returns
+    (state, error, n_iter, total_solver_retries)."""
     npts = x.shape[0]
     dt = x.dtype
     pad = (-npts) % chunk_size
@@ -279,29 +282,31 @@ def lm_optimize_chunked(
             return c_next, e_trial, trial_cam, X_new_ch, accepted, tries + 1
 
         dummy_cam = jax.tree.map(jnp.zeros_like, cam)
-        c_out, e_new, trial_cam, X_new_ch, _, _ = jax.lax.while_loop(
+        c_out, e_new, trial_cam, X_new_ch, _, tries = jax.lax.while_loop(
             cond,
             body,
             (c, jnp.asarray(jnp.inf, dt), dummy_cam, jnp.zeros_like(X_ch_), jnp.asarray(False), 0),
         )
-        return c_out, e_new, trial_cam, X_new_ch
+        return c_out, e_new, trial_cam, X_new_ch, tries
 
     def cond(carry):
-        _, _, _, _, count, done = carry
+        _, _, _, _, count, done, _ = carry
         return (~done) & (count < config.max_iter)
 
     def body(carry):
-        cam, X_ch_, e_prev, c, count, _ = carry
-        c_new, e_new, cam_new, X_ch_new = inner(cam, X_ch_, e_prev, c)
+        cam, X_ch_, e_prev, c, count, _, retries = carry
+        c_new, e_new, cam_new, X_ch_new, tries = inner(cam, X_ch_, e_prev, c)
         done = jnp.abs(e_new - e_prev) <= config.delta_tol
-        return cam_new, X_ch_new, e_new, c_new / config.scale_factor, count + 1, done
+        return (cam_new, X_ch_new, e_new, c_new / config.divisor, count + 1,
+                done, retries + tries)
 
     init_c = jnp.asarray(config.init_damping, dt)
-    cam_f, X_ch_f, e_f, _, n_iter, _ = jax.lax.while_loop(
-        cond, body, (cam0, X_ch0, e0, init_c, jnp.asarray(0), jnp.asarray(False))
+    cam_f, X_ch_f, e_f, _, n_iter, _, n_retries = jax.lax.while_loop(
+        cond, body,
+        (cam0, X_ch0, e0, init_c, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)),
     )
     X_full = X_ch_f.reshape(-1, 3)[:npts]
-    return cam_f._replace(X=X_full), e_f, n_iter
+    return cam_f._replace(X=X_full), e_f, n_iter, n_retries
 
 
 @partial(jax.jit, static_argnames=("f0", "axis", "config", "chunk_size"))
@@ -330,9 +335,12 @@ def bundle_adjust_chunked(
     state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
 
-    final, e, n_iter = lm_optimize_chunked(x, state0, vis, free, f0, config, chunk_size)
+    final, e, n_iter, n_retries = lm_optimize_chunked(
+        x, state0, vis, free, f0, config, chunk_size
+    )
 
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     return BAResult(
-        X=Xg, K=build_K(final.f, final.u, f0), R=Rg, t=tg, error=e, n_iter=n_iter, log=None
+        X=Xg, K=build_K(final.f, final.u, f0), R=Rg, t=tg, error=e, n_iter=n_iter,
+        log={"n_solver_retries": n_retries},
     )

@@ -85,6 +85,39 @@ def orthonormalize(r: jax.Array) -> jax.Array:
     return u @ vt
 
 
+def chol3x3(m: jax.Array) -> jax.Array:
+    """Closed-form Cholesky L (lower) of (..., 3, 3) SPD matrices —
+    elementwise VPU math, batched."""
+    a11, a21, a31 = m[..., 0, 0], m[..., 1, 0], m[..., 2, 0]
+    a22, a32, a33 = m[..., 1, 1], m[..., 2, 1], m[..., 2, 2]
+    l11 = jnp.sqrt(a11)
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(a22 - l21 * l21)
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(a33 - l31 * l31 - l32 * l32)
+    z = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([l11, z, z], axis=-1),
+            jnp.stack([l21, l22, z], axis=-1),
+            jnp.stack([l31, l32, l33], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def solve_lower3(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution L y = b for (..., 3, 3) lower-triangular L and
+    (..., 3, N) rhs (closed form, batched)."""
+    y0 = b[..., 0, :] / l[..., 0, 0, None]
+    y1 = (b[..., 1, :] - l[..., 1, 0, None] * y0) / l[..., 1, 1, None]
+    y2 = (
+        b[..., 2, :] - l[..., 2, 0, None] * y0 - l[..., 2, 1, None] * y1
+    ) / l[..., 2, 2, None]
+    return jnp.stack([y0, y1, y2], axis=-2)
+
+
 def blockdiag_scatter(blocks: jax.Array) -> jax.Array:
     """(F, K, K) -> (F*K, F*K) block-diagonal matrix, statically shaped.
 

@@ -31,6 +31,7 @@ def main():
     n_views = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
+    accept_div = float(sys.argv[5]) if len(sys.argv) > 5 else None
 
     dtype = jnp.float32
     key = jax.random.key(0)
@@ -44,7 +45,8 @@ def main():
     x = scene.x.transpose(1, 0, 2)
     print("scene ready", flush=True)
 
-    config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=n_iters)
+    config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=n_iters,
+                      accept_divisor=accept_div)
 
     def run():
         res = bundle_adjust_chunked(
@@ -57,7 +59,8 @@ def main():
     t_start = time.perf_counter()
     res, err = run()
     print(f"first run (incl. compile): {time.perf_counter() - t_start:.2f}s "
-          f"E={err:.6e} iters={int(res.n_iter)}", flush=True)
+          f"E={err:.6e} iters={int(res.n_iter)} "
+          f"retries={int(res.log['n_solver_retries'])}", flush=True)
 
     times = []
     for _ in range(2):
@@ -65,8 +68,9 @@ def main():
         res, err = run()
         times.append(time.perf_counter() - t_start)
     print(
-        f"northstar P={n_points} F={n_views} iters={n_iters} chunk={chunk}: "
-        f"wall={min(times):.3f}s E={err:.6e}",
+        f"northstar P={n_points} F={n_views} iters={n_iters} chunk={chunk} "
+        f"accept_div={accept_div}: wall={min(times):.3f}s E={err:.6e} "
+        f"retries={int(res.log['n_solver_retries'])}",
         flush=True,
     )
 

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from mvrecon_tpu.models.perspective import (
     STATUS_OK,
     calc_omega,
+    correct_world_coordinates,
     euclidean_upgrading,
     homogenize,
     perspective_self_calibration,
@@ -190,3 +191,29 @@ def test_perspective_self_calibration_end_to_end_quality(ref, quiet):
     assert rms_jax <= rms_ref * 1.05 + 1e-9
     # and the scene must actually be reconstructed (sub-pixel at f0=1)
     assert rms_jax < 0.05
+
+
+def test_correct_world_coordinates_parity(ref):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(40, 3))
+    # random proper rotations via QR sign fix
+    def rot():
+        q, r_ = np.linalg.qr(rng.normal(size=(3, 3)))
+        q *= np.sign(np.diag(r_))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        return q
+
+    R = np.stack([rot() for _ in range(6)])
+    t = rng.normal(size=(6, 3))
+
+    for method in ("first_camera", "predict"):
+        x_ref, r_ref, t_ref = ref.perspective.correct_world_coordinates(
+            X.copy(), R.copy(), t.copy(), method=method
+        )
+        x_j, r_j, t_j = correct_world_coordinates(
+            jnp.asarray(X), jnp.asarray(R), jnp.asarray(t), method=method
+        )
+        np.testing.assert_allclose(np.asarray(x_j), x_ref, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(r_j), r_ref, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(t_j), t_ref, atol=1e-10)
