@@ -39,6 +39,7 @@ from .bundle_adjustment import (
     BAState,
     _camera_param_derivs,
     _apply_update,
+    _psum,
     build_K,
     calc_pqr,
     gauge_mask,
@@ -118,8 +119,19 @@ def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0):
     return d_P, d_F, matE, matF, matG, e_chunk
 
 
-def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c):
-    """Scan 1: accumulate the damped reduced camera system over chunks.
+def _vary(v, axis_name):
+    """Mark a scan-carry init as device-varying over ``axis_name`` (shard_map
+    varying-type system: a replicated init cannot carry shard-dependent
+    accumulations)."""
+    if axis_name is None:
+        return v
+    return jax.tree.map(lambda a: jax.lax.pvary(a, (axis_name,)), v)
+
+
+def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None):
+    """Scan 1: accumulate the damped reduced camera system over chunks
+    (then over devices when ``axis_name`` is set — sharding composes with
+    chunking for the multi-chip million-point regime).
 
     Returns (A (9F, 9F) with gauge projection, b (9F,), E_now)."""
     nf = state_cam.f.shape[0]
@@ -147,14 +159,22 @@ def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c):
         b_acc = b_acc + jnp.einsum("pxm,px->m", y, yd, precision=HIGHEST)
         return (schur_acc, b_acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk), None
 
-    init = (
-        jnp.zeros((nf9, nf9), dt),
-        jnp.zeros((nf9,), dt),
-        jnp.zeros((nf, 9, 9), dt),
-        jnp.zeros((nf9,), dt),
-        jnp.zeros((), dt),
+    init = _vary(
+        (
+            jnp.zeros((nf9, nf9), dt),
+            jnp.zeros((nf9,), dt),
+            jnp.zeros((nf, 9, 9), dt),
+            jnp.zeros((nf9,), dt),
+            jnp.zeros((), dt),
+        ),
+        axis_name,
     )
     (schur, b_p, g, d_f, e_now), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
+    schur = _psum(schur, axis_name)
+    b_p = _psum(b_p, axis_name)
+    g = _psum(g, axis_name)
+    d_f = _psum(d_f, axis_name)
+    e_now = _psum(e_now, axis_name)
 
     gc = g + c * g * jnp.eye(9, dtype=dt)[None]
     a = -schur
@@ -167,7 +187,9 @@ def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c):
     return a, b, e_now
 
 
-def _backsub_and_trial(state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, delta_xi):
+def _backsub_and_trial(
+    state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, delta_xi, axis_name=None
+):
     """Scan 2: per chunk, recompute blocks at the *current* state, back-
     substitute the point update, and accumulate the trial error under the
     *updated* cameras. Returns (X_new chunks, E_trial)."""
@@ -205,8 +227,10 @@ def _backsub_and_trial(state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, de
         )
         return e_acc + e_c, X_new
 
-    e_trial, X_new_ch = jax.lax.scan(body, jnp.zeros((), dt), (X_ch, x_ch, vis_ch))
-    return X_new_ch, e_trial
+    e_trial, X_new_ch = jax.lax.scan(
+        body, _vary(jnp.zeros((), dt), axis_name), (X_ch, x_ch, vis_ch)
+    )
+    return X_new_ch, _psum(e_trial, axis_name)
 
 
 def _chunked(arr: jax.Array, n_chunks: int) -> jax.Array:
@@ -221,10 +245,13 @@ def lm_optimize_chunked(
     f0: float,
     config: LMConfig,
     chunk_size: int,
+    axis_name: str | None = None,
 ) -> tuple[BAState, jax.Array, jax.Array]:
     """Chunk-streamed LM with the dense core's exact protocol
     (reference ``bundle_adjustment.py:77-195``). Returns
-    (state, error, n_iter, total_solver_retries)."""
+    (state, error, n_iter, total_solver_retries). With ``axis_name`` set
+    (inside shard_map over points) camera-side accumulators psum across
+    devices; everything point-local stays local."""
     npts = x.shape[0]
     dt = x.dtype
     pad = (-npts) % chunk_size
@@ -256,8 +283,10 @@ def lm_optimize_chunked(
             )
             return acc + e, None
 
-        e, _ = jax.lax.scan(body, jnp.zeros((), dt), (X_ch_, x_ch, vis_ch))
-        return e
+        e, _ = jax.lax.scan(
+            body, _vary(jnp.zeros((), dt), axis_name), (X_ch_, x_ch, vis_ch)
+        )
+        return _psum(e, axis_name)
 
     cam0, X_ch0 = split(state0)
     e0 = error_of(cam0, X_ch0)
@@ -269,13 +298,13 @@ def lm_optimize_chunked(
 
         def body(carry):
             c_cur, _, _, _, _, tries = carry
-            a, b, _ = _build_system(cam, X_ch_, x_ch, vis_ch, free, f0, c_cur)
+            a, b, _ = _build_system(cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name)
             delta_xi = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(a), b
         ) * free
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             X_new_ch, e_trial = _backsub_and_trial(
-                cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi
+                cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi, axis_name
             )
             accepted = e_trial <= e_prev
             c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)

@@ -43,6 +43,71 @@ from ..models.bundle_adjustment import (
 POINTS_AXIS = "points"
 
 
+def sharded_bundle_adjust_chunked(
+    mesh: Mesh,
+    x: jax.Array,
+    init_X: jax.Array,
+    init_K: jax.Array,
+    init_R: jax.Array,
+    init_t: jax.Array,
+    f0: float = 1.0,
+    visibility: jax.Array | None = None,
+    axis: str = "x-right_z-forward",
+    config: LMConfig = LMConfig(),
+    chunk_size: int = 4096,
+) -> BAResult:
+    """Sharding composed with chunk-streaming: points are split over the
+    mesh's ``points`` axis AND each device scans its shard in chunks —
+    the million-point / multi-chip regime. Per LM retry the only
+    cross-device traffic is the psum of the (9F, 9F) camera system."""
+    from ..models.bundle_adjustment_chunked import lm_optimize_chunked
+
+    dt = x.dtype
+    npts, nf, _ = x.shape
+    vis = (
+        jnp.ones((npts, nf), dtype=dt)
+        if visibility is None
+        else jnp.asarray(visibility, dtype=dt)
+    )
+    n_shards = mesh.shape[POINTS_AXIS]
+    x_p, X_p, vis_p, n_orig = pad_points(x, init_X, vis, n_shards)
+
+    X0, R0, t0, info = normalize_gauge(X_p, init_R, init_t, axis)
+    free = gauge_mask(nf, axis, dt)
+
+    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r):
+        st0 = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)
+        final, e, n_iter, n_retries = lm_optimize_chunked(
+            x_l, st0, vis_l, free_r, f0, config, chunk_size, axis_name=POINTS_AXIS
+        )
+        return final.X, final.f, final.u, final.t, final.R, e, n_iter, n_retries
+
+    pt = P(POINTS_AXIS)
+    rep = P()
+    sharded = jax.jit(
+        jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(pt, pt, rep, rep, rep, rep, pt, rep),
+            out_specs=(pt, rep, rep, rep, rep, rep, rep, rep),
+        )
+    )
+    Xf, ff, uf, tf, Rf, e, n_iter, n_retries = sharded(
+        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free
+    )
+
+    Xg, Rg, tg = restore_gauge(info, Xf, Rf, tf)
+    return BAResult(
+        X=Xg[:n_orig],
+        K=build_K(ff, uf, f0),
+        R=Rg,
+        t=tg,
+        error=e,
+        n_iter=n_iter,
+        log={"n_solver_retries": n_retries},
+    )
+
+
 def pad_points(x: jax.Array, X: jax.Array, vis: jax.Array, n_shards: int):
     """Pad the points dimension of (x (P, F, 2), X (P, 3), vis (P, F)) to a
     multiple of ``n_shards``. Padded points get vis = 0 and X = mean(X)

@@ -109,3 +109,24 @@ def test_batched_affine_reconstruction(ref):
     )
     assert res.X.shape == (2, 200, 3)
     assert np.isfinite(np.asarray(res.error)).all()
+
+
+def test_sharded_chunked_ba_matches_single_device(ba_problem):
+    """Sharding composed with chunk streaming (the million-point path):
+    4 devices x 2 chunks per shard must equal single-device dense LM."""
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust_chunked
+
+    x, X_, K_, R_, t_ = ba_problem
+    config = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=10)
+
+    res_single = bundle_adjust(
+        x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward", config=config
+    )
+    mesh = make_mesh({"points": 4})
+    res = sharded_bundle_adjust_chunked(
+        mesh, x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward",
+        config=config, chunk_size=25,
+    )
+    np.testing.assert_allclose(float(res.error), float(res_single.error), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.X), np.asarray(res_single.X), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.K), np.asarray(res_single.K), atol=1e-8)
