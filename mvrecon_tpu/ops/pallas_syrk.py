@@ -14,6 +14,14 @@ tiles (i < j) skip their MXU work entirely (predicated out with pl.when).
 
 Falls back to a jnp einsum off-TPU (tests run the fallback on CPU and the
 kernel in interpret mode; numerics match to f32 accumulation order).
+
+MEASURED VERDICT (v5e, K=12288, N=9000, f32): XLA's einsum runs this
+product at ~52 TF/s — essentially the f32 MXU roofline — in 42.6 ms;
+this kernel does 47.7-58.6 ms despite issuing half the FLOPs, because
+XLA's matmul pipelines HBM->VMEM better than the (i, j, k) block schedule
+here. The default build path therefore uses the einsum; the kernel stays
+available (MVRECON_USE_PALLAS_SYRK=1) as the starting point for a future
+fused generate-and-reduce kernel.
 """
 
 from __future__ import annotations
@@ -85,8 +93,17 @@ def syrk(y: jax.Array, tile_n: int = 512, tile_k: int = 512, interpret: bool = F
 
 
 def syrk_or_fallback(y: jax.Array, precision) -> jax.Array:
-    """SYRK via the Pallas kernel on TPU (f32); dtype-preserving jnp einsum
-    elsewhere (CPU tests run in f64)."""
-    if jax.default_backend() == "tpu" and y.dtype == jnp.float32:
+    """Symmetric product Y^T Y. Default: XLA einsum (measured at the MXU
+    roofline, see module docstring). MVRECON_USE_PALLAS_SYRK=1 opts into
+    the Pallas kernel on TPU."""
+    import os
+
+    if (
+        os.environ.get("MVRECON_USE_PALLAS_SYRK") == "1"
+        and jax.default_backend() == "tpu"
+        and y.dtype == jnp.float32
+    ):
+        if precision == jax.lax.Precision.DEFAULT:
+            y = y.astype(jnp.bfloat16)
         return syrk(y)
     return jnp.einsum("km,kn->mn", y, y, precision=precision)

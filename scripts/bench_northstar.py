@@ -32,6 +32,9 @@ def main():
     n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
     accept_div = float(sys.argv[5]) if len(sys.argv) > 5 else None
+    delta_tol = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
+    init_c = float(sys.argv[7]) if len(sys.argv) > 7 else 1e-4
+    scale = float(sys.argv[8]) if len(sys.argv) > 8 else 2.0
 
     dtype = jnp.float32
     key = jax.random.key(0)
@@ -45,8 +48,8 @@ def main():
     x = scene.x.transpose(1, 0, 2)
     print("scene ready", flush=True)
 
-    config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=n_iters,
-                      accept_divisor=accept_div)
+    config = LMConfig(scale_factor=scale, delta_tol=delta_tol, max_iter=n_iters,
+                      accept_divisor=accept_div, init_damping=init_c)
 
     def run():
         res = bundle_adjust_chunked(

@@ -139,23 +139,14 @@ def test_euclidean_upgrading_tracks_then_beats_reference(ref, quiet):
     np.testing.assert_allclose(j_jax_seq, j_ref_seq, rtol=1e-6)
 
     # (b) full loops: ours must do at least as well as the reference
-    with quiet():
-        ref.perspective._euclidean_upgrading(p, 1.0)
-
-    def final_j(k_arr, calc, upd, inv, med):
-        q = inv(k_arr) @ p
-        om = calc(q)
-        _, j = upd(k_arr, om, q)
-        return med(j)
-
     h_jax, k_full, ok = euclidean_upgrading(jnp.asarray(p), 1.0)
     assert bool(ok)
     q_j = jnp.linalg.inv(k_full) @ jnp.asarray(p)
     om_j, _, _, _ = calc_omega(q_j)
     _, j_final_jax = update_intrinsics(k_full, om_j, q_j)
 
-    k_ref_full = ref.perspective._get_initial_intrinsic_params(10, 1.0)
-    h_ref, k_ref_full = ref.perspective._euclidean_upgrading(p, 1.0)
+    with quiet():
+        h_ref, k_ref_full = ref.perspective._euclidean_upgrading(p, 1.0)
     q_r = np.linalg.inv(k_ref_full) @ p
     om_r, _, _ = ref.perspective._calc_omega(q_r)
     _, j_final_ref = ref.perspective._update_K(np.real(k_ref_full).copy(), np.real(om_r), q_r)
