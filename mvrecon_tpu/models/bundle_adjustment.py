@@ -459,9 +459,18 @@ def lm_optimize(
             return c_next, e_trial, accepted, tries + 1, trial
 
         dummy = jax.tree.map(jnp.zeros_like, state_c)
-        c_out, e_new, _, _, trial = jax.lax.while_loop(
+        c_out, e_new, accepted, _, trial = jax.lax.while_loop(
             cond, body, (c, jnp.asarray(jnp.inf, x.dtype), jnp.asarray(False), 0, dummy)
         )
+        # If no damping level was ever accepted (divergence/NaN: the
+        # reference would spin forever in its unbounded retry loop,
+        # bundle_adjustment.py:118-167), keep the previous state and error
+        # so the outer loop terminates gracefully (delta = 0).
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(accepted, a, b), new, old
+        )
+        trial = keep(trial, state_c)
+        e_new = jnp.where(accepted, e_new, e_prev)
         return c_out, e_new, trial
 
     def cond(carry):

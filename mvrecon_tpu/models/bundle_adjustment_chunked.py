@@ -311,11 +311,18 @@ def lm_optimize_chunked(
             return c_next, e_trial, trial_cam, X_new_ch, accepted, tries + 1
 
         dummy_cam = jax.tree.map(jnp.zeros_like, cam)
-        c_out, e_new, trial_cam, X_new_ch, _, tries = jax.lax.while_loop(
+        c_out, e_new, trial_cam, X_new_ch, accepted, tries = jax.lax.while_loop(
             cond,
             body,
             (c, jnp.asarray(jnp.inf, dt), dummy_cam, jnp.zeros_like(X_ch_), jnp.asarray(False), 0),
         )
+        # Never-accepted (divergence/NaN): keep previous state; outer loop
+        # then stops with delta = 0 (see dense core for rationale).
+        trial_cam = jax.tree.map(
+            lambda a, b: jnp.where(accepted, a, b), trial_cam, cam
+        )
+        X_new_ch = jnp.where(accepted, X_new_ch, X_ch_)
+        e_new = jnp.where(accepted, e_new, e_prev)
         return c_out, e_new, trial_cam, X_new_ch, tries
 
     def cond(carry):

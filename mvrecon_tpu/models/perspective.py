@@ -111,9 +111,24 @@ def _top_eigvec(mat: jax.Array, v0: jax.Array, method: str, n_power: int = 12) -
     return jax.lax.fori_loop(0, n_power, body, v0)
 
 
+def _power_iterate(matvec, v0: jax.Array, n_power: int) -> jax.Array:
+    """Normalized power iteration with an implicit operator."""
+    v0 = v0 / jnp.linalg.norm(v0, axis=-1, keepdims=True)
+
+    def body(_, v):
+        w = matvec(v)
+        return w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+
+    return jax.lax.fori_loop(0, n_power, body, v0)
+
+
 def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float, eig_method: str = "eigh"):
     """One primary-method depth update (reference ``:79-133``): per-point
-    F x F Rayleigh-quotient eigenproblem over the rank-4 motion subspace."""
+    F x F Rayleigh-quotient eigenproblem over the rank-4 motion subspace.
+
+    ``eig_method='power'`` exploits the matrix structure A = D Y Y^T D
+    (rank 4, D diagonal): the leading eigenvector comes from implicit
+    O(F * 4) matvecs — the (P, F, F) matrix is never materialized."""
     npts, nf, _ = xh.shape
     w = xh * z[..., None]  # (P, F, 3)
     w = w / jnp.linalg.norm(w.reshape(npts, -1), axis=1)[:, None, None]
@@ -122,13 +137,22 @@ def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float, eig_method: str 
     u4 = u[:, :4]  # (3F, 4)
     uimg = u4.reshape(nf, 3, 4)
 
-    # x . u_k per (point, image, rank) then the F x F quadratic form.
+    # x . u_k per (point, image, rank).
     xdotu = jnp.einsum("pfi,fia->pfa", xh, uimg, precision=HIGHEST)
-    denom = jnp.einsum("pfa,pga->pfg", xdotu, xdotu, precision=HIGHEST)
     xnorm = jnp.linalg.norm(xh, axis=2)  # (P, F)
-    a = denom / (xnorm[:, :, None] * xnorm[:, None, :])
 
-    xi = _top_eigvec(a, z * xnorm, eig_method)
+    if eig_method == "power":
+        y = xdotu / xnorm[..., None]  # (P, F, 4): A = Y Y^T
+
+        def matvec(v):  # v (P, F)
+            t = jnp.einsum("pfa,pf->pa", y, v, precision=HIGHEST)
+            return jnp.einsum("pfa,pa->pf", y, t, precision=HIGHEST)
+
+        xi = _power_iterate(matvec, z * xnorm, 12)
+    else:
+        denom = jnp.einsum("pfa,pga->pfg", xdotu, xdotu, precision=HIGHEST)
+        a = denom / (xnorm[:, :, None] * xnorm[:, None, :])
+        xi = _top_eigvec(a, z * xnorm, eig_method)
     xi = _sign_fix(xi)  # max-eigenvalue eigenvector (P, F)
     z_new = xi / xnorm
 
@@ -152,14 +176,34 @@ def _depth_step_dual(xh: jax.Array, z: jax.Array, f0: float, eig_method: str = "
     u, sigma, vt = jnp.linalg.svd(wm, full_matrices=False)
     v4 = vt[:4].T  # (P, 4)
 
-    v_gram = jnp.einsum("pa,qa->pq", v4, v4, precision=HIGHEST)  # (P, P)
     xt = xh.transpose(1, 2, 0)  # (F, 3, P)
-    x_gram = jnp.einsum("fip,fiq->fpq", xt, xt, precision=HIGHEST)  # (F, P, P)
-    denom = v_gram[None] * x_gram
     xnorm = jnp.linalg.norm(xt, axis=1)  # (F, P)
-    b = denom / (xnorm[:, :, None] * xnorm[:, None, :])
 
-    xi_t = _top_eigvec(b, (z * xnorm.T).T, eig_method)  # (F, P)
+    if eig_method == "power":
+        # B = D (V4 V4^T ∘ X^T X) D with D = diag(1/xnorm): a Hadamard
+        # product of a rank-4 Gram and per-image 3-row Grams. Matvec via
+        # (U V^T ∘ B) v = sum_k U_k ∘ (B (V_k ∘ v)) — O(F P * 12) per
+        # step, never materializing the (F, P, P) matrices (which at
+        # batched scale are the HBM bottleneck).
+        def matvec(v):  # v (F, P)
+            def one_rank(k):
+                t1 = v4[:, k][None, :] * v / xnorm  # (F, P)
+                t2 = jnp.einsum("fip,fp->fi", xt, t1, precision=HIGHEST)
+                t3 = jnp.einsum("fip,fi->fp", xt, t2, precision=HIGHEST)
+                return v4[:, k][None, :] * t3
+
+            acc = one_rank(0) + one_rank(1) + one_rank(2) + one_rank(3)
+            return acc / xnorm
+
+        # The dual spectrum's leading gap is narrower than the primary's;
+        # more steps are still O(F P) — far below materializing (F, P, P).
+        xi_t = _power_iterate(matvec, (z * xnorm.T).T, 40)
+    else:
+        v_gram = jnp.einsum("pa,qa->pq", v4, v4, precision=HIGHEST)  # (P, P)
+        x_gram = jnp.einsum("fip,fiq->fpq", xt, xt, precision=HIGHEST)  # (F, P, P)
+        denom = v_gram[None] * x_gram
+        b = denom / (xnorm[:, :, None] * xnorm[:, None, :])
+        xi_t = _top_eigvec(b, (z * xnorm.T).T, eig_method)  # (F, P)
     xi = _sign_fix(xi_t.T)  # (P, F)
     z_new = xi / xnorm.T
 

@@ -28,6 +28,7 @@ def main():
     n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n_views = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     ba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    eig_method = sys.argv[4] if len(sys.argv) > 4 else "eigh"
 
     dtype = jnp.float32
     keys = jax.random.split(jax.random.key(0), n_scenes)
@@ -44,7 +45,8 @@ def main():
 
     def run():
         res = batched_euclidean_reconstruction(
-            x, f0=1.0, tol=1e-2, method="dual", config=config
+            x, f0=1.0, tol=1e-2, method="dual", config=config,
+            eig_method=eig_method,
         )
         errs = np.asarray(res.error)  # host round-trip
         return res, errs
@@ -57,10 +59,11 @@ def main():
     res, errs = run()
     wall = time.perf_counter() - t0
     ok = int((np.asarray(res.status) == 0).sum())
+    finite = int(np.isfinite(errs).sum())
     print(
-        f"batched S={n_scenes} F={n_views} BA_iters={ba_iters}: wall={wall:.3f}s "
-        f"({n_scenes / wall:.1f} scenes/s), converged={ok}/{n_scenes}, "
-        f"median E={np.median(errs):.4e}",
+        f"batched S={n_scenes} F={n_views} BA_iters={ba_iters} eig={eig_method}: wall={wall:.3f}s "
+        f"({n_scenes / wall:.1f} scenes/s), calib_ok={ok}/{n_scenes}, "
+        f"finite={finite}/{n_scenes}, median E={np.nanmedian(errs):.4e}",
         flush=True,
     )
 

@@ -47,3 +47,15 @@ def test_euclidean_pipeline_float32():
     assert res.X.dtype == jnp.float32
     assert int(res.status) == 0
     assert _rms(res, scene.x) < 0.01
+
+
+def test_euclidean_pipeline_power_eig():
+    """The power-iteration depth option must reconstruct to the same
+    quality as full eigh (same fixed point, same stopping rule)."""
+    scene = make_synthetic_scene(jax.random.key(123), n_images=10)
+    res = euclidean_reconstruction(
+        scene.x, eig_method="power",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=50),
+    )
+    assert int(res.status) == 0
+    assert _rms(res, scene.x) < 0.006
