@@ -29,6 +29,7 @@ def main():
     n_views = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     ba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     eig_method = sys.argv[4] if len(sys.argv) > 4 else "eigh"
+    scene_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
     dtype = jnp.float32
     keys = jax.random.split(jax.random.key(0), n_scenes)
@@ -46,7 +47,7 @@ def main():
     def run():
         res = batched_euclidean_reconstruction(
             x, f0=1.0, tol=1e-2, method="dual", config=config,
-            eig_method=eig_method,
+            eig_method=eig_method, scene_chunk=scene_chunk,
         )
         errs = np.asarray(res.error)  # host round-trip
         return res, errs
