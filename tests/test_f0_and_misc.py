@@ -1,0 +1,117 @@
+"""Coverage for seams not exercised elsewhere: f0 != 1 parity, the
+sharded single LM step, and the CLI."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.models.bundle_adjustment import (
+    BAState,
+    bundle_adjust,
+    gauge_mask,
+    lm_step,
+    normalize_gauge,
+)
+from mvrecon_tpu.parallel.mesh import make_mesh
+from mvrecon_tpu.parallel.sharded_ba import pad_points, sharded_lm_step
+
+from conftest import make_ref_scene
+
+
+def test_bundle_adjust_f0_parity(ref, quiet):
+    """BA with f0 = 1.5 must match the reference exactly (f0 appears in
+    the residual normalization and the f/u derivatives)."""
+    f0 = 1.5
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=10, f=1.2)
+    with quiet():
+        X_, R_, t_, K_ = ref.perspective.perspective_self_calibration(
+            [x.copy() for x in x_list], f0, tol=5e-2, method="dual"
+        )
+    x = np.stack(x_list).transpose(1, 0, 2)
+
+    adjuster = ref.ba.BundleAdjuster(
+        x.copy(), X_.copy(), K_.copy(), R_.copy(), t_.copy(),
+        f0=f0, axis="x-up_z-forward",
+    )
+    with quiet():
+        X_ref, K_ref, R_ref, t_ref = adjuster.optimize(2.0, 1e-8, max_iter=15)
+
+    res = bundle_adjust(
+        jnp.asarray(x), jnp.asarray(X_), jnp.asarray(K_), jnp.asarray(R_),
+        jnp.asarray(t_), f0=f0, axis="x-up_z-forward",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=15),
+    )
+    np.testing.assert_allclose(np.asarray(res.X), X_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.K), K_ref, atol=1e-5)
+
+
+def test_perspective_calibration_f0_parity(ref, quiet):
+    """Depth loop with f0 = 2.0 matches the reference."""
+    f0 = 2.0
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=8, f=1.0)
+    xh_np = ref.perspective._create_data_matrix([x.copy() for x in x_list], f0)
+    with quiet():
+        z_ref = ref.perspective._compute_projective_depth_dual_method(
+            xh_np, f0, 0.05, max_iter=30
+        )
+    from mvrecon_tpu.models.perspective import homogenize, projective_depths
+
+    xh = homogenize(jnp.asarray(np.stack(x_list)), f0)
+    z, _, _ = projective_depths(xh, f0=f0, tolerance=0.05, method="dual", max_iter=30)
+    np.testing.assert_allclose(np.asarray(z), z_ref, atol=1e-8)
+
+
+def test_sharded_lm_step_matches_local(ref, quiet):
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=12)
+    with quiet():
+        X_, R_ = ref.affine.paraperspective_self_calibration(
+            [x.copy() for x in x_list], np.ones(12)
+        )
+    t_ = -3 * R_[:, :, 2]
+    x = jnp.asarray(np.stack(x_list).transpose(1, 0, 2))
+    Xn, Rn, tn, _ = normalize_gauge(
+        jnp.asarray(X_), jnp.asarray(R_), jnp.asarray(t_), "x-up_z-forward"
+    )
+    state = BAState(X=Xn, f=jnp.ones((12,), x.dtype), u=jnp.zeros((12, 2), x.dtype),
+                    t=tn, R=Rn)
+    vis = jnp.ones(x.shape[:2], x.dtype)
+    free = gauge_mask(12, "x-up_z-forward", x.dtype)
+    c = jnp.asarray(1e-4, x.dtype)
+
+    local_new, e0_l, e1_l = lm_step(x, state, vis, free, 1.0, c)
+
+    mesh = make_mesh({"points": 4})
+    x_p, X_p, vis_p, n_orig = pad_points(x, state.X, vis, 4)
+    st_p = state._replace(X=X_p)
+    sh_new, e0_s, e1_s = sharded_lm_step(mesh, x_p, st_p, vis_p, free, c, f0=1.0)
+
+    np.testing.assert_allclose(float(e0_s), float(e0_l), rtol=1e-10)
+    np.testing.assert_allclose(float(e1_s), float(e1_l), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(sh_new.X)[:n_orig], np.asarray(local_new.X), atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(sh_new.R), np.asarray(local_new.R), atol=1e-10)
+
+
+def test_cli_euclidean(capsys):
+    from mvrecon_tpu.cli import main
+
+    main(["euclidean", "--n-images", "6", "--max-iter", "8", "--float64"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["command"] == "euclidean"
+    assert rec["status"] == 0
+    assert np.isfinite(rec["reprojection_error"])
+
+
+def test_cli_bench_ba(capsys):
+    from mvrecon_tpu.cli import main
+
+    main(["bench-ba", "--points", "200", "--views", "8", "--iters", "3", "--chunked",
+          "--chunk-size", "64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["points"] == 200
+    assert np.isfinite(rec["reprojection_error"])
