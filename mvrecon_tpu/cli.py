@@ -61,6 +61,23 @@ def build_parser() -> argparse.ArgumentParser:
     p_batch.add_argument("--method", choices=["primary", "dual"], default="dual")
     p_batch.add_argument("--tol", type=float, default=1e-2)
 
+    p_rec = sub.add_parser(
+        "reconstruct", help="reconstruct from tracked features in an .npz file"
+    )
+    _common(p_rec)
+    p_rec.add_argument("input", type=str, help=".npz with x (F, P, 2) [+ visibility, f]")
+    p_rec.add_argument("--output", type=str, default=None, help="write result .npz here")
+    p_rec.add_argument(
+        "--pipeline", choices=["euclidean", "affine"], default="euclidean"
+    )
+    p_rec.add_argument("--method", choices=["primary", "dual"], default="dual")
+    p_rec.add_argument("--tol", type=float, default=1e-2)
+    p_rec.add_argument(
+        "--model",
+        choices=["orthographic", "symmetric", "paraperspective"],
+        default="paraperspective",
+    )
+
     p_bench = sub.add_parser("bench-ba", help="time bundle adjustment")
     _common(p_bench)
     p_bench.add_argument("--points", type=int, default=2000)
@@ -131,6 +148,42 @@ def main(argv=None) -> None:
                 [scene.x[i] for i in range(scene.x.shape[0])],
                 [reproj[i] for i in range(reproj.shape[0])],
             )
+
+    elif args.command == "reconstruct":
+        from .runtime.io import load_observations, save_observations
+
+        data = load_observations(args.input)
+        x = jnp.asarray(data["x"], dtype=dtype)
+        nf = x.shape[0]
+        if args.pipeline == "euclidean":
+            from .models.pipelines import euclidean_reconstruction
+
+            res = euclidean_reconstruction(
+                x, f0=float(data.get("f0", args.f0)), tol=args.tol,
+                method=args.method, config=config,
+            )
+        else:
+            from .models.pipelines import affine_reconstruction
+
+            f_arr = jnp.asarray(
+                data.get("f", np.full((nf,), args.f)), dtype=dtype
+            )
+            res = affine_reconstruction(x, f_arr, model=args.model,
+                                        f0=args.f0, config=config)
+        out.update(
+            status=int(res.status),
+            ba_iterations=int(res.n_iter),
+            reprojection_error=float(res.error),
+            n_points=int(res.X.shape[0]),
+            n_views=int(nf),
+        )
+        if args.output:
+            save_observations(
+                args.output, data["x"],
+                X=np.asarray(res.X), K=np.asarray(res.K),
+                R=np.asarray(res.R), t=np.asarray(res.t),
+            )
+            out["output"] = args.output
 
     elif args.command == "batch":
         from .parallel.batched import batched_euclidean_reconstruction

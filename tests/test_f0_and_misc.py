@@ -115,3 +115,23 @@ def test_cli_bench_ba(capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["points"] == 200
     assert np.isfinite(rec["reprojection_error"])
+
+
+def test_cli_reconstruct_roundtrip(tmp_path, capsys):
+    """File-based reconstruction: save tracks, reconstruct, check output."""
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.runtime.io import load_observations, save_observations
+
+    scene = make_synthetic_scene(jax.random.key(9), n_images=6)
+    inp = str(tmp_path / "tracks.npz")
+    outp = str(tmp_path / "recon.npz")
+    save_observations(inp, np.asarray(scene.x))
+
+    main(["reconstruct", inp, "--output", outp, "--max-iter", "10", "--float64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["status"] == 0 and rec["output"] == outp
+
+    result = load_observations(outp)
+    assert result["X"].shape == (scene.X.shape[0], 3)
+    assert np.isfinite(result["X"]).all()
