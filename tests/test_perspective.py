@@ -208,3 +208,38 @@ def test_correct_world_coordinates_parity(ref):
         np.testing.assert_allclose(np.asarray(x_j), x_ref, atol=1e-10)
         np.testing.assert_allclose(np.asarray(r_j), r_ref, atol=1e-10)
         np.testing.assert_allclose(np.asarray(t_j), t_ref, atol=1e-10)
+
+
+def test_omega_negative_spectrum_branch(ref):
+    """The rank-3 correction's second branch (sigma[1] < 0 after trace
+    canonicalization) must follow the reference's formulas
+    (perspective_camera_calibration.py:329-330, :397-399)."""
+    from mvrecon_tpu.models.perspective import _homography_from_omega
+
+    rng = np.random.default_rng(11)
+    # spectrum (+5, -1, -1.5, -2): trace positive, sigma[2] < 0, sigma[1] < 0
+    q, _ = np.linalg.qr(rng.normal(size=(4, 4)))
+    sigma = np.array([5.0, -1.0, -1.5, -2.0])
+    omega = (q * sigma) @ q.T
+
+    eigval, eigvec = np.linalg.eigh(omega)
+    s_desc = eigval[::-1]
+    w_rows = eigvec[:, ::-1].T
+    assert s_desc[2] <= 0 and s_desc[1] < 0
+
+    # reference branch-2 formulas (on the same canonical spectrum)
+    omega_ref = -((s_desc[2:, None] * w_rows[2:]).T @ w_rows[2:])
+    coef = np.hstack(([1.0], np.sqrt(-s_desc[1:])))
+    h_ref = (coef[:, None] * w_rows)[::-1].T
+
+    from mvrecon_tpu.models.perspective import calc_omega as _  # noqa: F401
+    import mvrecon_tpu.models.perspective as mp
+
+    h = mp._homography_from_omega(jnp.asarray(s_desc), jnp.asarray(w_rows))
+    np.testing.assert_allclose(np.asarray(h), h_ref, atol=1e-12)
+
+    def rank_neg(sig, w):
+        return -jnp.einsum("k,ki,kj->ij", sig[2:], w[2:], w[2:])
+
+    om = rank_neg(jnp.asarray(s_desc), jnp.asarray(w_rows))
+    np.testing.assert_allclose(np.asarray(om), omega_ref, atol=1e-12)
