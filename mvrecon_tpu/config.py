@@ -71,6 +71,11 @@ class LMConfig:
     # set accept_divisor=1.0 (never shrink damping) to trade slightly
     # smaller steps for ~1 retry per iteration.
     accept_divisor: float | None = None
+    # damping adaptation: "reference" = multiply/divide by scale_factor
+    # (the reference protocol); "nielsen" = gain-ratio adaptation
+    # (c *= max(1/3, 1-(2 rho-1)^3) on accept, c *= nu, nu *= 2 on reject)
+    # - fewer wasted retries when each retry is a full Schur rebuild.
+    damping: str = "reference"
 
     @property
     def divisor(self) -> float:

@@ -357,6 +357,22 @@ def _damped_solve(
     return delta_xi, delta_x
 
 
+def _predicted_reduction(
+    derivs: _Derivs, delta_xi: jax.Array, delta_x: jax.Array, c: jax.Array,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Predicted decrease of the damped quadratic model,
+    1/2 (c * d^T D d - g^T d) with D = diag(H) (Marquardt scaling) —
+    the denominator of the Nielsen gain ratio."""
+    diag_e = jnp.diagonal(derivs.matE, axis1=-2, axis2=-1)  # (P, 3)
+    dDd_pts = jnp.sum(delta_x * diag_e * delta_x)
+    g_d_pts = jnp.sum(derivs.d_P * delta_x)
+    diag_g = jnp.diagonal(derivs.matG, axis1=-2, axis2=-1).reshape(-1)  # (9F,)
+    dDd = _psum(dDd_pts, axis_name) + jnp.sum(delta_xi * diag_g * delta_xi)
+    g_d = _psum(g_d_pts, axis_name) + jnp.sum(derivs.d_F * delta_xi)
+    return 0.5 * (c * dDd - g_d)
+
+
 def _apply_update(state: BAState, delta_xi: jax.Array, delta_x: jax.Array) -> BAState:
     """Parameter update; rotations via the axis-angle exponential
     (reference ``_update_camera_params``, ``:263-281``)."""
@@ -440,27 +456,40 @@ def lm_optimize(
     else:
         log0 = {}
 
-    def inner(state_c, derivs, e_prev, c):
+    nielsen = config.damping == "nielsen"
+
+    def inner(state_c, derivs, e_prev, c, nu):
         """Damping retry loop (reference ``:118-167``), bounded. Re-damps
         and re-solves from the same derivative tensors until the trial
-        error stops exceeding the current error."""
+        error stops exceeding the current error. In "nielsen" mode the
+        post-accept damping comes from the gain ratio instead of a fixed
+        divisor."""
 
         def cond(carry):
-            _, _, accepted, tries, _ = carry
+            _, _, _, accepted, tries, _ = carry
             return (~accepted) & (tries < config.max_inner_retries)
 
         def body(carry):
-            c_cur, _, _, tries, _ = carry
+            c_cur, nu_cur, _, _, tries, _ = carry
             delta_xi, delta_x = _damped_solve(derivs, c_cur, free, axis_name)
             trial = _apply_update(state_c, delta_xi, delta_x)
             e_trial = _state_error(trial, x, vis, f0, axis_name)
             accepted = e_trial <= e_prev
-            c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
-            return c_next, e_trial, accepted, tries + 1, trial
+            if nielsen:
+                pred = _predicted_reduction(derivs, delta_xi, delta_x, c_cur, axis_name)
+                rho = (e_prev - e_trial) / jnp.maximum(pred, 1e-30)
+                shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+                c_next = jnp.where(accepted, c_cur * shrink, c_cur * nu_cur)
+                nu_next = jnp.where(accepted, jnp.full_like(nu_cur, 2.0), nu_cur * 2.0)
+            else:
+                c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
+                nu_next = nu_cur
+            return c_next, nu_next, e_trial, accepted, tries + 1, trial
 
         dummy = jax.tree.map(jnp.zeros_like, state_c)
-        c_out, e_new, accepted, _, trial = jax.lax.while_loop(
-            cond, body, (c, jnp.asarray(jnp.inf, x.dtype), jnp.asarray(False), 0, dummy)
+        c_out, nu_out, e_new, accepted, _, trial = jax.lax.while_loop(
+            cond, body,
+            (c, nu, jnp.asarray(jnp.inf, x.dtype), jnp.asarray(False), 0, dummy),
         )
         # If no damping level was ever accepted (divergence/NaN: the
         # reference would spin forever in its unbounded retry loop,
@@ -471,16 +500,16 @@ def lm_optimize(
         )
         trial = keep(trial, state_c)
         e_new = jnp.where(accepted, e_new, e_prev)
-        return c_out, e_new, trial
+        return c_out, nu_out, e_new, trial
 
     def cond(carry):
-        _, _, _, count, done, _ = carry
+        _, _, _, _, count, done, _ = carry
         return (~done) & (count < max_iter)
 
     def body(carry):
-        state_c, e_prev, c, count, _, log = carry
+        state_c, e_prev, c, nu, count, _, log = carry
         derivs, _ = _compute_derivs(state_c, x, vis, free, f0, axis_name)
-        c_new, e_new, trial = inner(state_c, derivs, e_prev, c)
+        c_new, nu_new, e_new, trial = inner(state_c, derivs, e_prev, c, nu)
         delta = jnp.abs(e_new - e_prev)
         done = delta <= config.delta_tol
         if record:
@@ -490,12 +519,15 @@ def lm_optimize(
                 "pos": log["pos"].at[count + 1].set(trial.t),
                 "reprojection_error": log["reprojection_error"].at[count + 1].set(e_new),
             }
-        # Accepted step divides the damping (reference ``:195``).
-        return trial, e_new, c_new / config.divisor, count + 1, done, log
+        # Accepted step divides the damping (reference ``:195``); in
+        # nielsen mode the gain-ratio shrink already happened in inner().
+        c_out = c_new if nielsen else c_new / config.divisor
+        return trial, e_new, c_out, nu_new, count + 1, done, log
 
     c0 = jnp.asarray(config.init_damping, x.dtype) if init_c is None else init_c
-    final_state, e_final, c_final, n_iter, _, log = jax.lax.while_loop(
-        cond, body, (state0, e0, c0, jnp.asarray(0), jnp.asarray(False), log0)
+    nu0 = jnp.asarray(2.0, x.dtype)
+    final_state, e_final, c_final, _, n_iter, _, log = jax.lax.while_loop(
+        cond, body, (state0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False), log0)
     )
     return final_state, e_final, c_final, n_iter, (log if record else None)
 

@@ -184,7 +184,8 @@ def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None):
     a = a.reshape(nf9, nf9)
     a = a * (free[:, None] * free[None, :]) + jnp.diag(1.0 - free)
     b = b_p - d_f
-    return a, b, e_now
+    diag_g = jnp.diagonal(g, axis1=-2, axis2=-1).reshape(-1)  # (9F,) undamped
+    return a, b, e_now, (diag_g, d_f)
 
 
 def _backsub_and_trial(
@@ -200,7 +201,8 @@ def _backsub_and_trial(
     nf = state_cam.f.shape[0]
     dxi = (delta_xi * free).reshape(nf, 9)
 
-    def body(e_acc, inp):
+    def body(acc, inp):
+        e_acc, dDd_acc, gd_acc = acc
         X_c, x_c, vis_c = inp
         # F @ delta_xi factors through the rank-2 block structure:
         #   (F dxi)[p, x] = 2 sum_f vis (a1[p,f,x] <b1[p,f], dxi_f>
@@ -217,7 +219,13 @@ def _backsub_and_trial(
             + jnp.einsum("pf,pfx->px", s2, a2, precision=HIGHEST)
         )
         rhs = f_dxi + d_P
-        X_new = X_c - jnp.einsum("pxy,py->px", einv, rhs, precision=HIGHEST)
+        delta_x = -jnp.einsum("pxy,py->px", einv, rhs, precision=HIGHEST)
+        X_new = X_c + delta_x
+
+        # point-side terms of the gain-ratio's predicted reduction
+        diag_e = jnp.diagonal(matE, axis1=-2, axis2=-1)
+        dDd_c = jnp.sum(delta_x * diag_e * delta_x)
+        gd_c = jnp.sum(d_P * delta_x)
 
         _, p, q, r = calc_pqr(X_new, K_trial, trial_cam.R, trial_cam.t)
         r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
@@ -225,12 +233,18 @@ def _backsub_and_trial(
             vis_c
             * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
         )
-        return e_acc + e_c, X_new
+        return (e_acc + e_c, dDd_acc + dDd_c, gd_acc + gd_c), X_new
 
-    e_trial, X_new_ch = jax.lax.scan(
-        body, _vary(jnp.zeros((), dt), axis_name), (X_ch, x_ch, vis_ch)
+    zero = _vary(jnp.zeros((), dt), axis_name)
+    (e_trial, dDd_pts, gd_pts), X_new_ch = jax.lax.scan(
+        body, (zero, zero, zero), (X_ch, x_ch, vis_ch)
     )
-    return X_new_ch, _psum(e_trial, axis_name)
+    return (
+        X_new_ch,
+        _psum(e_trial, axis_name),
+        _psum(dDd_pts, axis_name),
+        _psum(gd_pts, axis_name),
+    )
 
 
 def _chunked(arr: jax.Array, n_chunks: int) -> jax.Array:
@@ -291,30 +305,45 @@ def lm_optimize_chunked(
     cam0, X_ch0 = split(state0)
     e0 = error_of(cam0, X_ch0)
 
-    def inner(cam, X_ch_, e_prev, c):
+    nielsen = config.damping == "nielsen"
+
+    def inner(cam, X_ch_, e_prev, c, nu):
         def cond(carry):
-            _, _, _, _, accepted, tries = carry
+            _, _, _, _, _, accepted, tries = carry
             return (~accepted) & (tries < config.max_inner_retries)
 
         def body(carry):
-            c_cur, _, _, _, _, tries = carry
-            a, b, _ = _build_system(cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name)
+            c_cur, nu_cur, _, _, _, _, tries = carry
+            a, b, _, (diag_g, d_f) = _build_system(
+                cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name
+            )
             delta_xi = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(a), b
-        ) * free
+                jax.scipy.linalg.cho_factor(a), b
+            ) * free
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
-            X_new_ch, e_trial = _backsub_and_trial(
+            X_new_ch, e_trial, dDd_pts, gd_pts = _backsub_and_trial(
                 cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi, axis_name
             )
             accepted = e_trial <= e_prev
-            c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
-            return c_next, e_trial, trial_cam, X_new_ch, accepted, tries + 1
+            if nielsen:
+                dDd = dDd_pts + jnp.sum(delta_xi * diag_g * delta_xi)
+                g_d = gd_pts + jnp.sum(d_f * delta_xi)
+                pred = 0.5 * (c_cur * dDd - g_d)
+                rho = (e_prev - e_trial) / jnp.maximum(pred, 1e-30)
+                shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+                c_next = jnp.where(accepted, c_cur * shrink, c_cur * nu_cur)
+                nu_next = jnp.where(accepted, jnp.full_like(nu_cur, 2.0), nu_cur * 2.0)
+            else:
+                c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
+                nu_next = nu_cur
+            return c_next, nu_next, e_trial, trial_cam, X_new_ch, accepted, tries + 1
 
         dummy_cam = jax.tree.map(jnp.zeros_like, cam)
-        c_out, e_new, trial_cam, X_new_ch, accepted, tries = jax.lax.while_loop(
+        c_out, nu_out, e_new, trial_cam, X_new_ch, accepted, tries = jax.lax.while_loop(
             cond,
             body,
-            (c, jnp.asarray(jnp.inf, dt), dummy_cam, jnp.zeros_like(X_ch_), jnp.asarray(False), 0),
+            (c, nu, jnp.asarray(jnp.inf, dt), dummy_cam, jnp.zeros_like(X_ch_),
+             jnp.asarray(False), 0),
         )
         # Never-accepted (divergence/NaN): keep previous state; outer loop
         # then stops with delta = 0 (see dense core for rationale).
@@ -323,23 +352,25 @@ def lm_optimize_chunked(
         )
         X_new_ch = jnp.where(accepted, X_new_ch, X_ch_)
         e_new = jnp.where(accepted, e_new, e_prev)
-        return c_out, e_new, trial_cam, X_new_ch, tries
+        return c_out, nu_out, e_new, trial_cam, X_new_ch, tries
 
     def cond(carry):
-        _, _, _, _, count, done, _ = carry
+        _, _, _, _, _, count, done, _ = carry
         return (~done) & (count < config.max_iter)
 
     def body(carry):
-        cam, X_ch_, e_prev, c, count, _, retries = carry
-        c_new, e_new, cam_new, X_ch_new, tries = inner(cam, X_ch_, e_prev, c)
+        cam, X_ch_, e_prev, c, nu, count, _, retries = carry
+        c_new, nu_new, e_new, cam_new, X_ch_new, tries = inner(cam, X_ch_, e_prev, c, nu)
         done = jnp.abs(e_new - e_prev) <= config.delta_tol
-        return (cam_new, X_ch_new, e_new, c_new / config.divisor, count + 1,
+        c_out = c_new if nielsen else c_new / config.divisor
+        return (cam_new, X_ch_new, e_new, c_out, nu_new, count + 1,
                 done, retries + tries)
 
     init_c = jnp.asarray(config.init_damping, dt)
-    cam_f, X_ch_f, e_f, _, n_iter, _, n_retries = jax.lax.while_loop(
+    nu0 = jnp.asarray(2.0, dt)
+    cam_f, X_ch_f, e_f, _, _, n_iter, _, n_retries = jax.lax.while_loop(
         cond, body,
-        (cam0, X_ch0, e0, init_c, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)),
+        (cam0, X_ch0, e0, init_c, nu0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)),
     )
     X_full = X_ch_f.reshape(-1, 3)[:npts]
     return cam_f._replace(X=X_full), e_f, n_iter, n_retries

@@ -35,6 +35,7 @@ def main():
     delta_tol = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
     init_c = float(sys.argv[7]) if len(sys.argv) > 7 else 1e-4
     scale = float(sys.argv[8]) if len(sys.argv) > 8 else 2.0
+    damping = sys.argv[9] if len(sys.argv) > 9 else "reference"
 
     dtype = jnp.float32
     key = jax.random.key(0)
@@ -49,7 +50,8 @@ def main():
     print("scene ready", flush=True)
 
     config = LMConfig(scale_factor=scale, delta_tol=delta_tol, max_iter=n_iters,
-                      accept_divisor=accept_div, init_damping=init_c)
+                      accept_divisor=accept_div, init_damping=init_c,
+                      damping=damping)
 
     def run():
         res = bundle_adjust_chunked(

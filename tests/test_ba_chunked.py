@@ -62,3 +62,31 @@ def test_chunked_with_visibility(ref, quiet):
     )
     np.testing.assert_allclose(float(chunked.error), float(dense.error), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(chunked.X), np.asarray(dense.X), atol=1e-8)
+
+
+def test_nielsen_damping_converges(ref, quiet):
+    """Gain-ratio damping must reach at least the reference protocol's
+    error in the same iteration budget (both cores)."""
+    x, X_, K_, R_, t_ = _problem(ref, quiet)
+
+    ref_cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=25)
+    nl_cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=25, damping="nielsen")
+
+    e_ref = float(
+        bundle_adjust(x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward",
+                      config=ref_cfg).error
+    )
+    e_nl = float(
+        bundle_adjust(x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward",
+                      config=nl_cfg).error
+    )
+    assert np.isfinite(e_nl)
+    # same optimum within a few percent by the same budget (nielsen trades
+    # per-iteration aggressiveness for fewer retries; see north-star bench)
+    assert e_nl <= e_ref * 1.05
+
+    e_nl_ch = float(
+        bundle_adjust_chunked(x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward",
+                              config=nl_cfg, chunk_size=64).error
+    )
+    np.testing.assert_allclose(e_nl_ch, e_nl, rtol=1e-8)
