@@ -59,17 +59,39 @@ class BundleAdjuster:
             record_log=bool(is_debug),
         )
         init_X, init_K, init_R, init_t = self._init
-        res = bundle_adjust(
-            self._x,
-            init_X,
-            init_K,
-            init_R,
-            init_t,
-            f0=self._f0,
-            visibility=self._vis,
-            axis=self._axis,
-            config=config,
-        )
+
+        # Auto-dispatch: the dense core materializes (P, F, 9)-class
+        # tensors; beyond ~1.5 GB of coupling block switch to the
+        # chunk-streamed core (identical protocol; no iteration log).
+        npts, nf = self._x.shape[0], init_R.shape[0]
+        coupling_bytes = npts * nf * 27 * self._x.dtype.itemsize
+        use_chunked = coupling_bytes > 1_500_000_000 and not is_debug
+        if use_chunked:
+            from .models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+            res = bundle_adjust_chunked(
+                self._x,
+                init_X,
+                init_K,
+                init_R,
+                init_t,
+                f0=self._f0,
+                visibility=self._vis,
+                axis=self._axis,
+                config=config,
+            )
+        else:
+            res = bundle_adjust(
+                self._x,
+                init_X,
+                init_K,
+                init_R,
+                init_t,
+                f0=self._f0,
+                visibility=self._vis,
+                axis=self._axis,
+                config=config,
+            )
         if is_debug and res.log is not None:
             from .runtime.logging import device_log_to_records
 
