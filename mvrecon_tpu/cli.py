@@ -44,6 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_eucl.add_argument("--n-images", type=int, default=10)
     p_eucl.add_argument("--method", choices=["primary", "dual"], default="dual")
     p_eucl.add_argument("--tol", type=float, default=1e-2)
+    p_eucl.add_argument("--eig-method", choices=["eigh", "power"], default="eigh")
 
     p_aff = sub.add_parser("affine", help="affine self-calibration + BA")
     _common(p_aff)
@@ -60,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_batch.add_argument("--n-images", type=int, default=10)
     p_batch.add_argument("--method", choices=["primary", "dual"], default="dual")
     p_batch.add_argument("--tol", type=float, default=1e-2)
+    p_batch.add_argument("--eig-method", choices=["eigh", "power"], default="eigh")
+    p_batch.add_argument("--scene-chunk", type=int, default=None)
 
     p_rec = sub.add_parser(
         "reconstruct", help="reconstruct from tracked features in an .npz file"
@@ -124,7 +127,8 @@ def main(argv=None) -> None:
             from .models.pipelines import euclidean_reconstruction
 
             res = euclidean_reconstruction(
-                scene.x, f0=args.f0, tol=args.tol, method=args.method, config=config
+                scene.x, f0=args.f0, tol=args.tol, method=args.method,
+                config=config, eig_method=args.eig_method,
             )
         else:
             from .models.pipelines import affine_reconstruction
@@ -196,7 +200,8 @@ def main(argv=None) -> None:
         ]
         x = jnp.stack([s.x for s in scenes])
         res = batched_euclidean_reconstruction(
-            x, f0=args.f0, tol=args.tol, method=args.method, config=config
+            x, f0=args.f0, tol=args.tol, method=args.method, config=config,
+            eig_method=args.eig_method, scene_chunk=args.scene_chunk,
         )
         errs = np.asarray(res.error)
         out.update(

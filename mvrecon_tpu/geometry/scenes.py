@@ -90,6 +90,21 @@ def make_synthetic_scene(
     R, t = look_at(pos, targets)
     K = intrinsics(jnp.full((n_images,), f, dtype=dtype), f0)
     X = curved_tube_points(n_slices, n_angles, dtype=dtype)
-    x_clean = project_points(X, K, R, t)
+
+    npts = X.shape[0]
+    if npts * n_images > 100_000_000:
+        # Chunk the projection over points: the homogeneous (F, P, 3)
+        # intermediate would otherwise dominate HBM at the 10^8-observation
+        # scale (e.g. 1M points x 500 views = 6 GB for one temporary).
+        chunk = max(1, 50_000_000 // n_images)
+        pad = (-npts) % chunk
+        Xp = jnp.concatenate([X, jnp.zeros((pad, 3), dtype)], axis=0) if pad else X
+        xc = jax.lax.map(
+            lambda xs: project_points(xs, K, R, t),
+            Xp.reshape(-1, chunk, 3),
+        )  # (n_chunks, F, chunk, 2)
+        x_clean = xc.transpose(1, 0, 2, 3).reshape(n_images, -1, 2)[:, :npts]
+    else:
+        x_clean = project_points(X, K, R, t)
     x = add_noise(k_noise, x_clean, noise)
     return SyntheticScene(X=X, K=K, R=R, t=t, x=x)
