@@ -393,8 +393,11 @@ def bundle_adjust_chunked(
     footprint — the path for 100k-point / 1000-view scenes."""
     dt = x.dtype
     npts, nf, _ = x.shape
+    # Full visibility needs no dense mask: a (P, 1) column of ones
+    # broadcasts through every masked reduction and costs nothing at the
+    # million-point scale (a dense (P, F) f32 mask is 2 GB at 1M x 500).
     vis = (
-        jnp.ones((npts, nf), dtype=dt)
+        jnp.ones((npts, 1), dtype=dt)
         if visibility is None
         else jnp.asarray(visibility, dtype=dt)
     )

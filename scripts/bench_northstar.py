@@ -46,7 +46,9 @@ def main():
     k1, k2 = jax.random.split(key)
     X0 = scene.X + 0.05 * jax.random.normal(k1, scene.X.shape, dtype=dtype)
     t0 = scene.t + 0.05 * jax.random.normal(k2, scene.t.shape, dtype=dtype)
-    x = scene.x.transpose(1, 0, 2)
+    x = jax.block_until_ready(scene.x.transpose(1, 0, 2))
+    K_s, R_s = scene.K, scene.R
+    del scene  # drop the (F, P, 2) original: 4 GB at 1M x 500
     print("scene ready", flush=True)
 
     config = LMConfig(scale_factor=scale, delta_tol=delta_tol, max_iter=n_iters,
@@ -55,7 +57,7 @@ def main():
 
     def run():
         res = bundle_adjust_chunked(
-            x, X0, scene.K, scene.R, t0,
+            x, X0, K_s, R_s, t0,
             f0=1.0, axis="x-up_z-forward", config=config, chunk_size=chunk,
         )
         err = float(res.error)  # host round-trip = real completion
