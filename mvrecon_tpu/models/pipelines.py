@@ -18,7 +18,6 @@ re-fuse everything under one jit+vmap where it pays off.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -25,11 +25,6 @@ from ..models.pipelines import (
 SCENES_AXIS = "scenes"
 
 
-def _device_put_sharded(tree, mesh: Mesh):
-    spec = NamedSharding(mesh, P(SCENES_AXIS))
-    return jax.tree.map(lambda a: jax.device_put(a, spec), tree)
-
-
 @partial(jax.jit, static_argnames=("model", "f0", "config", "scene_chunk"))
 def batched_affine_reconstruction(
     x: jax.Array,
