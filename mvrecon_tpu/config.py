@@ -76,6 +76,12 @@ class LMConfig:
     # (c *= max(1/3, 1-(2 rho-1)^3) on accept, c *= nu, nu *= 2 on reject)
     # - fewer wasted retries when each retry is a full Schur rebuild.
     damping: str = "reference"
+    # robust loss: None = plain least squares (reference); "huber" = IRLS
+    # with Huber weights recomputed each outer iteration (w = 1 for
+    # normalized residual <= huber_delta, delta/|r| beyond) - gross
+    # outliers stop dominating the normal equations.
+    robust: str | None = None
+    huber_delta: float = 0.05
 
     @property
     def divisor(self) -> float:

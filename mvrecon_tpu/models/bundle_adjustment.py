@@ -396,6 +396,23 @@ def _state_error(
     return _psum(reprojection_error(x, p, q, r, vis, f0), axis_name)
 
 
+def _huber_weights(
+    state: BAState, x: jax.Array, vis: jax.Array, f0: float, delta: float
+) -> jax.Array:
+    """IRLS Huber weights from the current residuals: w = min(1, delta/|r|)
+    per observation (|r| = normalized reprojection residual magnitude).
+    Multiplied into the visibility mask, gross outliers contribute
+    linearly instead of quadratically."""
+    K = build_K(state.f, state.u, f0)
+    _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
+    r = jnp.where(vis > 0, r, jnp.ones_like(r))
+    res_p = p / r - x[..., 0] / f0
+    res_q = q / r - x[..., 1] / f0
+    mag = jnp.sqrt(res_p**2 + res_q**2)
+    w = jnp.minimum(1.0, delta / jnp.maximum(mag, 1e-12))
+    return vis * w
+
+
 def lm_step(
     x: jax.Array,
     state: BAState,
@@ -458,7 +475,7 @@ def lm_optimize(
 
     nielsen = config.damping == "nielsen"
 
-    def inner(state_c, derivs, e_prev, c, nu):
+    def inner(state_c, derivs, e_prev, c, nu, vis_it):
         """Damping retry loop (reference ``:118-167``), bounded. Re-damps
         and re-solves from the same derivative tensors until the trial
         error stops exceeding the current error. In "nielsen" mode the
@@ -473,7 +490,7 @@ def lm_optimize(
             c_cur, nu_cur, _, _, tries, _ = carry
             delta_xi, delta_x = _damped_solve(derivs, c_cur, free, axis_name)
             trial = _apply_update(state_c, delta_xi, delta_x)
-            e_trial = _state_error(trial, x, vis, f0, axis_name)
+            e_trial = _state_error(trial, x, vis_it, f0, axis_name)
             accepted = e_trial <= e_prev
             if nielsen:
                 pred = _predicted_reduction(derivs, delta_xi, delta_x, c_cur, axis_name)
@@ -506,11 +523,20 @@ def lm_optimize(
         _, _, _, _, count, done, _ = carry
         return (~done) & (count < max_iter)
 
+    robust = config.robust == "huber"
+
     def body(carry):
         state_c, e_prev, c, nu, count, _, log = carry
-        derivs, _ = _compute_derivs(state_c, x, vis, free, f0, axis_name)
-        c_new, nu_new, e_new, trial = inner(state_c, derivs, e_prev, c, nu)
-        delta = jnp.abs(e_new - e_prev)
+        if robust:
+            # IRLS: reweight from the current residuals; the accept test
+            # and the stopping delta both use this iteration's weights.
+            vis_it = _huber_weights(state_c, x, vis, f0, config.huber_delta)
+        else:
+            vis_it = vis
+        derivs, e_prev_w = _compute_derivs(state_c, x, vis_it, free, f0, axis_name)
+        e_base = e_prev_w if robust else e_prev
+        c_new, nu_new, e_new, trial = inner(state_c, derivs, e_base, c, nu, vis_it)
+        delta = jnp.abs(e_new - e_base)
         done = delta <= config.delta_tol
         if record:
             log = {

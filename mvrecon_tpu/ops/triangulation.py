@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import HIGHEST
-from ..geometry.camera import camera_matrix
+
+
+def _camera_matrix(K, R, t):
+    # imported lazily: geometry.camera itself imports the ops package
+    from ..geometry.camera import camera_matrix
+
+    return camera_matrix(K, R, t)
 
 
 @partial(jax.jit, static_argnames=("f0",))
@@ -40,7 +46,7 @@ def triangulate(
     (y/f0 * P3 - P2) per camera; the point is the least-squares null
     vector, computed from the 4x4 Gram matrix's smallest eigenvector.
     """
-    pmat = camera_matrix(K, R, t)  # (F, 3, 4)
+    pmat = _camera_matrix(K, R, t)  # (F, 3, 4)
     p1, p2, p3 = pmat[:, 0], pmat[:, 1], pmat[:, 2]  # (F, 4)
 
     u = x[..., 0] / f0  # (F, P)
