@@ -48,11 +48,16 @@ from .bundle_adjustment import (
 )
 
 
-def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0):
+def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None):
     """Rank-2 Jacobian factors for one point chunk: every second-derivative
     block is 2 * vis * (a1 (x) b1 + a2 (x) b2), so downstream stages work
     from (a1, a2 (C, F, 3); b1, b2 (C, F, 9); residuals) without
-    materializing the blocks they don't need."""
+    materializing the blocks they don't need.
+
+    With ``huber_delta`` set, IRLS Huber weights (computed from this
+    chunk's residuals at the current state — identical across the build
+    and back-substitution scans of an iteration) multiply into the
+    returned effective visibility."""
     st = state_cam._replace(X=X_c)
     K = build_K(st.f, st.u, f0)
     pmat, p, q, r = calc_pqr(X_c, K, st.R, st.t)
@@ -64,12 +69,16 @@ def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0):
     res_p = p / r - x_c[..., 0] / f0
     res_q = q / r - x_c[..., 1] / f0
 
+    if huber_delta is not None:
+        mag = jnp.sqrt(res_p**2 + res_q**2)
+        vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+
     inv_r2 = 1.0 / (r * r)
     a1 = (r[..., None] * dpdX[None] - p[..., None] * drdX[None]) * inv_r2[..., None]
     a2 = (r[..., None] * dqdX[None] - q[..., None] * drdX[None]) * inv_r2[..., None]
     b1 = (r[..., None] * dpdc - p[..., None] * drdc) * inv_r2[..., None]
     b2 = (r[..., None] * dqdc - q[..., None] * drdc) * inv_r2[..., None]
-    return a1, a2, b1, b2, res_p, res_q
+    return a1, a2, b1, b2, res_p, res_q, vis_c
 
 
 def _point_grad_and_block(a1, a2, res_p, res_q, vis_c):
@@ -88,11 +97,13 @@ def _point_grad_and_block(a1, a2, res_p, res_q, vis_c):
     return d_P, matE
 
 
-def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0):
+def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=None):
     """Derivative blocks for one point chunk (C points): the chunk-local
     analog of ``_compute_derivs`` (same math, same reference citations)."""
     nf = state_cam.f.shape[0]
-    a1, a2, b1, b2, res_p, res_q = _chunk_factors(state_cam, X_c, x_c, vis_c, f0)
+    a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
+        state_cam, X_c, x_c, vis_c, f0, huber_delta
+    )
     e_chunk = jnp.sum(vis_c * (res_p**2 + res_q**2))
 
     visf = vis_c[..., None]
@@ -128,7 +139,9 @@ def _vary(v, axis_name):
     return jax.tree.map(lambda a: jax.lax.pvary(a, (axis_name,)), v)
 
 
-def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None):
+def _build_system(
+    state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None, huber_delta=None
+):
     """Scan 1: accumulate the damped reduced camera system over chunks
     (then over devices when ``axis_name`` is set — sharding composes with
     chunking for the multi-chip million-point regime).
@@ -143,7 +156,7 @@ def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None):
         schur_acc, b_acc, g_acc, df_acc, e_acc = carry
         X_c, x_c, vis_c = inp
         d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
-            state_cam, X_c, x_c, vis_c, free, f0
+            state_cam, X_c, x_c, vis_c, free, f0, huber_delta
         )
         # Cholesky-split the damped point blocks: F^T Einv F = (L^-1 F)^T
         # (L^-1 F) — a *symmetric* rank-k product, computed by the Pallas
@@ -189,7 +202,8 @@ def _build_system(state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None):
 
 
 def _backsub_and_trial(
-    state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, delta_xi, axis_name=None
+    state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, delta_xi,
+    axis_name=None, huber_delta=None,
 ):
     """Scan 2: per chunk, recompute blocks at the *current* state, back-
     substitute the point update, and accumulate the trial error under the
@@ -208,7 +222,9 @@ def _backsub_and_trial(
         #   (F dxi)[p, x] = 2 sum_f vis (a1[p,f,x] <b1[p,f], dxi_f>
         #                             + a2[p,f,x] <b2[p,f], dxi_f>)
         # so the (C, 3, 9F) coupling block is never materialized here.
-        a1, a2, b1, b2, res_p, res_q = _chunk_factors(state_cam, X_c, x_c, vis_c, f0)
+        a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
+            state_cam, X_c, x_c, vis_c, f0, huber_delta
+        )
         d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
         matEc = matE + c * matE * eye3[None]
         einv = inv3x3(matEc)
@@ -306,44 +322,49 @@ def lm_optimize_chunked(
     e0 = error_of(cam0, X_ch0)
 
     nielsen = config.damping == "nielsen"
+    huber_delta = config.huber_delta if config.robust == "huber" else None
 
     def inner(cam, X_ch_, e_prev, c, nu):
         def cond(carry):
-            _, _, _, _, _, accepted, tries = carry
+            _, _, _, _, _, _, accepted, tries = carry
             return (~accepted) & (tries < config.max_inner_retries)
 
         def body(carry):
-            c_cur, nu_cur, _, _, _, _, tries = carry
-            a, b, _, (diag_g, d_f) = _build_system(
-                cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name
+            c_cur, nu_cur, _, _, _, _, _, tries = carry
+            a, b, e_w, (diag_g, d_f) = _build_system(
+                cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name, huber_delta
             )
             delta_xi = jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(a), b
             ) * free
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             X_new_ch, e_trial, dDd_pts, gd_pts = _backsub_and_trial(
-                cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi, axis_name
+                cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi,
+                axis_name, huber_delta,
             )
-            accepted = e_trial <= e_prev
+            e_base = e_w if huber_delta is not None else e_prev
+            accepted = e_trial <= e_base
             if nielsen:
                 dDd = dDd_pts + jnp.sum(delta_xi * diag_g * delta_xi)
                 g_d = gd_pts + jnp.sum(d_f * delta_xi)
                 pred = 0.5 * (c_cur * dDd - g_d)
-                rho = (e_prev - e_trial) / jnp.maximum(pred, 1e-30)
+                rho = (e_base - e_trial) / jnp.maximum(pred, 1e-30)
                 shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
                 c_next = jnp.where(accepted, c_cur * shrink, c_cur * nu_cur)
                 nu_next = jnp.where(accepted, jnp.full_like(nu_cur, 2.0), nu_cur * 2.0)
             else:
                 c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
                 nu_next = nu_cur
-            return c_next, nu_next, e_trial, trial_cam, X_new_ch, accepted, tries + 1
+            return (c_next, nu_next, e_trial, e_base, trial_cam, X_new_ch,
+                    accepted, tries + 1)
 
         dummy_cam = jax.tree.map(jnp.zeros_like, cam)
-        c_out, nu_out, e_new, trial_cam, X_new_ch, accepted, tries = jax.lax.while_loop(
+        (c_out, nu_out, e_new, e_base_out, trial_cam, X_new_ch, accepted,
+         tries) = jax.lax.while_loop(
             cond,
             body,
-            (c, nu, jnp.asarray(jnp.inf, dt), dummy_cam, jnp.zeros_like(X_ch_),
-             jnp.asarray(False), 0),
+            (c, nu, jnp.asarray(jnp.inf, dt), e_prev, dummy_cam,
+             jnp.zeros_like(X_ch_), jnp.asarray(False), 0),
         )
         # Never-accepted (divergence/NaN): keep previous state; outer loop
         # then stops with delta = 0 (see dense core for rationale).
@@ -351,8 +372,8 @@ def lm_optimize_chunked(
             lambda a, b: jnp.where(accepted, a, b), trial_cam, cam
         )
         X_new_ch = jnp.where(accepted, X_new_ch, X_ch_)
-        e_new = jnp.where(accepted, e_new, e_prev)
-        return c_out, nu_out, e_new, trial_cam, X_new_ch, tries
+        e_new = jnp.where(accepted, e_new, e_base_out)
+        return c_out, nu_out, e_new, e_base_out, trial_cam, X_new_ch, tries
 
     def cond(carry):
         _, _, _, _, _, count, done, _ = carry
@@ -360,8 +381,10 @@ def lm_optimize_chunked(
 
     def body(carry):
         cam, X_ch_, e_prev, c, nu, count, _, retries = carry
-        c_new, nu_new, e_new, cam_new, X_ch_new, tries = inner(cam, X_ch_, e_prev, c, nu)
-        done = jnp.abs(e_new - e_prev) <= config.delta_tol
+        c_new, nu_new, e_new, e_base, cam_new, X_ch_new, tries = inner(
+            cam, X_ch_, e_prev, c, nu
+        )
+        done = jnp.abs(e_new - e_base) <= config.delta_tol
         c_out = c_new if nielsen else c_new / config.divisor
         return (cam_new, X_ch_new, e_new, c_out, nu_new, count + 1,
                 done, retries + tries)

@@ -69,3 +69,22 @@ def test_huber_matches_plain_without_outliers():
     np.testing.assert_allclose(
         np.asarray(robust.X), np.asarray(plain.X), atol=1e-6
     )
+
+
+def test_huber_chunked_matches_dense():
+    """Robust IRLS must agree between the dense and chunked cores."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+    scene, x_obs, X0, t0 = _outlier_problem()
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=12,
+                   robust="huber", huber_delta=0.02)
+
+    dense = bundle_adjust(
+        x_obs, X0, scene.K, scene.R, t0, f0=1.0, axis="x-up_z-forward", config=cfg
+    )
+    chunked = bundle_adjust_chunked(
+        x_obs, X0, scene.K, scene.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg, chunk_size=64,
+    )
+    np.testing.assert_allclose(float(chunked.error), float(dense.error), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(chunked.X), np.asarray(dense.X), atol=1e-7)
