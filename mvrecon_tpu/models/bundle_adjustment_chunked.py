@@ -136,6 +136,10 @@ def _vary(v, axis_name):
     accumulations)."""
     if axis_name is None:
         return v
+    if hasattr(jax.lax, "pcast"):
+        return jax.tree.map(
+            lambda a: jax.lax.pcast(a, (axis_name,), to="varying"), v
+        )
     return jax.tree.map(lambda a: jax.lax.pvary(a, (axis_name,)), v)
 
 
