@@ -130,3 +130,19 @@ def test_sharded_chunked_ba_matches_single_device(ba_problem):
     np.testing.assert_allclose(float(res.error), float(res_single.error), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(res.X), np.asarray(res_single.X), atol=1e-7)
     np.testing.assert_allclose(np.asarray(res.K), np.asarray(res_single.K), atol=1e-8)
+
+
+def test_batched_affine_scene_chunked(ref):
+    """lax.map scene chunking must equal plain vmap for the affine path."""
+    scenes = []
+    for seed in (123, 7, 11, 42):
+        _, _, _, _, x_list = make_ref_scene(ref, n_images=12, seed=seed)
+        scenes.append(np.stack(x_list))
+    x = jnp.asarray(np.stack(scenes))
+    f = jnp.ones((4, 12), dtype=x.dtype)
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=6)
+
+    a = batched_affine_reconstruction(x, f, config=cfg)
+    b = batched_affine_reconstruction(x, f, config=cfg, scene_chunk=2)
+    np.testing.assert_allclose(np.asarray(a.X), np.asarray(b.X), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(a.error), np.asarray(b.error), rtol=1e-10)

@@ -39,3 +39,18 @@ def test_triangulate_with_visibility():
     X = triangulate(jnp.asarray(x_garbled), scene.K, scene.R, scene.t,
                     visibility=jnp.asarray(vis))
     np.testing.assert_allclose(np.asarray(X), np.asarray(scene.X), atol=1e-6)
+
+
+def test_triangulate_vmapped_over_scenes():
+    """Triangulation vmaps over a scenes axis (batched rigs)."""
+    from mvrecon_tpu.geometry.camera import project_points
+
+    scenes = [make_synthetic_scene(jax.random.key(s), n_images=6, noise=0.0)
+              for s in (0, 1)]
+    x = jnp.stack([project_points(s.X, s.K, s.R, s.t) for s in scenes])
+    K = jnp.stack([s.K for s in scenes])
+    R = jnp.stack([s.R for s in scenes])
+    t = jnp.stack([s.t for s in scenes])
+    X = jax.vmap(lambda a, b, c, d: triangulate(a, b, c, d))(x, K, R, t)
+    gt = jnp.stack([s.X for s in scenes])
+    np.testing.assert_allclose(np.asarray(X), np.asarray(gt), atol=1e-7)
