@@ -135,3 +135,13 @@ def test_cli_reconstruct_roundtrip(tmp_path, capsys):
     result = load_observations(outp)
     assert result["X"].shape == (scene.X.shape[0], 3)
     assert np.isfinite(result["X"]).all()
+
+
+def test_cli_batch(capsys):
+    from mvrecon_tpu.cli import main
+
+    main(["batch", "--scenes", "2", "--n-images", "6", "--max-iter", "6",
+          "--float64", "--eig-method", "power", "--scene-chunk", "1"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["scenes"] == 2
+    assert all(np.isfinite(e) for e in rec["reprojection_errors"])
