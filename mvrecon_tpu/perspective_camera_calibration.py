@@ -30,19 +30,25 @@ def _as_dense(x_list):
 
 
 def perspective_self_calibration_full(
-    x_list, f0: float = 1.0, tol: float = 0.01, method: str = "primary"
+    x_list, f0: float = 1.0, tol: float = 0.01, method: str = "primary",
+    eig_method: str = "eigh",
 ) -> CalibrationResult:
-    """Full result with convergence diagnostics."""
-    return _core(_as_dense(x_list), f0=f0, tol=tol, method=method)
+    """Full result with convergence diagnostics. ``eig_method="power"``
+    selects the implicit-matvec fast path for the depth loops."""
+    return _core(_as_dense(x_list), f0=f0, tol=tol, method=method,
+                 eig_method=eig_method)
 
 
 def perspective_self_calibration(
-    x_list, f0: float = 1.0, tol: float = 0.01, method: str = "primary"
+    x_list, f0: float = 1.0, tol: float = 0.01, method: str = "primary",
+    eig_method: str = "eigh",
 ):
     """Reference ``perspective_camera_calibration.py:513-540``: returns
     (X, R, t, K). Raises ValueError post-hoc if the metric upgrade hit the
     reference's indefinite-Omega failure (``:332/:401``)."""
-    res = perspective_self_calibration_full(x_list, f0=f0, tol=tol, method=method)
+    res = perspective_self_calibration_full(
+        x_list, f0=f0, tol=tol, method=method, eig_method=eig_method
+    )
     if int(res.status) == STATUS_OMEGA_INDEFINITE:
         raise ValueError("dual absolute quadric has indefinite spectrum")
     return res.X, res.R, res.t, res.K
