@@ -15,6 +15,7 @@ precision, dtype) are flags; results print as one JSON object.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import time
 
@@ -33,6 +34,8 @@ def _common(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--viz", action="store_true", help="show plots")
     parser.add_argument("--log-json", type=str, default=None,
                         help="append convergence records to this JSONL file")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a device trace to DIR (TensorBoard/Perfetto)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -44,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_eucl.add_argument("--n-images", type=int, default=10)
     p_eucl.add_argument("--method", choices=["primary", "dual"], default="dual")
     p_eucl.add_argument("--tol", type=float, default=1e-2)
-    p_eucl.add_argument("--eig-method", choices=["eigh", "power"], default="eigh")
+    p_eucl.add_argument("--eig-method", choices=["eigh", "lowrank", "power"], default="eigh")
 
     p_aff = sub.add_parser("affine", help="affine self-calibration + BA")
     _common(p_aff)
@@ -61,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_batch.add_argument("--n-images", type=int, default=10)
     p_batch.add_argument("--method", choices=["primary", "dual"], default="dual")
     p_batch.add_argument("--tol", type=float, default=1e-2)
-    p_batch.add_argument("--eig-method", choices=["eigh", "power"], default="eigh")
+    p_batch.add_argument("--eig-method", choices=["eigh", "lowrank", "power"], default="eigh")
     p_batch.add_argument("--scene-chunk", type=int, default=None)
 
     p_rec = sub.add_parser(
@@ -118,6 +121,13 @@ def main(argv=None) -> None:
     out: dict = {"command": args.command}
     t_start = time.perf_counter()
 
+    stack = contextlib.ExitStack()
+    if args.profile:
+        from .runtime.profiling import capture_trace
+
+        stack.enter_context(capture_trace(args.profile))
+        out["profile_dir"] = args.profile
+
     if args.command in ("euclidean", "affine"):
         scene = make_synthetic_scene(
             jax.random.key(args.seed), n_images=args.n_images, f=args.f,
@@ -159,12 +169,16 @@ def main(argv=None) -> None:
         data = load_observations(args.input)
         x = jnp.asarray(data["x"], dtype=dtype)
         nf = x.shape[0]
+        visibility = None
+        if "visibility" in data:
+            visibility = jnp.asarray(data["visibility"], dtype=dtype)
+            out["n_visible"] = int(np.asarray(data["visibility"]).sum())
         if args.pipeline == "euclidean":
             from .models.pipelines import euclidean_reconstruction
 
             res = euclidean_reconstruction(
                 x, f0=float(data.get("f0", args.f0)), tol=args.tol,
-                method=args.method, config=config,
+                method=args.method, config=config, visibility=visibility,
             )
         else:
             from .models.pipelines import affine_reconstruction
@@ -173,7 +187,8 @@ def main(argv=None) -> None:
                 data.get("f", np.full((nf,), args.f)), dtype=dtype
             )
             res = affine_reconstruction(x, f_arr, model=args.model,
-                                        f0=args.f0, config=config)
+                                        f0=args.f0, config=config,
+                                        visibility=visibility)
         out.update(
             status=int(res.status),
             ba_iterations=int(res.n_iter),
@@ -247,6 +262,7 @@ def main(argv=None) -> None:
             reprojection_error=err,
         )
 
+    stack.close()
     out["total_wall_s"] = round(time.perf_counter() - t_start, 2)
     line = json.dumps(out)
     if args.log_json:

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LMConfig
+from ..runtime.profiling import trace_span
 from .affine import affine_self_calibration
 from .bundle_adjustment import BAResult, bundle_adjust
 from .perspective import perspective_self_calibration
@@ -46,27 +47,35 @@ def affine_reconstruction(
     model: str = "paraperspective",
     f0: float = 1.0,
     config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+    visibility: jax.Array | None = None,
 ) -> ReconstructionResult:
     """Affine pipeline (reference ``affine_reconstruction.py:43-58``):
     self-calibration -> heuristic camera init (t = -3 R[:, :, 2], K = I)
     -> bundle adjustment in the x-up_z-forward gauge.
 
-    x: (F, P, 2) observations; f: (F,) focal lengths (paraperspective).
+    x: (F, P, 2) observations; f: (F,) focal lengths (paraperspective);
+    visibility: optional (P, F) mask, honored by BA only — the calibration
+    stage keeps the reference's full-visibility contract
+    (``affine_camera_calibration.py:232-234``), so masked entries of ``x``
+    must still hold finite placeholder coordinates.
     """
-    S, R = affine_self_calibration(x, model=model, f=f)
+    with trace_span("affine_self_calibration"):
+        S, R = affine_self_calibration(x, model=model, f=f)
     t = -3.0 * R[:, :, 2]
     K = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), R.shape)
 
-    ba = bundle_adjust(
-        x.transpose(1, 0, 2),
-        S,
-        K,
-        R,
-        t,
-        f0=f0,
-        axis="x-up_z-forward",
-        config=config,
-    )
+    with trace_span("bundle_adjustment"):
+        ba = bundle_adjust(
+            x.transpose(1, 0, 2),
+            S,
+            K,
+            R,
+            t,
+            f0=f0,
+            visibility=visibility,
+            axis="x-up_z-forward",
+            config=config,
+        )
     return ReconstructionResult(
         X=ba.X,
         K=ba.K,
@@ -86,24 +95,32 @@ def euclidean_reconstruction(
     method: str = "dual",
     config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
     eig_method: str = "eigh",
+    visibility: jax.Array | None = None,
 ) -> ReconstructionResult:
     """Perspective pipeline (reference ``euclidiean_reconstruction.py:
     42-56``): perspective self-calibration (projective depths + metric
-    upgrade) -> bundle adjustment in the x-up_z-forward gauge."""
-    calib = perspective_self_calibration(
-        x, f0=f0, tol=tol, method=method, eig_method=eig_method
-    )
+    upgrade) -> bundle adjustment in the x-up_z-forward gauge.
 
-    ba = bundle_adjust(
-        x.transpose(1, 0, 2),
-        calib.X,
-        calib.K,
-        calib.R,
-        calib.t,
-        f0=f0,
-        axis="x-up_z-forward",
-        config=config,
-    )
+    visibility: optional (P, F) mask, honored by BA only — calibration
+    keeps the reference's full-visibility contract (masked ``x`` entries
+    need finite placeholders)."""
+    with trace_span("perspective_self_calibration"):
+        calib = perspective_self_calibration(
+            x, f0=f0, tol=tol, method=method, eig_method=eig_method
+        )
+
+    with trace_span("bundle_adjustment"):
+        ba = bundle_adjust(
+            x.transpose(1, 0, 2),
+            calib.X,
+            calib.K,
+            calib.R,
+            calib.t,
+            f0=f0,
+            visibility=visibility,
+            axis="x-up_z-forward",
+            config=config,
+        )
     return ReconstructionResult(
         X=ba.X,
         K=ba.K,

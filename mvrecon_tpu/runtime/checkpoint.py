@@ -3,8 +3,8 @@
 The reference has no persistence (SURVEY.md §5; its only state artifact is
 the in-memory BA iteration log). For batched large-scene runs the LM state
 (X, f, u, t, R, damping, error, iteration) is a PyTree; this module
-serializes any PyTree of arrays to a single .npz with structure metadata,
-via orbax when available, with a dependency-free NumPy fallback.
+serializes any PyTree of arrays to a single .npz with structure metadata
+(dependency-free NumPy format; restore validates the saved tree structure).
 """
 
 from __future__ import annotations
@@ -43,6 +43,11 @@ def load_checkpoint(path: str, like: Any) -> tuple[Any, int | None]:
     if meta["n_leaves"] != len(flat_like):
         raise ValueError(
             f"checkpoint has {meta['n_leaves']} leaves, expected {len(flat_like)}"
+        )
+    if meta["treedef"] != str(treedef):
+        raise ValueError(
+            "checkpoint tree structure does not match `like`:\n"
+            f"  saved:    {meta['treedef']}\n  expected: {treedef}"
         )
     leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
     return jax.tree_util.tree_unflatten(treedef, leaves), meta.get("step")

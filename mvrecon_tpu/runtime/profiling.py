@@ -42,7 +42,7 @@ class StageTimer:
         self.times: dict[str, float] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, result=None) -> Iterator[None]:
+    def stage(self, name: str) -> Iterator[None]:
         start = time.perf_counter()
         yield
         self.times[name] = time.perf_counter() - start

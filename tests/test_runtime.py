@@ -83,3 +83,13 @@ def test_device_log_records(ref, quiet):
     assert (np.diff(curve) <= 1e-12).all()
     text = format_convergence(log, n)
     assert "Iteration 1" in text
+
+def test_checkpoint_treedef_mismatch_rejected(tmp_path):
+    """Same leaf count but different tree structure must be refused."""
+    import pytest
+
+    path = os.path.join(tmp_path, "t.npz")
+    save_checkpoint(path, {"a": jnp.ones(3), "b": jnp.zeros(2)})
+    like_same_count = (jnp.ones(3), jnp.zeros(2))  # tuple, not dict
+    with pytest.raises(ValueError, match="tree structure"):
+        load_checkpoint(path, like_same_count)
