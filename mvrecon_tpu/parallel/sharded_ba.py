@@ -55,11 +55,15 @@ def sharded_bundle_adjust_chunked(
     axis: str = "x-right_z-forward",
     config: LMConfig = LMConfig(),
     chunk_size: int = 4096,
+    init_c: jax.Array | None = None,
+    init_nu: jax.Array | None = None,
 ) -> BAResult:
     """Sharding composed with chunk-streaming: points are split over the
     mesh's ``points`` axis AND each device scans its shard in chunks —
     the million-point / multi-chip regime. Per LM retry the only
-    cross-device traffic is the psum of the (9F, 9F) camera system."""
+    cross-device traffic is the psum of the (9F, 9F) camera system.
+    ``init_c``/``init_nu`` resume a segmented run (final values are in
+    the returned ``log``)."""
     from ..models.bundle_adjustment_chunked import lm_optimize_chunked
 
     dt = x.dtype
@@ -75,12 +79,17 @@ def sharded_bundle_adjust_chunked(
     X0, R0, t0, info = normalize_gauge(X_p, init_R, init_t, axis)
     free = gauge_mask(nf, axis, dt)
 
-    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r):
+    c0 = jnp.asarray(config.init_damping if init_c is None else init_c, dt)
+    nu0 = jnp.asarray(2.0 if init_nu is None else init_nu, dt)
+
+    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r, c_r, nu_r):
         st0 = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)
-        final, e, n_iter, n_retries = lm_optimize_chunked(
-            x_l, st0, vis_l, free_r, f0, config, chunk_size, axis_name=POINTS_AXIS
+        final, e, c_f, nu_f, n_iter, n_retries = lm_optimize_chunked(
+            x_l, st0, vis_l, free_r, f0, config, chunk_size,
+            axis_name=POINTS_AXIS, init_c=c_r, init_nu=nu_r,
         )
-        return final.X, final.f, final.u, final.t, final.R, e, n_iter, n_retries
+        return (final.X, final.f, final.u, final.t, final.R, e, c_f, nu_f,
+                n_iter, n_retries)
 
     pt = P(POINTS_AXIS)
     rep = P()
@@ -88,12 +97,12 @@ def sharded_bundle_adjust_chunked(
         jax.shard_map(
             run,
             mesh=mesh,
-            in_specs=(pt, pt, rep, rep, rep, rep, pt, rep),
-            out_specs=(pt, rep, rep, rep, rep, rep, rep, rep),
+            in_specs=(pt, pt, rep, rep, rep, rep, pt, rep, rep, rep),
+            out_specs=(pt,) + (rep,) * 9,
         )
     )
-    Xf, ff, uf, tf, Rf, e, n_iter, n_retries = sharded(
-        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free
+    Xf, ff, uf, tf, Rf, e, c_f, nu_f, n_iter, n_retries = sharded(
+        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free, c0, nu0
     )
 
     Xg, Rg, tg = restore_gauge(info, Xf, Rf, tf)
@@ -104,7 +113,7 @@ def sharded_bundle_adjust_chunked(
         t=tg,
         error=e,
         n_iter=n_iter,
-        log={"n_solver_retries": n_retries},
+        log={"n_solver_retries": n_retries, "c": c_f, "nu": nu_f},
     )
 
 

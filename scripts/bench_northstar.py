@@ -5,7 +5,13 @@ all (its Schur reduction would need a (P, 9F, 9F) float64 intermediate —
 bench.py's reference-comparable headline.
 
 Usage: [MVRECON_PRECISION=default] python scripts/bench_northstar.py \
-            [n_points] [n_views] [n_iters] [chunk]
+            [n_points] [n_views] [n_iters] [chunk] [accept_div] [delta_tol]
+            [init_c] [scale] [damping] [checkpoint_every]
+
+With ``checkpoint_every`` > 0 the run is segmented: every N LM iterations
+the (X, K, R, t, c, nu) state is checkpointed host-side
+(``runtime.checkpoint``) and the next segment resumes from it — the
+long-run resilience story for the 100k+-point regime.
 """
 
 import sys
@@ -24,6 +30,7 @@ enable_compilation_cache()
 from mvrecon_tpu.config import LMConfig
 from mvrecon_tpu.geometry.scenes import make_synthetic_scene
 from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+from mvrecon_tpu.runtime.checkpoint import save_checkpoint
 
 
 def main():
@@ -36,6 +43,7 @@ def main():
     init_c = float(sys.argv[7]) if len(sys.argv) > 7 else 1e-4
     scale = float(sys.argv[8]) if len(sys.argv) > 8 else 2.0
     damping = sys.argv[9] if len(sys.argv) > 9 else "reference"
+    ckpt_every = int(sys.argv[10]) if len(sys.argv) > 10 else 0
 
     dtype = jnp.float32
     key = jax.random.key(0)
@@ -56,12 +64,37 @@ def main():
                       damping=damping)
 
     def run():
-        res = bundle_adjust_chunked(
-            x, X0, K_s, R_s, t0,
-            f0=1.0, axis="x-up_z-forward", config=config, chunk_size=chunk,
-        )
-        err = float(res.error)  # host round-trip = real completion
-        return res, err
+        if not ckpt_every:
+            res = bundle_adjust_chunked(
+                x, X0, K_s, R_s, t0,
+                f0=1.0, axis="x-up_z-forward", config=config, chunk_size=chunk,
+            )
+            err = float(res.error)  # host round-trip = real completion
+            return res, err
+        # segmented run with periodic host-side checkpoints
+        seg_cfg = LMConfig(scale_factor=scale, delta_tol=delta_tol,
+                           max_iter=ckpt_every, accept_divisor=accept_div,
+                           init_damping=init_c, damping=damping)
+        Xc, Kc, Rc, tc = X0, K_s, R_s, t0
+        c_cur = nu_cur = None
+        done = 0
+        while done < n_iters:
+            res = bundle_adjust_chunked(
+                x, Xc, Kc, Rc, tc, f0=1.0, axis="x-up_z-forward",
+                config=seg_cfg, chunk_size=chunk,
+                init_c=c_cur, init_nu=nu_cur,
+            )
+            done += int(res.n_iter)
+            Xc, Kc, Rc, tc = res.X, res.K, res.R, res.t
+            c_cur, nu_cur = res.log["c"], res.log["nu"]
+            save_checkpoint(
+                "/tmp/northstar_ckpt.npz",
+                {"X": Xc, "K": Kc, "R": Rc, "t": tc, "c": c_cur, "nu": nu_cur},
+                step=done,
+            )
+            print(f"  checkpoint at iter {done}: E={float(res.error):.6e}",
+                  flush=True)
+        return res, float(res.error)
 
     t_start = time.perf_counter()
     res, err = run()

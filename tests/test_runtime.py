@@ -93,3 +93,52 @@ def test_checkpoint_treedef_mismatch_rejected(tmp_path):
     like_same_count = (jnp.ones(3), jnp.zeros(2))  # tuple, not dict
     with pytest.raises(ValueError, match="tree structure"):
         load_checkpoint(path, like_same_count)
+
+
+def test_segmented_chunked_lm_resume_matches_continuous(ref, quiet):
+    """Chunked-core mirror of the dense resume test: 3+3 iterations with
+    carried (state, c, nu) must equal one 6-iteration run (VERDICT r1
+    missing #5)."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import lm_optimize_chunked
+
+    x, state, vis, free = _ba_inputs(ref, quiet)
+    for damping in ("fixed", "nielsen"):
+        cfg6 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=6, damping=damping)
+        cfg3 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=3, damping=damping)
+
+        s6, e6, c6, nu6, n6, _ = lm_optimize_chunked(x, state, vis, free, 1.0, cfg6, 64)
+        s3, e3, c3, nu3, n3, _ = lm_optimize_chunked(x, state, vis, free, 1.0, cfg3, 64)
+        s33, e33, c33, nu33, n33, _ = lm_optimize_chunked(
+            x, s3, vis, free, 1.0, cfg3, 64, init_c=c3, init_nu=nu3
+        )
+        np.testing.assert_allclose(float(e33), float(e6), rtol=1e-10)
+        np.testing.assert_allclose(float(c33), float(c6), rtol=1e-10)
+        for a, b in zip(s6, s33):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_segmented_sharded_chunked_resume(ref, quiet):
+    """Sharded+chunked wrapper resumes through the log's (c, nu)."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust_chunked
+
+    x, state, vis, free = _ba_inputs(ref, quiet)
+    # rebuild the unnormalized camera inputs the wrapper expects
+    from mvrecon_tpu.models.bundle_adjustment import build_K
+
+    K = build_K(state.f, state.u, 1.0)
+    mesh = make_mesh({"points": 4})
+    cfg6 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=6)
+    cfg3 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=3)
+
+    r6 = sharded_bundle_adjust_chunked(
+        mesh, x, state.X, K, state.R, state.t, axis="x-up_z-forward",
+        config=cfg6, chunk_size=32)
+    r3 = sharded_bundle_adjust_chunked(
+        mesh, x, state.X, K, state.R, state.t, axis="x-up_z-forward",
+        config=cfg3, chunk_size=32)
+    r33 = sharded_bundle_adjust_chunked(
+        mesh, x, r3.X, r3.K, r3.R, r3.t, axis="x-up_z-forward",
+        config=cfg3, chunk_size=32, init_c=r3.log["c"], init_nu=r3.log["nu"])
+    np.testing.assert_allclose(float(r33.error), float(r6.error), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(r33.X), np.asarray(r6.X), atol=1e-8)
