@@ -38,6 +38,12 @@ _PRECISION_MODES = {
 }
 HIGHEST = _PRECISION_MODES[os.environ.get("MVRECON_PRECISION", "highest").lower()]
 
+# Full-precision constant for O(F)/O(P)-sized state transforms (gauge
+# normalization, rotation composition): these are too small to matter for
+# throughput but a bf16 pass there corrupts LM trial states (rejected-step
+# storms), so they stay at HIGHEST even under MVRECON_PRECISION=default.
+STATE_HIGHEST = jax.lax.Precision.HIGHEST
+
 
 def default_dtype() -> jnp.dtype:
     """float64 when x64 is enabled (parity/CPU), else float32 (TPU)."""

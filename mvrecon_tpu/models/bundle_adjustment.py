@@ -48,7 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import HIGHEST, LMConfig
+from ..config import HIGHEST, STATE_HIGHEST, LMConfig
 from ..ops.linalg import inv3x3
 from ..ops.rotations import rodrigues
 
@@ -106,15 +106,15 @@ def normalize_gauge(
     # All gauge transforms pin HIGHEST: on TPU a default-precision (bf16-
     # pass) rotation of X perturbs points by ~1e-2 relative, visibly
     # bumping the reprojection error across a checkpoint/restore boundary.
-    c0c1_len = jnp.abs(jnp.vdot(R[0, :, ax], t[1] - t[0], precision=HIGHEST))
+    c0c1_len = jnp.abs(jnp.vdot(R[0, :, ax], t[1] - t[0], precision=STATE_HIGHEST))
 
     X_ = X - t[0]
     t_ = t - t[0]
     j = jnp.zeros(3, dtype=X.dtype).at[ax].set(jnp.sign(t_[1, ax]))
-    s = jnp.einsum("i,ji,j->", j, R[0], t_[1], precision=HIGHEST)
-    X_ = jnp.matmul(X_, R[0], precision=HIGHEST) / s
-    R_ = jnp.einsum("ji,fjk->fik", R[0], R, precision=HIGHEST)
-    t_ = jnp.matmul(t_, R[0], precision=HIGHEST) / s
+    s = jnp.einsum("i,ji,j->", j, R[0], t_[1], precision=STATE_HIGHEST)
+    X_ = jnp.matmul(X_, R[0], precision=STATE_HIGHEST) / s
+    R_ = jnp.einsum("ji,fjk->fik", R[0], R, precision=STATE_HIGHEST)
+    t_ = jnp.matmul(t_, R[0], precision=STATE_HIGHEST) / s
     return X_, R_, t_, {"R0": R[0], "t0": t[0], "scale": c0c1_len}
 
 
@@ -124,9 +124,9 @@ def restore_gauge(
     """Invert ``normalize_gauge`` using the saved camera-0 frame and the
     original baseline length (reference ``:242-258``)."""
     r0, t0, scale = info["R0"], info["t0"], info["scale"]
-    X_ = jnp.matmul(scale * X, r0.T, precision=HIGHEST) + t0
-    t_ = jnp.matmul(scale * t, r0.T, precision=HIGHEST) + t0
-    R_ = jnp.einsum("ij,fjk->fik", r0, R, precision=HIGHEST)
+    X_ = jnp.matmul(scale * X, r0.T, precision=STATE_HIGHEST) + t0
+    t_ = jnp.matmul(scale * t, r0.T, precision=STATE_HIGHEST) + t0
+    R_ = jnp.einsum("ij,fjk->fik", r0, R, precision=STATE_HIGHEST)
     return X_, R_, t_
 
 
@@ -387,7 +387,7 @@ def _apply_update(state: BAState, delta_xi: jax.Array, delta_x: jax.Array) -> BA
         f=state.f + d[:, 0],
         u=state.u + d[:, 1:3],
         t=state.t + d[:, 3:6],
-        R=jnp.matmul(delta_r, state.R, precision=HIGHEST),
+        R=jnp.matmul(delta_r, state.R, precision=STATE_HIGHEST),
     )
 
 

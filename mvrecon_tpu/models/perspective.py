@@ -384,15 +384,20 @@ def euclidean_upgrading(
     return h, k, ok
 
 
-def metric_reconstruction(
-    p: jax.Array, s: jax.Array, k: jax.Array, h: jax.Array
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Euclidean X, R, t from projective (P, S) and the upgrade (K, H)
-    (reference ``_reconstruct_3d``, ``:414-450``), including the cheirality
-    sign fix by camera 0 (``:442-448``)."""
+def metric_points(s: jax.Array, h: jax.Array) -> jax.Array:
+    """Euclidean points from the projective shape S (4, P) and homography H
+    (reference ``_reconstruct_3d`` point side, ``:414-431``). Per-point and
+    therefore shardable over P."""
     x = (jnp.linalg.inv(h) @ s).T  # (P, 4)
-    x = x[:, :3] / x[:, 3:]
+    return x[:, :3] / x[:, 3:]
 
+
+def metric_cameras(
+    p: jax.Array, k: jax.Array, h: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Euclidean (R, t) from projective cameras P and the upgrade (K, H)
+    (reference ``_reconstruct_3d`` camera side, ``:432-441``). Purely
+    camera-sized work (replicated under point sharding)."""
     p_metric = p @ h  # (F, 3, 4)
     ab = jnp.linalg.inv(k) @ p_metric
     scale = jnp.cbrt(jnp.linalg.det(ab[:, :, :3]))
@@ -402,9 +407,25 @@ def metric_reconstruction(
     u, _, vt = jnp.linalg.svd(a)
     r = jnp.swapaxes(u @ vt, -1, -2)  # (F, 3, 3)
     t = -jnp.einsum("fij,fj->fi", r, b)
+    return r, t
 
+
+def cheirality_score(x: jax.Array, r: jax.Array, t: jax.Array) -> jax.Array:
+    """Sum of depth signs in camera 0 (reference ``:442-448``); flip the
+    scene when <= 0. Additive over points, so shards psum it."""
     x0 = jnp.einsum("pi,ij->pj", x - t[0], r[0])  # points in camera-0 frame
-    flip = jnp.sum(jnp.sign(x0[:, -1])) <= 0
+    return jnp.sum(jnp.sign(x0[:, -1]))
+
+
+def metric_reconstruction(
+    p: jax.Array, s: jax.Array, k: jax.Array, h: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Euclidean X, R, t from projective (P, S) and the upgrade (K, H)
+    (reference ``_reconstruct_3d``, ``:414-450``), including the cheirality
+    sign fix by camera 0 (``:442-448``)."""
+    x = metric_points(s, h)
+    r, t = metric_cameras(p, k, h)
+    flip = cheirality_score(x, r, t) <= 0
     x = jnp.where(flip, -x, x)
     t = jnp.where(flip, -t, t)
     return x, r, t
