@@ -146,14 +146,17 @@ def calc_pqr(
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Camera matrices P (F, 3, 4) and homogeneous image coordinates
     (p, q, r) each (P, F) (reference ``_calc_pqr``, ``:291-307``)."""
+    # STATE_HIGHEST (not the env-controlled HIGHEST): the K=4 contraction
+    # is negligible FLOPs, and accurate (p, q, r) are what LM acceptance
+    # decisions are made from — bf16 here swamps noise-floor residuals.
     rt = jnp.swapaxes(R, -1, -2)
-    trans = -jnp.einsum("fij,fj->fi", rt, t)
+    trans = -jnp.einsum("fij,fj->fi", rt, t, precision=STATE_HIGHEST)
     pmat = jnp.einsum(
         "fij,fjk->fik", K, jnp.concatenate([rt, trans[..., None]], axis=-1),
-        precision=HIGHEST,
+        precision=STATE_HIGHEST,
     )
     xh = jnp.concatenate([X, jnp.ones((X.shape[0], 1), dtype=X.dtype)], axis=-1)
-    pqr = jnp.einsum("fca,pa->pfc", pmat, xh, precision=HIGHEST)  # (P, F, 3)
+    pqr = jnp.einsum("fca,pa->pfc", pmat, xh, precision=STATE_HIGHEST)  # (P, F, 3)
     return pmat, pqr[..., 0], pqr[..., 1], pqr[..., 2]
 
 
@@ -447,6 +450,7 @@ def lm_optimize(
     config: LMConfig,
     axis_name: str | None = None,
     init_c: jax.Array | None = None,
+    solver=None,
 ) -> tuple[BAState, jax.Array, jax.Array, jax.Array, dict | None]:
     """Levenberg–Marquardt outer loop (reference ``optimize``, ``:77-195``).
 
@@ -458,8 +462,13 @@ def lm_optimize(
     ``init_c`` overrides the starting damping (checkpoint/resume support:
     pass the damping returned by a previous segment to continue exactly).
 
+    ``solver`` overrides the damped-system solver (signature and return of
+    ``_damped_solve``) — the hook the cameras-axis-sharded CG solve plugs
+    into (``parallel/sharded_ba_2d.py``).
+
     Returns (final state, final error, final damping, n_iters, log).
     """
+    solve = _damped_solve if solver is None else solver
     record = config.record_log
     max_iter = config.max_iter
 
@@ -491,7 +500,7 @@ def lm_optimize(
 
         def body(carry):
             c_cur, nu_cur, _, _, tries, _ = carry
-            delta_xi, delta_x = _damped_solve(derivs, c_cur, free, axis_name)
+            delta_xi, delta_x = solve(derivs, c_cur, free, axis_name)
             trial = _apply_update(state_c, delta_xi, delta_x)
             e_trial = _state_error(trial, x, vis_it, f0, axis_name)
             accepted = e_trial <= e_prev

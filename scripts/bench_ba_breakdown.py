@@ -78,7 +78,7 @@ def main():
             cam, X_ch, x_ch, vis_ch, free, 1.0, c
         )
     )
-    a, b, e = timed("build_system scan", build, cam, X_ch, x_ch, vis_ch, c)
+    a, b, e, _ = timed("build_system scan", build, cam, X_ch, x_ch, vis_ch, c)
     print(f"  E={float(np.asarray(e)):.4e}")
 
     a_j, b_j = jnp.asarray(a), jnp.asarray(b)

@@ -22,3 +22,16 @@ def test_syrk_interpret_unaligned_shapes():
     got = np.asarray(syrk(jnp.asarray(y), tile_n=128, tile_k=64, interpret=True))
     expected = y.T @ y
     np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-4)
+
+
+def test_syrk_interpret_bf16_inputs():
+    """bf16 inputs accumulate in f32 (the DEFAULT-precision TPU path)."""
+    rng = np.random.default_rng(2)
+    y = rng.normal(size=(256, 384)).astype(np.float32)
+    got = np.asarray(
+        syrk(jnp.asarray(y).astype(jnp.bfloat16), tile_n=128, tile_k=128, interpret=True)
+    )
+    expected = y.T @ y
+    # bf16 mantissa: ~1e-2 relative
+    np.testing.assert_allclose(got, expected, rtol=5e-2, atol=5e-1)
+    np.testing.assert_array_equal(got, got.T)
