@@ -1,20 +1,24 @@
-"""Benchmark: mid-scale bundle adjustment on one TPU chip.
+"""Headline benchmarks on one TPU chip — prints exactly one JSON line.
 
-Workload: P=10,000 points x F=100 views, full visibility, 10 LM iterations
-(forced via delta_tol=0), float32 on TPU.
+Workloads (all float32, full visibility):
 
-Baseline: the reference implementation (takah29/3d-reconstruction-from-
-multi-view-exp, pure NumPy float64, single CPU process) on the *identical*
-workload — measured with scripts/measure_reference_baseline.py on this
-machine and recorded below (see BASELINE.md). The reference has no
-published numbers (README has only qualitative images), so the baseline is
-our own measurement of its wall-clock, per BASELINE.md's instruction.
+1. **headline** (the line's metric/value/vs_baseline): dense BA,
+   P=10,000 x F=100 views, 10 LM iterations (delta_tol=0). Baseline: the
+   reference implementation (takah29/3d-reconstruction-from-multi-view-exp,
+   pure NumPy float64, single CPU process) on the *identical* workload —
+   measured with scripts/measure_reference_baseline.py on this machine
+   (the reference publishes no numbers; see BASELINE.md).
+2. **northstar** (extra field): chunk-streamed BA, P=100,000 x F=1,000,
+   10 LM iterations — the BASELINE.json "<5 s on 1x v5p" target — with an
+   MFU figure (useful Schur FLOPs / wall / bf16 peak).
+3. **batched** (extra field): 64 scenes x 100 views full pipeline
+   (perspective self-calibration + 15 BA iters), scene-chunked.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": <tpu seconds>, "unit": "s", "vs_baseline": <speedup>}
+MVRECON_BENCH_FAST=1 skips workloads 2-3 (headline only).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -43,15 +47,23 @@ N_POINTS = 10_000
 N_VIEWS = 100
 N_ITERS = 10
 
+# bf16 peak of the attached chip (TPU v5e: 197 TF/s). The BASELINE.json
+# target hardware is 1x v5p (459 TF/s bf16); MFU is reported against the
+# chip the bench actually ran on.
+PEAK_FLOPS = 197e12
 
-def build_problem(dtype=jnp.float32):
+
+def _fetch(*arrays):
+    """Force real completion with tiny host round-trips (tunneled backends
+    can return from block_until_ready before execution finishes)."""
+    for a in arrays:
+        np.asarray(jnp.ravel(a)[:4])
+
+
+def build_problem(n_points, n_views, dtype=jnp.float32):
     key = jax.random.key(0)
     scene = make_synthetic_scene(
-        key,
-        n_images=N_VIEWS,
-        n_slices=N_POINTS // 20,
-        n_angles=20,
-        dtype=dtype,
+        key, n_images=n_views, n_slices=n_points // 20, n_angles=20, dtype=dtype
     )
     k1, k2 = jax.random.split(key)
     X0 = scene.X + 0.05 * jax.random.normal(k1, scene.X.shape, dtype=dtype)
@@ -60,42 +72,114 @@ def build_problem(dtype=jnp.float32):
     return x, X0, scene.K, scene.R, t0
 
 
-def main():
+def bench_headline():
     config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=N_ITERS)
-    x, X0, K, R, t0 = build_problem()
+    x, X0, K, R, t0 = build_problem(N_POINTS, N_VIEWS)
 
     def run():
         res = bundle_adjust(
             x, X0, K, R, t0, f0=1.0, axis="x-up_z-forward", config=config
         )
-        # Force full materialization on the host: on tunneled backends
-        # block_until_ready can return before execution, so timing must
-        # round-trip actual result bytes.
         err = float(res.error)
-        _ = np.asarray(res.X[:8])
+        _fetch(res.X)
         return res, err
 
-    (res, err) = run()  # compile + warm-up
+    run()  # compile + warm-up
     times = []
     for _ in range(3):
         start = time.perf_counter()
-        res, err = run()
+        _, err = run()
+        times.append(time.perf_counter() - start)
+    assert np.isfinite(err), "BA diverged"
+    return min(times)
+
+
+def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=4096):
+    from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+    config = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=n_iters,
+        accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+    )
+    x, X0, K, R, t0 = build_problem(n_points, n_views)
+
+    def run():
+        res = bundle_adjust_chunked(
+            x, X0, K, R, t0, f0=1.0, axis="x-up_z-forward",
+            config=config, chunk_size=chunk,
+        )
+        err = float(res.error)
+        retries = int(res.log["n_solver_retries"])
+        _fetch(res.X)
+        return err, retries
+
+    run()
+    times, err, retries = [], None, None
+    for _ in range(2):
+        start = time.perf_counter()
+        err, retries = run()
         times.append(time.perf_counter() - start)
     wall = min(times)
-    assert np.isfinite(err), "BA diverged"
+    assert np.isfinite(err), "north-star BA diverged"
+    # Useful FLOPs, lower bound: the symmetric Schur accumulation is
+    # 3P (9F)^2 MACs per solver retry exploiting symmetry, i.e.
+    # 3P (9F)^2 FLOPs counting mul+add and halving for symmetry; backsub,
+    # generation, and the (9F)^3/3 solve are lower-order and excluded.
+    flops = retries * 3 * n_points * (9 * n_views) ** 2
+    mfu = flops / wall / PEAK_FLOPS
+    return {
+        "points": n_points, "views": n_views, "iters": n_iters,
+        "wall_s": round(wall, 3), "retries": retries,
+        "reprojection_error": err,
+        "mfu_pct": round(100 * mfu, 1),
+        "peak_flops": PEAK_FLOPS,
+    }
 
-    baseline = REFERENCE_CPU_WALL_S
-    vs_baseline = (baseline / wall) if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": f"ba_{N_POINTS}pts_{N_VIEWS}views_{N_ITERS}iter_wall",
-                "value": round(wall, 4),
-                "unit": "s",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-            }
-        )
+
+def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=32):
+    from mvrecon_tpu.parallel.batched import batched_euclidean_reconstruction
+
+    dtype = jnp.float32
+    keys = jax.random.split(jax.random.key(0), n_scenes)
+    x = jnp.stack(
+        [make_synthetic_scene(k, n_images=n_views, dtype=dtype).x for k in keys]
     )
+    config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=ba_iters)
+
+    def run():
+        res = batched_euclidean_reconstruction(
+            x, f0=1.0, tol=1e-2, method="dual", config=config,
+            eig_method="lowrank", scene_chunk=scene_chunk,
+        )
+        errs = np.asarray(res.error)
+        status = np.asarray(res.status)
+        return errs, status
+
+    run()
+    start = time.perf_counter()
+    errs, status = run()
+    wall = time.perf_counter() - start
+    return {
+        "scenes": n_scenes, "views": n_views, "ba_iters": ba_iters,
+        "wall_s": round(wall, 3),
+        "scenes_per_s": round(n_scenes / wall, 2),
+        "calib_ok": int((status == 0).sum()),
+        "finite": int(np.isfinite(errs).sum()),
+    }
+
+
+def main():
+    wall = bench_headline()
+    out = {
+        "metric": f"ba_{N_POINTS}pts_{N_VIEWS}views_{N_ITERS}iter_wall",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_CPU_WALL_S / wall, 2),
+    }
+    if os.environ.get("MVRECON_BENCH_FAST") != "1":
+        out["northstar"] = bench_northstar()
+        out["batched"] = bench_batched()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import HIGHEST, LMConfig
-from ..ops.linalg import chol3x3, inv3x3, solve_lower3
+from ..ops.linalg import chol3x3, inv3x3, inv_lower3, solve_lower3
 from ..ops.pallas_syrk import syrk_or_fallback
 from .bundle_adjustment import (
     BAResult,
@@ -125,7 +125,9 @@ def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=Non
     )
     npts_c = X_c.shape[0]
     matF = matF_blocks.reshape(npts_c, 3, 9 * nf)
-    matF = matF * free[None, None, :]
+    # No free-mask multiply here: the assembled system is gauge-projected
+    # (identity rows decouple fixed params), delta_xi is masked after the
+    # solve, and skipping it saves a full (C, 3, 9F) HBM read+write.
 
     return d_P, d_F, matE, matF, matG, e_chunk
 
@@ -166,9 +168,10 @@ def _build_system(
         # (L^-1 F) — a *symmetric* rank-k product, computed by the Pallas
         # SYRK kernel (lower-triangular tiles only) on TPU.
         matEc = matE + c * matE * eye3[None]
-        l3 = chol3x3(matEc)
-        y = solve_lower3(l3, matF)  # (C, 3, 9F)
-        yd = solve_lower3(l3, d_P[..., None])[..., 0]  # (C, 3)
+        linv = inv_lower3(chol3x3(matEc))
+        # one batched matmul instead of 3-step substitution (layout win)
+        y = jnp.einsum("pxy,pym->pxm", linv, matF, precision=HIGHEST)
+        yd = jnp.einsum("pxy,py->px", linv, d_P, precision=HIGHEST)  # (C, 3)
         npts_c = X_c.shape[0]
         schur_acc = schur_acc + syrk_or_fallback(
             y.reshape(npts_c * 3, nf9), HIGHEST

@@ -1,0 +1,276 @@
+"""Host-streamed bundle adjustment: observations never fully reside in HBM.
+
+Beyond ~1M points x 500 views the raw (P, F, 2) observation array itself
+(4+ GB f32) dominates HBM (round-1 STATUS lead #3 / VERDICT r1 missing
+#6). This variant keeps observations (and the visibility mask) in host
+memory and streams one point-chunk at a time:
+
+- the LM outer/retry protocol runs as a host-side driver (same damping
+  schedule, acceptance rule, and stopping test as ``lm_optimize_chunked``
+  — pinned by a parity test);
+- per damping attempt, pass 1 streams chunks through a jitted
+  accumulate-kernel that folds each chunk's Schur/gradient contributions
+  into device-resident accumulators (donated, so XLA updates in place);
+- after the replicated (9F, 9F) solve, pass 2 re-streams the chunks to
+  back-substitute point updates and accumulate the trial error;
+- device HBM holds O(chunk) observation bytes + the (9F, 9F) system +
+  X (P, 3); the (P, F, 2) array never does.
+
+Like the reference's inner retry (``bundle_adjustment.py:118-167``) and
+the chunked core, a rejected step re-streams rather than re-deriving —
+host->device bandwidth is the price of exceeding HBM. On a real TPU host
+this is PCIe/DMA (~10+ GB/s); on this machine's tunneled backend it is
+the tunnel link, so the recorded wall-clock is a capability demo, not a
+perf headline (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LMConfig
+from ..ops.linalg import chol3x3, inv3x3, inv_lower3
+from ..ops.pallas_syrk import syrk_or_fallback
+from ..config import HIGHEST
+from .bundle_adjustment import (
+    BAResult,
+    BAState,
+    _apply_update,
+    build_K,
+    calc_pqr,
+    gauge_mask,
+    normalize_gauge,
+    restore_gauge,
+)
+from .bundle_adjustment_chunked import _chunk_blocks, _chunk_factors, _point_grad_and_block
+
+
+@partial(jax.jit, static_argnames=("f0",), donate_argnums=(0,))
+def _accumulate_chunk(accs, cam: BAState, X_c, x_c, vis_c, free, c, f0: float):
+    """Fold one chunk's damped Schur/gradient contributions into the
+    device-resident accumulators (schur, b, G, d_F, E)."""
+    schur_acc, b_acc, g_acc, df_acc, e_acc = accs
+    d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
+        cam, X_c, x_c, vis_c, free, f0
+    )
+    dt = x_c.dtype
+    eye3 = jnp.eye(3, dtype=dt)
+    matEc = matE + c * matE * eye3[None]
+    linv = inv_lower3(chol3x3(matEc))
+    y = jnp.einsum("pxy,pym->pxm", linv, matF, precision=HIGHEST)
+    yd = jnp.einsum("pxy,py->px", linv, d_P, precision=HIGHEST)
+    npts_c = X_c.shape[0]
+    nf9 = matF.shape[2]
+    schur_acc = schur_acc + syrk_or_fallback(y.reshape(npts_c * 3, nf9), HIGHEST)
+    b_acc = b_acc + jnp.einsum("pxm,px->m", y, yd, precision=HIGHEST)
+    return (schur_acc, b_acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk)
+
+
+@partial(jax.jit, static_argnames=("f0",))
+def _assemble_and_solve(accs, free, c, f0: float):
+    """Damped reduced camera system from the accumulators -> delta_xi."""
+    schur, b_p, g, d_f, e_now = accs
+    dt = schur.dtype
+    nf9 = schur.shape[0]
+    nf = nf9 // 9
+    gc = g + c * g * jnp.eye(9, dtype=dt)[None]
+    a = -schur
+    a = a.reshape(nf, 9, nf, 9)
+    idx = jnp.arange(nf)
+    a = a.at[idx, :, idx, :].add(gc)
+    a = a.reshape(nf9, nf9)
+    a = a * (free[:, None] * free[None, :]) + jnp.diag(1.0 - free)
+    b = b_p - d_f
+    delta_xi = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), b) * free
+    return delta_xi, e_now
+
+
+@partial(jax.jit, static_argnames=("f0",))
+def _backsub_chunk(cam: BAState, trial_cam: BAState, X_c, x_c, vis_c, free, c,
+                   delta_xi, f0: float):
+    """Back-substitute one chunk's point update and its trial error."""
+    a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(cam, X_c, x_c, vis_c, f0)
+    d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
+    dt = x_c.dtype
+    eye3 = jnp.eye(3, dtype=dt)
+    matEc = matE + c * matE * eye3[None]
+    einv = inv3x3(matEc)
+    nf = cam.f.shape[0]
+    dxi = (delta_xi * free).reshape(nf, 9)
+    s1 = vis_c * jnp.einsum("pfi,fi->pf", b1, dxi, precision=HIGHEST)
+    s2 = vis_c * jnp.einsum("pfi,fi->pf", b2, dxi, precision=HIGHEST)
+    f_dxi = 2.0 * (
+        jnp.einsum("pf,pfx->px", s1, a1, precision=HIGHEST)
+        + jnp.einsum("pf,pfx->px", s2, a2, precision=HIGHEST)
+    )
+    delta_x = -jnp.einsum("pxy,py->px", einv, f_dxi + d_P, precision=HIGHEST)
+    X_new = X_c + delta_x
+
+    K_trial = build_K(trial_cam.f, trial_cam.u, f0)
+    _, p, q, r = calc_pqr(X_new, K_trial, trial_cam.R, trial_cam.t)
+    r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+    e_c = jnp.sum(
+        vis_c * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
+    )
+    return X_new, e_c
+
+
+@partial(jax.jit, static_argnames=("f0",))
+def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float):
+    K = build_K(cam.f, cam.u, f0)
+    _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+    r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+    return jnp.sum(
+        vis_c * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
+    )
+
+
+class _ChunkFeed:
+    """Streams (x, vis) point-chunks host -> device. ``x`` stays a NumPy
+    array; each chunk is device_put on demand."""
+
+    def __init__(self, x_host, vis_host, chunk_size: int, dtype):
+        self.x = x_host
+        self.vis = vis_host
+        self.chunk = chunk_size
+        self.npts = x_host.shape[0]
+        self.nf = x_host.shape[1]
+        self.dtype = dtype
+        self.n_chunks = -(-self.npts // chunk_size)
+
+    def __iter__(self):
+        for i in range(self.n_chunks):
+            lo = i * self.chunk
+            hi = min(lo + self.chunk, self.npts)
+            x_c = np.asarray(self.x[lo:hi], dtype=self.dtype)
+            if self.vis is None:
+                vis_c = np.ones((hi - lo, 1), dtype=self.dtype)
+            else:
+                vis_c = np.asarray(self.vis[lo:hi], dtype=self.dtype)
+            pad = self.chunk - (hi - lo)
+            if pad:
+                x_c = np.concatenate([x_c, np.zeros((pad,) + x_c.shape[1:], x_c.dtype)])
+                vis_c = np.concatenate(
+                    [vis_c, np.zeros((pad,) + vis_c.shape[1:], vis_c.dtype)]
+                )
+            yield lo, hi, jax.device_put(x_c), jax.device_put(vis_c)
+
+
+def bundle_adjust_streamed(
+    x_host,
+    init_X,
+    init_K,
+    init_R,
+    init_t,
+    f0: float = 1.0,
+    visibility=None,
+    axis: str = "x-right_z-forward",
+    config: LMConfig = LMConfig(),
+    chunk_size: int = 16384,
+) -> BAResult:
+    """Drop-in ``bundle_adjust`` whose observations stream from host RAM.
+
+    ``x_host`` (P, F, 2) and ``visibility`` (P, F) may be NumPy arrays (or
+    anything np.asarray-able) — they are never moved to HBM whole. Camera
+    state, X (P, 3), and the (9F, 9F) system live on device. Semantics
+    follow the chunked core (reference protocol; "reference" damping and
+    fixed accept divisor).
+    """
+    dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
+    npts, nf = x_host.shape[0], x_host.shape[1]
+
+    X0, R0, t0, info = normalize_gauge(
+        jnp.asarray(init_X, dtype), jnp.asarray(init_R, dtype),
+        jnp.asarray(init_t, dtype), axis,
+    )
+    init_K = jnp.asarray(init_K, dtype)
+    cam = BAState(
+        X=jnp.zeros((0, 3), dtype), f=init_K[:, 0, 0], u=init_K[:, :2, 2],
+        t=t0, R=R0,
+    )
+    X_dev = X0  # (P, 3) device-resident
+    free = gauge_mask(nf, axis, dtype)
+    feed = _ChunkFeed(x_host, visibility, chunk_size, np.dtype(jnp.zeros((), dtype).dtype))
+
+    nf9 = 9 * nf
+
+    def zeros_accs():
+        return (
+            jnp.zeros((nf9, nf9), dtype),
+            jnp.zeros((nf9,), dtype),
+            jnp.zeros((nf, 9, 9), dtype),
+            jnp.zeros((nf9,), dtype),
+            jnp.zeros((), dtype),
+        )
+
+    def get_X_chunk(X_s, lo, hi):
+        if hi - lo == feed.chunk:
+            return jax.lax.dynamic_slice_in_dim(X_s, lo, feed.chunk)
+        return jnp.concatenate(
+            [X_s[lo:hi], jnp.zeros((feed.chunk - (hi - lo), 3), dtype)]
+        )
+
+    def error_of(cam_s, X_s):
+        e = jnp.zeros((), dtype)
+        for lo, hi, x_c, vis_c in feed:
+            e = e + _chunk_error(cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0)
+        return e
+
+    e_prev = float(error_of(cam, X_dev))
+    c = float(config.init_damping)
+    n_iter = 0
+    n_retries = 0
+
+    for _ in range(config.max_iter):
+        accepted = False
+        tries = 0
+        e_new = e_prev
+        while not accepted and tries < config.max_inner_retries:
+            tries += 1
+            n_retries += 1
+            # pass 1: accumulate the damped reduced system over streamed chunks
+            accs = zeros_accs()
+            c_dev = jnp.asarray(c, dtype)
+            for lo, hi, x_c, vis_c in feed:
+                X_c = get_X_chunk(X_dev, lo, hi)
+                accs = _accumulate_chunk(accs, cam, X_c, x_c, vis_c, free, c_dev, f0)
+            delta_xi, _ = _assemble_and_solve(accs, free, c_dev, f0)
+            trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dtype))
+
+            # pass 2: back-substitute point updates + trial error
+            X_parts = []
+            e_trial = jnp.zeros((), dtype)
+            for lo, hi, x_c, vis_c in feed:
+                X_c = get_X_chunk(X_dev, lo, hi)
+                X_new_c, e_c = _backsub_chunk(
+                    cam, trial_cam, X_c, x_c, vis_c, free, c_dev, delta_xi, f0
+                )
+                X_parts.append(X_new_c[: hi - lo])
+                e_trial = e_trial + e_c
+            e_trial = float(e_trial)
+
+            if e_trial <= e_prev and np.isfinite(e_trial):
+                accepted = True
+                cam = trial_cam
+                X_dev = jnp.concatenate(X_parts, axis=0)
+                e_new = e_trial
+                c = c / config.divisor
+            else:
+                c = c * config.scale_factor
+        n_iter += 1
+        delta = abs(e_new - e_prev)
+        e_prev = e_new
+        if not accepted or delta <= config.delta_tol:
+            break
+
+    Xg, Rg, tg = restore_gauge(info, X_dev, cam.R, cam.t)
+    return BAResult(
+        X=Xg, K=build_K(cam.f, cam.u, f0), R=Rg, t=tg,
+        error=jnp.asarray(e_prev, dtype), n_iter=jnp.asarray(n_iter),
+        log={"n_solver_retries": jnp.asarray(n_retries)},
+    )

@@ -1,0 +1,66 @@
+"""Host-streamed BA: observations stay in host memory; semantics must
+match the chunk-streamed device core (VERDICT r1 missing #6)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+from mvrecon_tpu.models.bundle_adjustment_streamed import bundle_adjust_streamed
+
+from conftest import make_ref_scene
+
+
+def _problem(ref, quiet):
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=12)
+    with quiet():
+        X_, R_ = ref.affine.paraperspective_self_calibration(
+            [x.copy() for x in x_list], np.ones(12)
+        )
+    t_ = -3 * R_[:, :, 2]
+    K_ = np.broadcast_to(np.eye(3), R_.shape).copy()
+    x = np.stack(x_list).transpose(1, 0, 2)  # host numpy (P, F, 2)
+    return x, X_, K_, R_, t_
+
+
+def test_streamed_matches_chunked(ref, quiet):
+    x, X_, K_, R_, t_ = _problem(ref, quiet)
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=8)
+
+    chunked = bundle_adjust_chunked(
+        jnp.asarray(x), jnp.asarray(X_), jnp.asarray(K_), jnp.asarray(R_),
+        jnp.asarray(t_), f0=1.0, axis="x-up_z-forward", config=cfg,
+        chunk_size=64,
+    )
+    streamed = bundle_adjust_streamed(
+        x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward", config=cfg,
+        chunk_size=64,
+    )
+    np.testing.assert_allclose(float(streamed.error), float(chunked.error), rtol=1e-9)
+    assert int(streamed.n_iter) == int(chunked.n_iter)
+    np.testing.assert_allclose(np.asarray(streamed.X), np.asarray(chunked.X), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(streamed.K), np.asarray(chunked.K), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(streamed.R), np.asarray(chunked.R), atol=1e-9)
+
+
+def test_streamed_visibility_and_ragged_chunks(ref, quiet):
+    """Mask support + P not divisible by chunk (padding path)."""
+    x, X_, K_, R_, t_ = _problem(ref, quiet)
+    vis = np.ones(x.shape[:2])
+    vis[5, 3] = 0.0
+    x = x.copy()
+    x[5, 3] += 0.2  # masked outlier
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=5)
+
+    chunked = bundle_adjust_chunked(
+        jnp.asarray(x), jnp.asarray(X_), jnp.asarray(K_), jnp.asarray(R_),
+        jnp.asarray(t_), f0=1.0, visibility=jnp.asarray(vis),
+        axis="x-up_z-forward", config=cfg, chunk_size=64,
+    )
+    streamed = bundle_adjust_streamed(
+        x, X_, K_, R_, t_, f0=1.0, visibility=vis, axis="x-up_z-forward",
+        config=cfg, chunk_size=48,  # 200 % 48 != 0 -> ragged tail
+    )
+    np.testing.assert_allclose(float(streamed.error), float(chunked.error), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(streamed.X), np.asarray(chunked.X), atol=1e-8)
