@@ -94,7 +94,7 @@ def bench_headline():
     return min(times)
 
 
-def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=4096):
+def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
     from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
 
     config = LMConfig(

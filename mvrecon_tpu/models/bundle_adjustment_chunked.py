@@ -33,7 +33,20 @@ import jax.numpy as jnp
 
 from ..config import HIGHEST, LMConfig
 from ..ops.linalg import chol3x3, inv3x3, inv_lower3, solve_lower3
-from ..ops.pallas_syrk import syrk_or_fallback
+from ..ops.pallas_schur import (
+    assemble_type_major,
+    finish_schur,
+    fused_backsub_chunk,
+    fused_chunk_update,
+    schur_acc_dim,
+    type_major_to_camera_major,
+    use_fused_schur,
+)
+from ..ops.pallas_syrk import (
+    finish_syrk_accumulator,
+    syrk_accumulator_dim,
+    syrk_lower_or_fallback,
+)
 from .bundle_adjustment import (
     BAResult,
     BAState,
@@ -132,6 +145,45 @@ def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=Non
     return d_P, d_F, matE, matF, matG, e_chunk
 
 
+def _build_system_fused(
+    state_cam, X_ch, x_ch, vis_ch, free, f0, c, huber_delta=None
+):
+    """Fused generate-and-reduce variant of :func:`_build_system`
+    (TPU f32 path; see ``ops/pallas_schur.py``): per chunk, one generation
+    pass feeds both the gradient-side sums and the damped type-major Y
+    whose SYRK accumulates in place — the (C, 3, 9F) coupling block, the
+    big triangular solve, casts, and pads never touch HBM.
+
+    Returns (A', b', E_now, (diag_g, d_F), free_tm) in type-major layout.
+    """
+    nf = state_cam.f.shape[0]
+    dt = x_ch.dtype
+    f_pad, n_acc = schur_acc_dim(nf)
+
+    def body(carry, inp):
+        acc, g_acc, df_acc, e_acc = carry
+        X_c, x_c, vis_c = inp
+        acc, d_F, matG, e_chunk = fused_chunk_update(
+            acc, state_cam, X_c, x_c, vis_c, f0, c, huber_delta
+        )
+        return (acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk), None
+
+    init = (
+        jnp.zeros((n_acc, n_acc), jnp.float32),
+        jnp.zeros((nf, 9, 9), dt),
+        jnp.zeros((9 * nf,), dt),
+        jnp.zeros((), dt),
+    )
+    (acc, g, d_f, e_now), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
+    d_f = d_f * free
+    schur_tm, b_p_tm = finish_schur(acc, nf)
+    a, b, free_tm = assemble_type_major(
+        schur_tm, b_p_tm, g, d_f, free, c, nf, f_pad
+    )
+    diag_g = jnp.diagonal(g, axis1=-2, axis2=-1).reshape(-1)  # (9F,) undamped
+    return a, b, e_now, (diag_g, d_f), free_tm
+
+
 def _vary(v, axis_name):
     """Mark a scan-carry init as device-varying over ``axis_name`` (shard_map
     varying-type system: a replicated init cannot carry shard-dependent
@@ -173,15 +225,18 @@ def _build_system(
         y = jnp.einsum("pxy,pym->pxm", linv, matF, precision=HIGHEST)
         yd = jnp.einsum("pxy,py->px", linv, d_P, precision=HIGHEST)  # (C, 3)
         npts_c = X_c.shape[0]
-        schur_acc = schur_acc + syrk_or_fallback(
-            y.reshape(npts_c * 3, nf9), HIGHEST
+        # Deferred-mirror SYRK: per-chunk partials carry only the (padded)
+        # lower tiles; the mirror/unpad happens once after the scan.
+        schur_acc = schur_acc + syrk_lower_or_fallback(
+            y.reshape(npts_c * 3, nf9), HIGHEST, schur_acc.shape[0]
         )
         b_acc = b_acc + jnp.einsum("pxm,px->m", y, yd, precision=HIGHEST)
         return (schur_acc, b_acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk), None
 
+    n_acc = syrk_accumulator_dim(nf9)
     init = _vary(
         (
-            jnp.zeros((nf9, nf9), dt),
+            jnp.zeros((n_acc, n_acc), dt),
             jnp.zeros((nf9,), dt),
             jnp.zeros((nf, 9, 9), dt),
             jnp.zeros((nf9,), dt),
@@ -190,7 +245,7 @@ def _build_system(
         axis_name,
     )
     (schur, b_p, g, d_f, e_now), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
-    schur = _psum(schur, axis_name)
+    schur = finish_syrk_accumulator(_psum(schur, axis_name), nf9, dt)
     b_p = _psum(b_p, axis_name)
     g = _psum(g, axis_name)
     d_f = _psum(d_f, axis_name)
@@ -210,11 +265,28 @@ def _build_system(
 
 def _backsub_and_trial(
     state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, delta_xi,
-    axis_name=None, huber_delta=None,
+    axis_name=None, huber_delta=None, fused=False,
 ):
     """Scan 2: per chunk, recompute blocks at the *current* state, back-
     substitute the point update, and accumulate the trial error under the
-    *updated* cameras. Returns (X_new chunks, E_trial)."""
+    *updated* cameras. Returns (X_new chunks, E_trial). ``fused`` uses
+    the type-major plane formulation (no (C, F, 9) materialization)."""
+    if fused:
+        def body_f(acc, inp):
+            e_acc, dDd_acc, gd_acc = acc
+            X_c, x_c, vis_c = inp
+            X_new, e_c, dDd_c, gd_c = fused_backsub_chunk(
+                state_cam, trial_cam, X_c, x_c, vis_c, f0, c,
+                delta_xi * free, huber_delta,
+            )
+            return (e_acc + e_c, dDd_acc + dDd_c, gd_acc + gd_c), X_new
+
+        zero_f = jnp.zeros((), x_ch.dtype)
+        (e_trial, dDd_pts, gd_pts), X_new_ch = jax.lax.scan(
+            body_f, (zero_f, zero_f, zero_f), (X_ch, x_ch, vis_ch)
+        )
+        return X_new_ch, e_trial, dDd_pts, gd_pts
+
     dt = x_ch.dtype
     eye3 = jnp.eye(3, dtype=dt)
     K_trial = build_K(trial_cam.f, trial_cam.u, f0)
@@ -338,6 +410,10 @@ def lm_optimize_chunked(
     nielsen = config.damping == "nielsen"
     huber_delta = config.huber_delta if config.robust == "huber" else None
 
+    nf = state0.f.shape[0]
+    fused = use_fused_schur(dt) and axis_name is None
+    f_pad_tm, _ = schur_acc_dim(nf)
+
     def inner(cam, X_ch_, e_prev, c, nu):
         def cond(carry):
             _, _, _, _, _, _, accepted, tries = carry
@@ -345,16 +421,26 @@ def lm_optimize_chunked(
 
         def body(carry):
             c_cur, nu_cur, _, _, _, _, _, tries = carry
-            a, b, e_w, (diag_g, d_f) = _build_system(
-                cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name, huber_delta
-            )
-            delta_xi = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(a), b
-            ) * free
+            if fused:
+                a, b, e_w, (diag_g, d_f), free_tm = _build_system_fused(
+                    cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, huber_delta
+                )
+                delta_tm = jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(a), b
+                ) * free_tm
+                delta_xi = type_major_to_camera_major(delta_tm, nf, f_pad_tm)
+            else:
+                a, b, e_w, (diag_g, d_f) = _build_system(
+                    cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name,
+                    huber_delta,
+                )
+                delta_xi = jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(a), b
+                ) * free
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             X_new_ch, e_trial, dDd_pts, gd_pts = _backsub_and_trial(
                 cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi,
-                axis_name, huber_delta,
+                axis_name, huber_delta, fused=fused,
             )
             e_base = e_w if huber_delta is not None else e_prev
             accepted = e_trial <= e_base

@@ -66,14 +66,14 @@ def _lower_tile_maps(nt: int) -> tuple[np.ndarray, np.ndarray]:
     return np.ascontiguousarray(idx[:, 0]), np.ascontiguousarray(idx[:, 1])
 
 
-@partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret"))
-def syrk(
+def syrk_lower(
     y: jax.Array, tile_n: int = 512, tile_k: int = 1024, interpret: bool = False
 ) -> jax.Array:
-    """S = Y^T Y for Y (K, N): lower-triangular tiles on the MXU, mirrored.
-
-    Accepts f32 or bf16 input; accumulates in f32 and returns f32 (N, N).
-    """
+    """Padded lower-triangle-only S = Y^T Y for Y (K, N): returns
+    (n_pad, n_pad) f32 with only the (block) lower triangle valid —
+    unvisited upper tiles hold garbage. Callers that accumulate many
+    SYRKs (the chunked Schur scan) sum these and mirror ONCE at the end
+    via :func:`mirror_lower` instead of paying the mirror per chunk."""
     k_dim, n_dim = y.shape
     n_pad = _round_up(n_dim, tile_n)
     k_pad = _round_up(k_dim, tile_k)
@@ -104,7 +104,7 @@ def syrk(
             memory_space=pltpu.VMEM,
         ),
     )
-    lower = pl.pallas_call(
+    return pl.pallas_call(
         _syrk_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
@@ -117,10 +117,12 @@ def syrk(
         interpret=interpret,
     )(jnp.asarray(i_map), jnp.asarray(j_map), y, y)
 
-    # Mirror: the packed grid never visits upper tiles, so their memory is
-    # uninitialized — mask to the (block) lower triangle first, then
-    # transpose the strictly-lower tiles onto the upper side (diagonal
-    # tiles are already complete and symmetric).
+
+def mirror_lower(lower: jax.Array, n_dim: int, tile_n: int = 512) -> jax.Array:
+    """Complete a :func:`syrk_lower` result: mask the (uninitialized)
+    upper tiles, transpose the strictly-lower tiles onto the upper side
+    (diagonal tiles are already complete and symmetric), unpad."""
+    n_pad = lower.shape[0]
     tile_row = jnp.arange(n_pad) // tile_n
     lower_block = tile_row[:, None] >= tile_row[None, :]
     strict_lower_block = tile_row[:, None] > tile_row[None, :]
@@ -129,10 +131,26 @@ def syrk(
     return full[:n_dim, :n_dim]
 
 
+@partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret"))
+def syrk(
+    y: jax.Array, tile_n: int = 512, tile_k: int = 1024, interpret: bool = False
+) -> jax.Array:
+    """S = Y^T Y for Y (K, N): lower-triangular tiles on the MXU, mirrored.
+
+    Accepts f32 or bf16 input; accumulates in f32 and returns f32 (N, N).
+    """
+    lower = syrk_lower(y, tile_n=tile_n, tile_k=tile_k, interpret=interpret)
+    return mirror_lower(lower, y.shape[1], tile_n=tile_n)
+
+
 # The Pallas SYRK is the default TPU build-scan path (measured ~1.8x over
 # the einsum at the north-star chunk shape); MVRECON_USE_PALLAS_SYRK=0
 # opts out back to the XLA einsum.
 _USE_PALLAS = os.environ.get("MVRECON_USE_PALLAS_SYRK", "1") == "1"
+
+
+def use_pallas_syrk(dtype) -> bool:
+    return _USE_PALLAS and jax.default_backend() == "tpu" and dtype == jnp.float32
 
 
 def syrk_or_fallback(y: jax.Array, precision) -> jax.Array:
@@ -142,8 +160,34 @@ def syrk_or_fallback(y: jax.Array, precision) -> jax.Array:
     ``precision`` is DEFAULT (single MXU pass) and f32 inputs otherwise.
     Elsewhere (CPU tests/parity): the XLA einsum at ``precision``.
     """
-    if _USE_PALLAS and jax.default_backend() == "tpu" and y.dtype == jnp.float32:
+    if use_pallas_syrk(y.dtype):
         if precision == jax.lax.Precision.DEFAULT:
             y = y.astype(jnp.bfloat16)
         return syrk(y)
     return jnp.einsum("km,kn->mn", y, y, precision=precision)
+
+
+def syrk_lower_or_fallback(y: jax.Array, precision, n_acc: int) -> jax.Array:
+    """Accumulation-friendly variant: returns an (n_acc, n_acc) partial
+    whose mirror is deferred to :func:`finish_syrk_accumulator` —
+    per-chunk calls in a scan sum these directly. ``n_acc`` must be
+    ``syrk_accumulator_dim(N)``."""
+    n_dim = y.shape[1]
+    if use_pallas_syrk(y.dtype):
+        if precision == jax.lax.Precision.DEFAULT:
+            y = y.astype(jnp.bfloat16)
+        return syrk_lower(y)
+    full = jnp.einsum("km,kn->mn", y, y, precision=precision)
+    return jnp.pad(full, ((0, n_acc - n_dim), (0, n_acc - n_dim)))
+
+
+def syrk_accumulator_dim(n_dim: int, tile_n: int = 512) -> int:
+    """Accumulator side length for :func:`syrk_lower_or_fallback`."""
+    return _round_up(n_dim, tile_n) if use_pallas_syrk(jnp.float32) else n_dim
+
+
+def finish_syrk_accumulator(acc: jax.Array, n_dim: int, dtype) -> jax.Array:
+    """Mirror/unpad an accumulated :func:`syrk_lower_or_fallback` sum."""
+    if use_pallas_syrk(dtype):
+        return mirror_lower(acc, n_dim)
+    return acc[:n_dim, :n_dim]

@@ -1,0 +1,147 @@
+"""Fused generate-and-reduce Schur build: interpret-mode parity against
+the materialize-then-SYRK oracle, plus whole-core equivalence (the fused
+LM path must reproduce the reference-protocol chunked core)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+from mvrecon_tpu.models.bundle_adjustment import (
+    BAState, gauge_mask, normalize_gauge,
+)
+from mvrecon_tpu.models.bundle_adjustment_chunked import _chunk_blocks
+from mvrecon_tpu.ops.linalg import chol3x3, inv_lower3
+
+
+def _problem(n_pts=64, nf=6):
+    scene = make_synthetic_scene(
+        jax.random.key(1), n_images=nf, n_slices=-(-n_pts // 20),
+        n_angles=20, dtype=jnp.float32, noise=0.003,
+    )
+    X0, R0, t0, _ = normalize_gauge(scene.X, scene.R, scene.t, "x-up_z-forward")
+    cam = BAState(
+        X=jnp.zeros((0, 3), jnp.float32), f=scene.K[:, 0, 0],
+        u=scene.K[:, :2, 2], t=t0, R=R0,
+    )
+    x = scene.x.transpose(1, 0, 2)[:n_pts]
+    X_c = X0[:n_pts]
+    vis = jnp.ones((n_pts, nf), jnp.float32)
+    return cam, X_c, x, vis, nf
+
+
+def test_fused_chunk_matches_materialized_oracle(monkeypatch):
+    """fused_chunk_update (interpret kernel) == matF -> L^-1 F -> Y^T Y."""
+    from mvrecon_tpu.ops import pallas_schur as ps
+
+    monkeypatch.setattr(ps, "_MODE", "interpret")
+    cam, X_c, x_c, vis_c, nf = _problem(n_pts=64, nf=6)
+    f0, c = 1.0, 1e-3
+    f_pad, n_acc = ps.schur_acc_dim(nf)
+    free = gauge_mask(nf, "x-up_z-forward", jnp.float32)
+
+    acc0 = jnp.zeros((n_acc, n_acc), jnp.float32)
+    acc, d_F, matG, e_chunk = ps.fused_chunk_update(
+        acc0, cam, X_c, x_c, vis_c, f0, jnp.float32(c)
+    )
+    a_tm, b_tm = ps.finish_schur(acc, nf)
+
+    d_P_o, d_F_o, matE_o, matF, matG_o, e_o = _chunk_blocks(
+        cam, X_c, x_c, vis_c, free, f0
+    )
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    linv = inv_lower3(chol3x3(matE_o + c * matE_o * eye3[None]))
+    y = jnp.einsum("pxy,pym->pxm", linv, matF)
+    yd = jnp.einsum("pxy,py->px", linv, d_P_o)
+    a_cm = np.einsum("pxm,pxn->mn", np.asarray(y), np.asarray(y))
+    b_cm = np.einsum("pxm,px->m", np.asarray(y), np.asarray(yd))
+
+    tm = np.asarray([(k % 9) * f_pad + k // 9 for k in range(9 * nf)])
+    a_exp = np.zeros((9 * f_pad, 9 * f_pad), np.float32)
+    a_exp[np.ix_(tm, tm)] = a_cm
+    b_exp = np.zeros((9 * f_pad,), np.float32)
+    b_exp[tm] = b_cm
+
+    scale = np.abs(a_cm).max()
+    np.testing.assert_allclose(np.asarray(a_tm), a_exp, atol=3e-2 * scale)
+    np.testing.assert_allclose(
+        np.asarray(b_tm), b_exp, atol=3e-2 * np.abs(b_cm).max() + 1e-4
+    )
+    # gradient-side quantities are exact (f32 path, not through the
+    # kernel); the fused path returns d_F unmasked (masking happens in
+    # the caller), the oracle's is gauge-masked already
+    np.testing.assert_allclose(np.asarray(d_F * free),
+                               np.asarray(d_F_o.reshape(-1)),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(matG), np.asarray(matG_o),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(e_chunk), float(e_o), rtol=1e-6)
+
+
+def test_type_major_roundtrip():
+    from mvrecon_tpu.ops import pallas_schur as ps
+
+    nf, f_pad = 6, 512
+    free = gauge_mask(nf, "x-up_z-forward", jnp.float32)
+    free_tm = ps.type_major_free(free, nf, f_pad)
+    back = ps.type_major_to_camera_major(free_tm, nf, f_pad)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(free))
+    v = jnp.arange(9 * nf, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(ps.type_major_to_camera_major(
+            ps.camera_major_to_type_major(v, nf, f_pad), nf, f_pad)),
+        np.asarray(v),
+    )
+
+
+_FUSED_E2E = r"""
+import os, json
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+scene = make_synthetic_scene(jax.random.key(5), n_images=6, n_slices=5,
+                             n_angles=20, dtype=jnp.float32, noise=0.003)
+k1, k2 = jax.random.split(jax.random.key(5))
+X0 = scene.X + 0.02 * jax.random.normal(k1, scene.X.shape, dtype=jnp.float32)
+t0 = scene.t + 0.02 * jax.random.normal(k2, scene.t.shape, dtype=jnp.float32)
+x = scene.x.transpose(1, 0, 2)
+cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=5)
+res = bundle_adjust_chunked(x, X0, scene.K, scene.R, t0, f0=1.0,
+                            axis="x-up_z-forward", config=cfg, chunk_size=32)
+print(json.dumps({"error": float(res.error), "n_iter": int(res.n_iter),
+                  "X0": [float(v) for v in np.asarray(res.X[0])]}))
+"""
+
+
+def _run_e2e(mode):
+    env = dict(os.environ, MVRECON_FUSED_SCHUR=mode, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", _FUSED_E2E], capture_output=True, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_fused_core_matches_unfused_end_to_end():
+    """The fused LM path (interpret kernel, f32 CPU) must converge like
+    the reference-protocol path: same iteration count, error within the
+    bf16-Hessian tolerance (the step direction differs at ~1e-3)."""
+    base = _run_e2e("0")
+    fused = _run_e2e("interpret")
+    assert fused["n_iter"] == base["n_iter"]
+    # the bf16 Hessian takes slightly different (still-accepted) steps;
+    # mid-convergence states agree to ~1%, errors to <1%
+    assert abs(fused["error"] - base["error"]) < 2e-2 * max(base["error"], 1e-9)
+    np.testing.assert_allclose(fused["X0"], base["X0"], rtol=5e-2, atol=0.2)
