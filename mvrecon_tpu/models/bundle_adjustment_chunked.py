@@ -528,6 +528,11 @@ def bundle_adjust_chunked(
         if visibility is None
         else jnp.asarray(visibility, dtype=dt)
     )
+    if visibility is not None:
+        # masked observations may hold arbitrary (even non-finite) values;
+        # zero them so 0 * nan can never leak through the masked sums
+        # (the reference would propagate the NaN, bundle_adjustment.py:674)
+        x = jnp.where(vis[..., None] > 0, x, 0.0)
     X0, R0, t0, info = normalize_gauge(init_X, init_R, init_t, axis)
     state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)

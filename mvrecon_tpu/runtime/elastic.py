@@ -1,0 +1,124 @@
+"""Elastic execution: host-side retries + crash-resumable segmented runs.
+
+The reference has no failure story beyond raising ValueError (SURVEY.md
+§5); in-graph failures here are already status flags / graceful
+never-accepted LM stops. This module adds the *host-side* half for long
+production runs:
+
+- :func:`run_with_retries` — re-execute a flaky device call (tunneled or
+  preempted backends) with bounded attempts;
+- :func:`resumable_bundle_adjust` — segmented chunked BA whose full state
+  (X, K, R, t, damping c/nu, completed iterations) is checkpointed after
+  every segment; a re-invocation after a crash/preemption finds the
+  checkpoint and continues exactly where the dead process stopped
+  (segmented == continuous is pinned by the chunked-core resume tests).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import LMConfig
+from .checkpoint import load_checkpoint, save_checkpoint
+
+
+def run_with_retries(
+    fn: Callable,
+    max_attempts: int = 3,
+    retry_on: tuple = (RuntimeError,),
+    backoff_s: float = 1.0,
+    on_retry: Callable[[int, Exception], None] | None = None,
+):
+    """Call ``fn()``; on an exception in ``retry_on`` wait and re-call, up
+    to ``max_attempts`` total. Raises the last error if all attempts fail."""
+    last = None
+    for attempt in range(max_attempts):
+        try:
+            return fn()
+        except retry_on as e:  # noqa: PERF203
+            last = e
+            if on_retry is not None:
+                on_retry(attempt, e)
+            if attempt + 1 < max_attempts:
+                time.sleep(backoff_s * (2**attempt))
+    raise last
+
+
+def resumable_bundle_adjust(
+    x,
+    init_X,
+    init_K,
+    init_R,
+    init_t,
+    checkpoint_path: str,
+    total_iters: int,
+    segment_iters: int = 5,
+    f0: float = 1.0,
+    visibility=None,
+    axis: str = "x-right_z-forward",
+    config: LMConfig = LMConfig(),
+    chunk_size: int = 768,
+):
+    """Chunked BA in checkpointed segments; safe to kill and re-invoke.
+
+    If ``checkpoint_path`` exists, optimization resumes from its saved
+    (X, K, R, t, c, nu, done) instead of ``init_*``. Returns the final
+    BAResult plus the number of iterations actually run in this process.
+    """
+    from ..models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+    state = {
+        "X": np.asarray(init_X),
+        "K": np.asarray(init_K),
+        "R": np.asarray(init_R),
+        "t": np.asarray(init_t),
+        "c": np.asarray(config.init_damping, np.float64),
+        "nu": np.asarray(2.0, np.float64),
+    }
+    done = 0
+    if os.path.exists(checkpoint_path):
+        state, step = load_checkpoint(checkpoint_path, state)
+        state = {k: np.asarray(v) for k, v in state.items()}
+        done = int(step or 0)
+
+    ran_here = 0
+    res = None
+    while done < total_iters:
+        seg = min(segment_iters, total_iters - done)
+        seg_cfg = LMConfig(
+            scale_factor=config.scale_factor,
+            delta_tol=config.delta_tol,
+            max_iter=seg,
+            init_damping=config.init_damping,
+            max_inner_retries=config.max_inner_retries,
+            accept_divisor=config.accept_divisor,
+            damping=config.damping,
+            robust=config.robust,
+            huber_delta=config.huber_delta,
+        )
+        res = bundle_adjust_chunked(
+            x, jnp.asarray(state["X"]), jnp.asarray(state["K"]),
+            jnp.asarray(state["R"]), jnp.asarray(state["t"]),
+            f0=f0, visibility=visibility, axis=axis, config=seg_cfg,
+            chunk_size=chunk_size,
+            init_c=jnp.asarray(state["c"]), init_nu=jnp.asarray(state["nu"]),
+        )
+        n = int(res.n_iter)
+        ran_here += n
+        done += n
+        state = {
+            "X": np.asarray(res.X), "K": np.asarray(res.K),
+            "R": np.asarray(res.R), "t": np.asarray(res.t),
+            "c": np.asarray(res.log["c"], np.float64),
+            "nu": np.asarray(res.log["nu"], np.float64),
+        }
+        save_checkpoint(checkpoint_path, state, step=done)
+        if n < seg:
+            break  # converged (delta_tol) or gracefully stopped
+    return res, ran_here

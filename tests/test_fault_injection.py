@@ -1,0 +1,170 @@
+"""Fault injection + elastic recovery (SURVEY §5 failure-detection row):
+divergence must be survived end-to-end in every execution regime, and a
+killed long run must resume from its checkpoint."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
+from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+from conftest import make_ref_scene
+
+
+def _ba_problem(ref, quiet, nf=12):
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=nf)
+    with quiet():
+        X_, R_ = ref.affine.paraperspective_self_calibration(
+            [x.copy() for x in x_list], np.ones(nf)
+        )
+    t_ = -3 * R_[:, :, 2]
+    K_ = np.broadcast_to(np.eye(3), R_.shape).copy()
+    x = np.stack(x_list).transpose(1, 0, 2)
+    return x, X_, K_, R_, t_
+
+
+def test_nan_observations_dense_graceful(ref, quiet):
+    """NaN observations: the never-accepted retry path must freeze the
+    state (no crash, no NaN state) instead of the reference's infinite
+    retry loop."""
+    x, X_, K_, R_, t_ = _ba_problem(ref, quiet)
+    x = x.copy()
+    x[3, 2, 0] = np.nan  # unmasked corruption
+    res = bundle_adjust(
+        jnp.asarray(x), jnp.asarray(X_), jnp.asarray(K_), jnp.asarray(R_),
+        jnp.asarray(t_), axis="x-up_z-forward",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=5),
+    )
+    # state frozen at the init (every step rejected); parameters stay finite
+    assert np.isfinite(np.asarray(res.X)).all()
+    assert np.isfinite(np.asarray(res.R)).all()
+
+
+def test_nan_observations_masked_are_harmless(ref, quiet):
+    """The same corruption behind a visibility 0 must not perturb the
+    result at all (0 * nan guard)."""
+    x, X_, K_, R_, t_ = _ba_problem(ref, quiet)
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=6)
+    vis = np.ones(x.shape[:2])
+    clean = bundle_adjust_chunked(
+        jnp.asarray(x), jnp.asarray(X_), jnp.asarray(K_), jnp.asarray(R_),
+        jnp.asarray(t_), visibility=jnp.asarray(vis), axis="x-up_z-forward",
+        config=cfg, chunk_size=64,
+    )
+    x2 = x.copy()
+    vis2 = vis.copy()
+    x2[3, 2, :] = np.nan
+    vis2[3, 2] = 0.0
+    masked = bundle_adjust_chunked(
+        jnp.asarray(x2), jnp.asarray(X_), jnp.asarray(K_), jnp.asarray(R_),
+        jnp.asarray(t_), visibility=jnp.asarray(vis2), axis="x-up_z-forward",
+        config=cfg, chunk_size=64,
+    )
+    assert np.isfinite(float(masked.error))
+    # one hidden observation out of 2400: results near-identical
+    np.testing.assert_allclose(np.asarray(masked.X), np.asarray(clean.X), atol=1e-3)
+
+
+def test_batched_fault_isolation(ref):
+    """One poisoned scene in a vmapped batch must not contaminate the
+    others (per-scene status/error isolation)."""
+    from mvrecon_tpu.parallel.batched import batched_euclidean_reconstruction
+
+    scenes = []
+    for seed in (123, 7, 99):
+        _, _, _, _, x_list = make_ref_scene(ref, n_images=6, seed=seed)
+        scenes.append(np.stack(x_list))
+    x = np.stack(scenes)
+    x[1, :, :, :] = np.nan  # kill scene 1 entirely
+    res = batched_euclidean_reconstruction(
+        jnp.asarray(x), f0=1.0, tol=1e-2, method="dual",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=15),
+    )
+    errs = np.asarray(res.error)
+    noise_floor = 200 * 6 * 2 * (0.005**2)
+    assert np.isfinite(errs[0]) and errs[0] < 5 * noise_floor
+    assert np.isfinite(errs[2]) and errs[2] < 5 * noise_floor
+    assert not np.isfinite(errs[1])  # the poisoned scene is flagged, not hidden
+
+
+def test_sharded_fault_graceful(ref, quiet):
+    """NaN inside one point-shard: the sharded LM must stop gracefully
+    with finite camera state on every device."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
+
+    x, X_, K_, R_, t_ = _ba_problem(ref, quiet)
+    x = x.copy()
+    x[7, 1, 1] = np.inf
+    mesh = make_mesh({"points": 4})
+    res = sharded_bundle_adjust(
+        mesh, jnp.asarray(x), jnp.asarray(X_), jnp.asarray(K_),
+        jnp.asarray(R_), jnp.asarray(t_), axis="x-up_z-forward",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=4),
+    )
+    assert np.isfinite(np.asarray(res.R)).all()
+    assert np.isfinite(np.asarray(res.t)).all()
+
+
+def test_resumable_bundle_adjust_survives_crash(tmp_path):
+    """Kill-and-reinvoke: a fresh resumable run that finds the checkpoint
+    continues to the same final state as an uninterrupted run. (Uses a
+    synthetic scene with a well-conditioned gauge: the affine heuristic
+    init has t1_y near zero, where the gauge sign convention — the
+    reference's np.sign at bundle_adjustment.py:227-238 — can flip the
+    frame between otherwise-identical runs.)"""
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.runtime.elastic import resumable_bundle_adjust
+
+    scene = make_synthetic_scene(jax.random.key(2), n_images=12)
+    X_ = scene.X + 0.02 * jax.random.normal(jax.random.key(3), scene.X.shape,
+                                            scene.X.dtype)
+    K_, R_, t_ = scene.K, scene.R, scene.t
+    xj = scene.x.transpose(1, 0, 2)
+    cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=99)
+    ck = str(tmp_path / "elastic.npz")
+
+    full, n_full = resumable_bundle_adjust(
+        xj, X_, K_, R_, t_, str(tmp_path / "full.npz"), total_iters=6,
+        segment_iters=6, axis="x-up_z-forward", config=cfg, chunk_size=64,
+    )
+    assert n_full == 6
+
+    # "crashed" process: completed only the first 3-iteration segment
+    part, n1 = resumable_bundle_adjust(
+        xj, X_, K_, R_, t_, ck, total_iters=3, segment_iters=3,
+        axis="x-up_z-forward", config=cfg, chunk_size=64,
+    )
+    assert n1 == 3 and os.path.exists(ck)
+    # restarted process: finds the checkpoint, runs only the remainder
+    resumed, n2 = resumable_bundle_adjust(
+        xj, X_, K_, R_, t_, ck, total_iters=6, segment_iters=3,
+        axis="x-up_z-forward", config=cfg, chunk_size=64,
+    )
+    assert n2 == 3
+    np.testing.assert_allclose(float(resumed.error), float(full.error), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(resumed.X), np.asarray(full.X), atol=1e-9)
+
+
+def test_run_with_retries():
+    from mvrecon_tpu.runtime.elastic import run_with_retries
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert run_with_retries(flaky, max_attempts=4, backoff_s=0.0) == "ok"
+    assert len(calls) == 3
+
+    with pytest.raises(RuntimeError):
+        run_with_retries(lambda: (_ for _ in ()).throw(RuntimeError("x")),
+                         max_attempts=2, backoff_s=0.0)
