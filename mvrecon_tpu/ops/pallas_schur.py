@@ -125,80 +125,6 @@ def syrk_acc(acc: jax.Array, y: jax.Array) -> jax.Array:
     )(jnp.asarray(i_map), jnp.asarray(j_map), acc, y, y)
 
 
-def build_y_type_major(
-    cam, X_c, x_c, vis_c, linv, yd, f0: float, f_pad: int, n_acc: int,
-    huber_delta=None,
-):
-    """Type-major damped coupling factor Y (3C, n_acc) bf16 for one chunk.
-
-    Derivative formulas are the reference's (``bundle_adjustment.py:
-    309-427``), algebraically identical to the camera-major
-    ``_chunk_blocks`` path (equivalence pinned by tests). ``linv``/``yd``
-    carry the retry's damping.
-    """
-    from ..models.bundle_adjustment import build_K, calc_pqr
-
-    c_pts, nf = x_c.shape[0], x_c.shape[1]
-    K = build_K(cam.f, cam.u, f0)
-    pmat, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
-    vis_d = jnp.broadcast_to(vis_c, (c_pts, nf))
-    r = jnp.where(vis_d > 0, r, jnp.ones_like(r))
-    if huber_delta is not None:
-        res_p = p / r - x_c[..., 0] / f0
-        res_q = q / r - x_c[..., 1] / f0
-        mag = jnp.sqrt(res_p**2 + res_q**2)
-        vis_d = vis_d * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
-    inv_r2 = 1.0 / (r * r)
-    w2 = 2.0 * vis_d
-
-    # alpha = (L^-1 a) with the visibility weight folded in: (3, C, F)
-    a1 = (r[..., None] * pmat[None, :, 0, :3]
-          - p[..., None] * pmat[None, :, 2, :3]) * inv_r2[..., None]
-    a2 = (r[..., None] * pmat[None, :, 1, :3]
-          - q[..., None] * pmat[None, :, 2, :3]) * inv_r2[..., None]
-    al1 = jnp.einsum("pxw,pfw->xpf", linv, a1, precision=HIGHEST) * w2[None]
-    al2 = jnp.einsum("pxw,pfw->xpf", linv, a2, precision=HIGHEST) * w2[None]
-
-    # b-factor planes per param type: (9, C, F)
-    f, u, t, R = cam.f, cam.u, cam.t, cam.R
-    dpdt = -(f[:, None] * R[:, :, 0] + u[:, :1] * R[:, :, 2])  # (F, 3)
-    dqdt = -(f[:, None] * R[:, :, 1] + u[:, 1:2] * R[:, :, 2])
-    drdt = -f0 * R[:, :, 2]
-    xm = X_c[:, None, :] - t[None, :, :]  # (C, F, 3)
-
-    def cross_k(dfT, k):
-        k1, k2 = (k + 1) % 3, (k + 2) % 3
-        return -(dfT[None, :, k1] * xm[..., k2] - dfT[None, :, k2] * xm[..., k1])
-
-    zero = jnp.zeros_like(p)
-    dp0 = (p - (u[:, 0] / f0)[None] * r) / f[None]
-    dq0 = (q - (u[:, 1] / f0)[None] * r) / f[None]
-    rf0 = r / f0
-    b1 = jnp.stack([
-        r * dp0 * inv_r2, r * rf0 * inv_r2, zero,
-        *[(r * dpdt[None, :, k] - p * drdt[None, :, k]) * inv_r2 for k in range(3)],
-        *[(r * cross_k(dpdt, k) - p * cross_k(drdt, k)) * inv_r2 for k in range(3)],
-    ])
-    b2 = jnp.stack([
-        r * dq0 * inv_r2, zero, r * rf0 * inv_r2,
-        *[(r * dqdt[None, :, k] - q * drdt[None, :, k]) * inv_r2 for k in range(3)],
-        *[(r * cross_k(dqdt, k) - q * cross_k(drdt, k)) * inv_r2 for k in range(3)],
-    ])
-
-    y = (jnp.einsum("xpf,jpf->xpjf", al1, b1, precision=HIGHEST)
-         + jnp.einsum("xpf,jpf->xpjf", al2, b2, precision=HIGHEST))
-    y = y.astype(jnp.bfloat16)
-    y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, f_pad - nf)))
-    # rhs column: yd in the last lane of the tail block
-    tail = n_acc - 9 * f_pad
-    tail_block = jnp.zeros((3, c_pts, tail), jnp.bfloat16)
-    tail_block = tail_block.at[:, :, tail - 1].set(
-        jnp.swapaxes(yd, 0, 1).astype(jnp.bfloat16)
-    )
-    y = jnp.concatenate([y.reshape(3, c_pts, 9 * f_pad), tail_block], axis=-1)
-    return y.reshape(3 * c_pts, n_acc)
-
-
 def finish_schur(acc: jax.Array, nf: int) -> tuple[jax.Array, jax.Array]:
     """Mirror the accumulated lower tiles; split ((9 Fp, 9 Fp) type-major
     sum F^T Einv F, rhs b_p (9 Fp,))."""
