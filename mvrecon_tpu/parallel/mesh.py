@@ -33,6 +33,43 @@ def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
     return Mesh(arr, tuple(axis_sizes.keys()))
 
 
+def hybrid_scene_point_mesh(
+    n_slices: int, devices=None, axes: tuple[str, str] = ("scenes", "points")
+) -> Mesh:
+    """Multi-slice (DCN x ICI) mesh: the outer axis spans TPU slices over
+    the data-center network, the inner axis stays within each slice on ICI.
+
+    The framework's communication pattern makes this split safe by
+    construction: the ``scenes`` axis is collectives-free data parallelism
+    (independent reconstructions, no cross-scene reduction anywhere), so
+    the slow DCN hop carries zero traffic during optimization; the
+    per-retry ``psum`` of camera-side Schur accumulations
+    (``sharded_ba.py``) rides ICI only. Mapping ``points`` across slices
+    instead would put one (9F, 9F) all-reduce per LM retry on DCN — never
+    do that; this helper exists so the fast axis assignment is the default.
+
+    On multi-slice TPU hardware the physical slice structure is read from
+    the devices' ``slice_index`` (via ``mesh_utils.create_hybrid_device_mesh``);
+    elsewhere (single slice, CPU) devices are grouped row-major so the
+    mesh shape — and every program compiled over it — is identical.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) % n_slices:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {n_slices} slices"
+        )
+    per_slice = len(devices) // n_slices
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (n_slices, 1), devices=devices
+        )
+    except (ValueError, AttributeError, ImportError):
+        arr = np.asarray(devices).reshape(n_slices, per_slice)
+    return Mesh(arr, axes)
+
+
 def scene_point_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """2D (scenes, points) mesh over ``n_devices``: scenes gets the largest
     power-of-two factor <= sqrt(n), points the rest. For 8 devices this is

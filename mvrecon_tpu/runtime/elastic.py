@@ -25,7 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import LMConfig
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import checkpoint_backend
 
 
 def run_with_retries(
@@ -64,15 +64,19 @@ def resumable_bundle_adjust(
     axis: str = "x-right_z-forward",
     config: LMConfig = LMConfig(),
     chunk_size: int = 768,
+    backend: str = "npz",
 ):
     """Chunked BA in checkpointed segments; safe to kill and re-invoke.
 
     If ``checkpoint_path`` exists, optimization resumes from its saved
     (X, K, R, t, c, nu, done) instead of ``init_*``. Returns the final
     BAResult plus the number of iterations actually run in this process.
+    ``backend`` selects the persistence format: "npz" (single file) or
+    "orbax" (checkpoint directory; see ``runtime/checkpoint.py``).
     """
     from ..models.bundle_adjustment_chunked import bundle_adjust_chunked
 
+    save_ckpt, load_ckpt, ckpt_exists = checkpoint_backend(backend)
     state = {
         "X": np.asarray(init_X),
         "K": np.asarray(init_K),
@@ -82,8 +86,8 @@ def resumable_bundle_adjust(
         "nu": np.asarray(2.0, np.float64),
     }
     done = 0
-    if os.path.exists(checkpoint_path):
-        state, step = load_checkpoint(checkpoint_path, state)
+    if ckpt_exists(checkpoint_path):
+        state, step = load_ckpt(checkpoint_path, state)
         state = {k: np.asarray(v) for k, v in state.items()}
         done = int(step or 0)
 
@@ -118,7 +122,7 @@ def resumable_bundle_adjust(
             "c": np.asarray(res.log["c"], np.float64),
             "nu": np.asarray(res.log["nu"], np.float64),
         }
-        save_checkpoint(checkpoint_path, state, step=done)
+        save_ckpt(checkpoint_path, state, step=done)
         if n < seg:
             break  # converged (delta_tol) or gracefully stopped
     return res, ran_here

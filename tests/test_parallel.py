@@ -8,7 +8,11 @@ import pytest
 
 from mvrecon_tpu.config import LMConfig
 from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
-from mvrecon_tpu.parallel.mesh import make_mesh, scene_point_mesh
+from mvrecon_tpu.parallel.mesh import (
+    hybrid_scene_point_mesh,
+    make_mesh,
+    scene_point_mesh,
+)
 from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
 from mvrecon_tpu.parallel.batched import (
     batched_affine_reconstruction,
@@ -24,6 +28,36 @@ def test_mesh_helpers():
     assert mesh.shape["scenes"] * mesh.shape["points"] == 8
     mesh2 = make_mesh({"points": 4})
     assert mesh2.shape["points"] == 4
+
+
+def test_hybrid_mesh_shape_and_fallback():
+    """On devices with no slice structure (CPU) the hybrid helper groups
+    row-major; shape and axis names match the multi-slice TPU layout."""
+    mesh = hybrid_scene_point_mesh(2)
+    assert mesh.shape == {"scenes": 2, "points": 4}
+    with pytest.raises(ValueError, match="slices"):
+        hybrid_scene_point_mesh(3)
+
+
+def test_hybrid_mesh_point_sharded_ba(ba_problem):
+    """Point-sharded BA on the 2-slice hybrid mesh (scenes axis idle /
+    replicated — the DCN axis carries no optimization traffic) must match
+    single-device BA, like the 1D-mesh test above."""
+    x, X_, K_, R_, t_ = ba_problem
+    config = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=6)
+    res_single = bundle_adjust(
+        x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward", config=config
+    )
+    mesh = hybrid_scene_point_mesh(2)
+    res_sharded = sharded_bundle_adjust(
+        mesh, x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward", config=config
+    )
+    np.testing.assert_allclose(
+        float(res_sharded.error), float(res_single.error), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.X), np.asarray(res_single.X), atol=1e-7
+    )
 
 
 @pytest.fixture(scope="module")

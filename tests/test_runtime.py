@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mvrecon_tpu.config import LMConfig
@@ -83,6 +84,67 @@ def test_device_log_records(ref, quiet):
     assert (np.diff(curve) <= 1e-12).all()
     text = format_convergence(log, n)
     assert "Iteration 1" in text
+
+def test_checkpoint_orbax_roundtrip(tmp_path, ref, quiet):
+    from mvrecon_tpu.runtime.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    x, state, vis, free = _ba_inputs(ref, quiet)
+    path = os.path.join(tmp_path, "orbax_ckpt")
+    save_checkpoint_orbax(path, state, step=7)
+    restored, step = load_checkpoint_orbax(path, state)
+    assert step == 7
+    for a, b in zip(state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # overwrite + structure-mismatch rejection
+    save_checkpoint_orbax(path, state, step=9)
+    _, step = load_checkpoint_orbax(path, state)
+    assert step == 9
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_checkpoint_orbax(path, {"only": np.zeros(3)})
+
+
+def test_resumable_ba_orbax_backend(tmp_path):
+    """resumable_bundle_adjust with backend='orbax' resumes mid-run from
+    the orbax directory exactly like the npz backend (same scene setup as
+    the crash-survival test in test_fault_injection.py)."""
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.runtime.elastic import resumable_bundle_adjust
+
+    scene = make_synthetic_scene(jax.random.key(2), n_images=12)
+    X_ = scene.X + 0.02 * jax.random.normal(
+        jax.random.key(3), scene.X.shape, scene.X.dtype
+    )
+    xj = scene.x.transpose(1, 0, 2)
+    cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=99)
+    path = os.path.join(tmp_path, "orbax_resume")
+
+    full, n_full = resumable_bundle_adjust(
+        xj, X_, scene.K, scene.R, scene.t,
+        checkpoint_path=os.path.join(tmp_path, "full"), total_iters=6,
+        segment_iters=6, axis="x-up_z-forward", config=cfg, chunk_size=64,
+    )
+    part1, n1 = resumable_bundle_adjust(
+        xj, X_, scene.K, scene.R, scene.t,
+        checkpoint_path=path, total_iters=3, segment_iters=3,
+        axis="x-up_z-forward", config=cfg, chunk_size=64, backend="orbax",
+    )
+    assert n1 == 3 and os.path.isdir(path)
+    part2, n2 = resumable_bundle_adjust(
+        xj, X_, scene.K, scene.R, scene.t,
+        checkpoint_path=path, total_iters=6, segment_iters=3,
+        axis="x-up_z-forward", config=cfg, chunk_size=64, backend="orbax",
+    )
+    assert n2 == 3
+    np.testing.assert_allclose(float(part2.error), float(full.error), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(part2.X), np.asarray(full.X), atol=1e-9
+    )
+
 
 def test_checkpoint_treedef_mismatch_rejected(tmp_path):
     """Same leaf count but different tree structure must be refused."""
