@@ -58,6 +58,17 @@ TILE = 512
 
 _MODE = os.environ.get("MVRECON_FUSED_SCHUR", "1")
 
+# Measured dead end (2026-08-16, do not retry blindly): dropping the
+# generation contractions below to one-pass DEFAULT looks free — their
+# products feed a bf16 Y anyway — but costs more than it saves. With
+# al/yd (the damped L^-1 factors) at DEFAULT the north star went from
+# 12 retries / 4.86 s to 16 retries / 5.4 s at 100k x 1000: linv bakes
+# the damping into Y, and a bf16 pass there perturbs the effective
+# damping enough to degrade LM step quality. d_F/matG at DEFAULT add
+# rejected steps through the rhs and the Nielsen gain-ratio controller.
+# The bf16 *output* cast of Y is fine (errors average out in the f32
+# SYRK accumulation); bf16 *inputs* to the damped factors are not.
+
 
 def use_fused_schur(dtype) -> bool:
     """The fused path runs for f32 on TPU (or anywhere in interpret mode)."""
@@ -270,7 +281,8 @@ def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
         + jnp.einsum("pf,ipf,jpf->fij", vis_d, b2, b2, precision=HIGHEST)
     )
 
-    # damped Y and the accumulated product
+    # damped Y and the accumulated product (the einsums below have no
+    # contracted index — they are broadcast multiplies; precision is moot)
     y = (jnp.einsum("xpf,jpf->xpjf", al1, b1, precision=HIGHEST)
          + jnp.einsum("xpf,jpf->xpjf", al2, b2, precision=HIGHEST))
     y = y.astype(jnp.bfloat16)

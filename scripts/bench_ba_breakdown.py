@@ -23,8 +23,10 @@ from mvrecon_tpu.models.bundle_adjustment import BAState, gauge_mask, normalize_
 from mvrecon_tpu.models.bundle_adjustment_chunked import (
     _backsub_and_trial,
     _build_system,
+    _build_system_fused,
     _chunked,
 )
+from mvrecon_tpu.ops.pallas_schur import use_fused_schur
 
 
 def timed(name, fn, *args, n=3):
@@ -80,6 +82,27 @@ def main():
     )
     a, b, e, _ = timed("build_system scan", build, cam, X_ch, x_ch, vis_ch, c)
     print(f"  E={float(np.asarray(e)):.4e}")
+
+    if use_fused_schur(dtype):
+        build_f = jax.jit(
+            lambda cam, X_ch, x_ch, vis_ch, c: _build_system_fused(
+                cam, X_ch, x_ch, vis_ch, free, 1.0, c
+            )[:3]
+        )
+        a_f, b_f, e_f = timed(
+            "build_system FUSED scan", build_f, cam, X_ch, x_ch, vis_ch, c
+        )
+        print(f"  E={float(np.asarray(e_f)):.4e}")
+
+        def solve_f(a, b):
+            import jax.scipy.linalg as jsl
+
+            return jsl.cho_solve(jsl.cho_factor(a), b)
+
+        timed(
+            "camera solve FUSED layout (Cholesky, padded type-major)",
+            jax.jit(solve_f), jnp.asarray(a_f), jnp.asarray(b_f),
+        )
 
     a_j, b_j = jnp.asarray(a), jnp.asarray(b)
     solve_lu = jax.jit(lambda a, b: jnp.linalg.solve(a, b))

@@ -6,12 +6,18 @@ bench.py's reference-comparable headline.
 
 Usage: [MVRECON_PRECISION=default] python scripts/bench_northstar.py \
             [n_points] [n_views] [n_iters] [chunk] [accept_div] [delta_tol]
-            [init_c] [scale] [damping] [checkpoint_every]
+            [init_c] [scale] [damping] [checkpoint_every] [watchdog_s]
 
 With ``checkpoint_every`` > 0 the run is segmented: every N LM iterations
 the (X, K, R, t, c, nu) state is checkpointed host-side
 (``runtime.checkpoint``) and the next segment resumes from it — the
 long-run resilience story for the 100k+-point regime.
+
+With ``watchdog_s`` > 0 a progress watchdog (``runtime.watchdog``) is
+armed: if the device backend wedges (e.g. a dead TPU tunnel) and no
+segment completes within the deadline, the process dumps thread stacks
+and exits 124 so a supervising loop can restart it; a restarted
+segmented run resumes from the latest checkpoint.
 """
 
 import sys
@@ -44,6 +50,7 @@ def main():
     scale = float(sys.argv[8]) if len(sys.argv) > 8 else 2.0
     damping = sys.argv[9] if len(sys.argv) > 9 else "reference"
     ckpt_every = int(sys.argv[10]) if len(sys.argv) > 10 else 0
+    watchdog_s = float(sys.argv[11]) if len(sys.argv) > 11 else 0.0
 
     dtype = jnp.float32
     key = jax.random.key(0)
@@ -63,6 +70,10 @@ def main():
                       accept_divisor=accept_div, init_damping=init_c,
                       damping=damping)
 
+    from mvrecon_tpu.runtime.watchdog import Watchdog
+
+    dog = Watchdog(watchdog_s).start() if watchdog_s > 0 else None
+
     def run():
         if not ckpt_every:
             res = bundle_adjust_chunked(
@@ -70,6 +81,8 @@ def main():
                 f0=1.0, axis="x-up_z-forward", config=config, chunk_size=chunk,
             )
             err = float(res.error)  # host round-trip = real completion
+            if dog is not None:
+                dog.pet()
             return res, err
         # segmented run with periodic host-side checkpoints
         seg_cfg = LMConfig(scale_factor=scale, delta_tol=delta_tol,
@@ -94,6 +107,8 @@ def main():
             )
             print(f"  checkpoint at iter {done}: E={float(res.error):.6e}",
                   flush=True)
+            if dog is not None:
+                dog.pet()
         return res, float(res.error)
 
     t_start = time.perf_counter()
@@ -113,6 +128,8 @@ def main():
         f"retries={int(res.log['n_solver_retries'])}",
         flush=True,
     )
+    if dog is not None:
+        dog.stop()
 
 
 if __name__ == "__main__":

@@ -168,3 +168,48 @@ def test_run_with_retries():
     with pytest.raises(RuntimeError):
         run_with_retries(lambda: (_ for _ in ()).throw(RuntimeError("x")),
                          max_attempts=2, backoff_s=0.0)
+
+
+def test_watchdog_fires_on_stall_and_not_on_progress():
+    """The progress watchdog must fire when nothing pets it within the
+    deadline (simulated wedged device call) and stay silent while progress
+    is reported. on_timeout is overridden — the production default would
+    dump stacks and exit 124."""
+    import time
+
+    from mvrecon_tpu.runtime.watchdog import Watchdog
+
+    fired = []
+    with Watchdog(timeout_s=0.2, on_timeout=lambda e: fired.append(e),
+                  poll_s=0.05) as dog:
+        time.sleep(0.6)  # the "wedge": no pet within the deadline
+    assert dog.fired and len(fired) == 1 and fired[0] >= 0.2
+
+    fired2 = []
+    with Watchdog(timeout_s=0.5, on_timeout=lambda e: fired2.append(e),
+                  poll_s=0.05) as dog2:
+        for _ in range(4):
+            time.sleep(0.2)
+            dog2.pet()  # steady progress: deadline never elapses
+    assert not dog2.fired and not fired2
+
+
+def test_watchdog_aborts_wedged_process():
+    """End-to-end: a subprocess whose 'device call' never returns is
+    killed by the watchdog with exit code 124 (the resume signal for a
+    supervising loop)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "from mvrecon_tpu.runtime.watchdog import Watchdog\n"
+        "import time\n"
+        "with Watchdog(timeout_s=0.3, poll_s=0.05):\n"
+        "    time.sleep(30)\n"  # wedged forever (relative to the deadline)
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, timeout=20,
+        text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 124
+    assert "watchdog" in proc.stderr
