@@ -53,10 +53,26 @@ from .sharded_ba import POINTS_AXIS, pad_points
 CAMERAS_AXIS = "cameras"
 
 
-def _row_sharded_cg_solver(cg_tol: float = 1e-10, cg_max_iter: int = 200):
+def _row_sharded_cg_solver(
+    cg_tol: float = 1e-10, cg_max_iter: int = 200,
+    matvec_mode: str = "all_gather",
+):
     """Build a ``lm_optimize(solver=...)`` hook: cameras-row-sharded Schur
     assembly + preconditioned CG. Must run inside a shard_map spanning
-    both POINTS_AXIS and CAMERAS_AXIS."""
+    both POINTS_AXIS and CAMERAS_AXIS.
+
+    ``matvec_mode`` selects the cameras-axis collective per CG iteration:
+
+    - ``"all_gather"`` — each device computes its row block's product and
+      all-gathers the (9F,) result; CG state is replicated.
+    - ``"ring"`` — CG state stays *sharded* (n_rows per device); the
+      matvec rotates vector shards around the cameras axis with
+      ``ppermute``, multiplying the matching (n_rows, n_rows) column
+      block of the local rows at each step. Same total bytes on the
+      wire, but transfers overlap the local GEMV blocks and no device
+      ever materializes the full vector — the scalable choice for
+      F >> 10k (9F-sized vectors stop being "small").
+    """
 
     def solve(derivs, c, free, axis_name):
         npts = derivs.matE.shape[0]
@@ -119,42 +135,102 @@ def _row_sharded_cg_solver(cg_tol: float = 1e-10, cg_max_iter: int = 200):
 
         # Jacobi preconditioner from the assembled diagonal.
         diag_local = a_rows[jnp.arange(n_rows), row0 + jnp.arange(n_rows)]
-        diag = jax.lax.all_gather(diag_local, CAMERAS_AXIS, tiled=True)
-        inv_diag = 1.0 / diag
 
-        def matvec(v):
-            lv = jnp.einsum("mn,n->m", a_rows, v, precision=HIGHEST)
-            return jax.lax.all_gather(lv, CAMERAS_AXIS, tiled=True)
+        if matvec_mode == "ring":
+            # Fully sharded PCG: every state vector is the local
+            # (n_rows,) shard; scalar reductions psum over the cameras
+            # axis; the matvec walks the ring.
+            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
-        # Preconditioned CG on the SPD damped system. The carry is
-        # device-varying over the cameras axis (axis_index taints the row
-        # block) even though its values are replicated — pcast the init.
-        x0, r0 = _vary((jnp.zeros_like(b), b), CAMERAS_AXIS)
-        z0 = inv_diag * r0
-        p0 = z0
-        rz0 = jnp.vdot(r0, z0)
-        b_norm = jnp.linalg.norm(b)
-        tol2 = (cg_tol * b_norm) ** 2
+            def matvec_l(p_l):
+                def step(carry, k):
+                    acc, v_rot = carry
+                    src = jnp.mod(dc - k, n_shards)  # owner of v_rot
+                    col0 = (src * n_rows).astype(jnp.int32)
+                    a_blk = jax.lax.dynamic_slice(
+                        a_rows, (zero, col0), (n_rows, n_rows)
+                    )
+                    acc = acc + jnp.einsum(
+                        "mn,n->m", a_blk, v_rot, precision=HIGHEST
+                    )
+                    v_rot = jax.lax.ppermute(v_rot, CAMERAS_AXIS, perm)
+                    return (acc, v_rot), None
 
-        def cond(carry):
-            _, r, _, _, _, k = carry
-            return (jnp.vdot(r, r) > tol2) & (k < cg_max_iter)
+                (acc, _), _ = jax.lax.scan(
+                    step, (jnp.zeros_like(p_l), p_l),
+                    jnp.arange(n_shards),
+                )
+                return acc
 
-        def body(carry):
-            xk, r, z, p, rz, k = carry
-            ap = matvec(p)
-            alpha = rz / jnp.vdot(p, ap)
-            xk = xk + alpha * p
-            r = r - alpha * ap
-            z = inv_diag * r
-            rz_new = jnp.vdot(r, z)
-            p = z + (rz_new / rz) * p
-            return xk, r, z, p, rz_new, k + 1
+            def pdot(u, v):
+                return jax.lax.psum(jnp.vdot(u, v), CAMERAS_AXIS)
 
-        delta_xi, _, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0))
-        )
-        delta_xi = delta_xi * free
+            b_l = jax.lax.dynamic_slice(b, (row0,), (n_rows,))
+            inv_diag_l = 1.0 / diag_local
+            x0, r0 = jnp.zeros_like(b_l), b_l
+            z0 = inv_diag_l * r0
+            rz0 = pdot(r0, z0)
+            rr0 = pdot(r0, r0)
+            tol2 = cg_tol**2 * pdot(b_l, b_l)
+
+            def cond(carry):
+                _, _, _, _, rr, k = carry
+                return (rr > tol2) & (k < cg_max_iter)
+
+            def body(carry):
+                xk, r, p, rz, _, k = carry
+                ap = matvec_l(p)
+                alpha = rz / pdot(p, ap)
+                xk = xk + alpha * p
+                r = r - alpha * ap
+                z = inv_diag_l * r
+                rz_new = pdot(r, z)
+                p = z + (rz_new / rz) * p
+                return xk, r, p, rz_new, pdot(r, r), k + 1
+
+            x_l, _, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, rz0, rr0, jnp.asarray(0))
+            )
+            delta_xi = jax.lax.all_gather(x_l, CAMERAS_AXIS, tiled=True)
+            delta_xi = delta_xi * free
+        else:
+            diag = jax.lax.all_gather(diag_local, CAMERAS_AXIS, tiled=True)
+            inv_diag = 1.0 / diag
+
+            def matvec(v):
+                lv = jnp.einsum("mn,n->m", a_rows, v, precision=HIGHEST)
+                return jax.lax.all_gather(lv, CAMERAS_AXIS, tiled=True)
+
+            # Preconditioned CG on the SPD damped system. The carry is
+            # device-varying over the cameras axis (axis_index taints the
+            # row block) even though its values are replicated — pcast
+            # the init.
+            x0, r0 = _vary((jnp.zeros_like(b), b), CAMERAS_AXIS)
+            z0 = inv_diag * r0
+            p0 = z0
+            rz0 = jnp.vdot(r0, z0)
+            b_norm = jnp.linalg.norm(b)
+            tol2 = (cg_tol * b_norm) ** 2
+
+            def cond(carry):
+                _, r, _, _, _, k = carry
+                return (jnp.vdot(r, r) > tol2) & (k < cg_max_iter)
+
+            def body(carry):
+                xk, r, z, p, rz, k = carry
+                ap = matvec(p)
+                alpha = rz / jnp.vdot(p, ap)
+                xk = xk + alpha * p
+                r = r - alpha * ap
+                z = inv_diag * r
+                rz_new = jnp.vdot(r, z)
+                p = z + (rz_new / rz) * p
+                return xk, r, z, p, rz_new, k + 1
+
+            delta_xi, _, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0))
+            )
+            delta_xi = delta_xi * free
 
         rhs = jnp.einsum("pxm,m->px", derivs.matF, delta_xi, precision=HIGHEST)
         rhs = rhs + derivs.d_P
@@ -172,7 +248,10 @@ def _row_sharded_cg_solver(cg_tol: float = 1e-10, cg_max_iter: int = 200):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "f0", "axis", "config", "cg_tol", "cg_max_iter"),
+    static_argnames=(
+        "mesh", "f0", "axis", "config", "cg_tol", "cg_max_iter",
+        "matvec_mode",
+    ),
 )
 def sharded_bundle_adjust_2d(
     mesh: Mesh,
@@ -187,10 +266,13 @@ def sharded_bundle_adjust_2d(
     config: LMConfig = LMConfig(),
     cg_tol: float = 1e-10,
     cg_max_iter: int = 200,
+    matvec_mode: str = "all_gather",
 ) -> BAResult:
     """Bundle adjustment over a 2D (points, cameras) mesh: P sharded over
     ``points``, the reduced camera system row-sharded over ``cameras``
-    with a CG solve. F must be divisible by the cameras-axis size."""
+    with a CG solve (``matvec_mode="ring"`` keeps the CG state sharded
+    and rotates vector shards with ppermute — see the solver docstring).
+    F must be divisible by the cameras-axis size."""
     dt = x.dtype
     npts, nf, _ = x.shape
     if nf % mesh.shape[CAMERAS_AXIS] != 0:
@@ -208,7 +290,9 @@ def sharded_bundle_adjust_2d(
 
     X0, R0, t0, info = normalize_gauge(X_p, init_R, init_t, axis)
     free = gauge_mask(nf, axis, dt)
-    solver = _row_sharded_cg_solver(cg_tol=cg_tol, cg_max_iter=cg_max_iter)
+    solver = _row_sharded_cg_solver(
+        cg_tol=cg_tol, cg_max_iter=cg_max_iter, matvec_mode=matvec_mode
+    )
 
     def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r):
         st0 = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)

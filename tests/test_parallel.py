@@ -270,6 +270,21 @@ def test_2d_mesh_ba_matches_1d_sharded(ba_problem):
     np.testing.assert_allclose(np.asarray(res_2d.K), np.asarray(res_1d.K), atol=1e-6)
     np.testing.assert_allclose(np.asarray(res_2d.R), np.asarray(res_1d.R), atol=1e-6)
 
+    # ring matvec (sharded CG state + ppermute rotation) == all_gather CG
+    res_ring = sharded_bundle_adjust_2d(
+        mesh2, x, X_, K_, R_, t_, f0=1.0, axis="x-up_z-forward",
+        config=config, cg_tol=1e-12, matvec_mode="ring",
+    )
+    np.testing.assert_allclose(
+        float(res_ring.error), float(res_2d.error), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_ring.X), np.asarray(res_2d.X), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_ring.R), np.asarray(res_2d.R), atol=1e-7
+    )
+
 
 def test_2d_mesh_rejects_indivisible_f(ba_problem):
     from mvrecon_tpu.parallel.sharded_ba_2d import sharded_bundle_adjust_2d
