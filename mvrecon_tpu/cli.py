@@ -42,7 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="mvrecon_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
+    shard_help = (
+        "shard the points axis over N devices (points mesh; calibration + "
+        "BA run end-to-end sharded; P must be divisible by N)"
+    )
     p_eucl = sub.add_parser("euclidean", help="perspective self-calibration + BA")
+    p_eucl.add_argument("--shard-points", type=int, default=0, metavar="N",
+                        help=shard_help)
     _common(p_eucl)
     p_eucl.add_argument("--n-images", type=int, default=10)
     p_eucl.add_argument("--method", choices=["primary", "dual"], default="dual")
@@ -72,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _common(p_rec)
     p_rec.add_argument("input", type=str, help=".npz with x (F, P, 2) [+ visibility, f]")
+    p_rec.add_argument("--shard-points", type=int, default=0, metavar="N",
+                       help=shard_help + " (euclidean pipeline only)")
     p_rec.add_argument("--output", type=str, default=None, help="write result .npz here")
     p_rec.add_argument(
         "--pipeline", choices=["euclidean", "affine"], default="euclidean"
@@ -134,12 +142,23 @@ def main(argv=None) -> None:
             f0=args.f0, noise=args.noise, dtype=dtype,
         )
         if args.command == "euclidean":
-            from .models.pipelines import euclidean_reconstruction
+            if getattr(args, "shard_points", 0) > 0:
+                from .parallel.mesh import make_mesh
+                from .parallel.pipelines import sharded_euclidean_reconstruction
 
-            res = euclidean_reconstruction(
-                scene.x, f0=args.f0, tol=args.tol, method=args.method,
-                config=config, eig_method=args.eig_method,
-            )
+                mesh = make_mesh({"points": args.shard_points})
+                res = sharded_euclidean_reconstruction(
+                    mesh, scene.x, f0=args.f0, tol=args.tol,
+                    method=args.method, config=config,
+                )
+                out["shard_points"] = args.shard_points
+            else:
+                from .models.pipelines import euclidean_reconstruction
+
+                res = euclidean_reconstruction(
+                    scene.x, f0=args.f0, tol=args.tol, method=args.method,
+                    config=config, eig_method=args.eig_method,
+                )
         else:
             from .models.pipelines import affine_reconstruction
 
@@ -174,12 +193,23 @@ def main(argv=None) -> None:
             visibility = jnp.asarray(data["visibility"], dtype=dtype)
             out["n_visible"] = int(np.asarray(data["visibility"]).sum())
         if args.pipeline == "euclidean":
-            from .models.pipelines import euclidean_reconstruction
+            if getattr(args, "shard_points", 0) > 0:
+                from .parallel.mesh import make_mesh
+                from .parallel.pipelines import sharded_euclidean_reconstruction
 
-            res = euclidean_reconstruction(
-                x, f0=float(data.get("f0", args.f0)), tol=args.tol,
-                method=args.method, config=config, visibility=visibility,
-            )
+                mesh = make_mesh({"points": args.shard_points})
+                res = sharded_euclidean_reconstruction(
+                    mesh, x, f0=float(data.get("f0", args.f0)), tol=args.tol,
+                    method=args.method, config=config, visibility=visibility,
+                )
+                out["shard_points"] = args.shard_points
+            else:
+                from .models.pipelines import euclidean_reconstruction
+
+                res = euclidean_reconstruction(
+                    x, f0=float(data.get("f0", args.f0)), tol=args.tol,
+                    method=args.method, config=config, visibility=visibility,
+                )
         else:
             from .models.pipelines import affine_reconstruction
 

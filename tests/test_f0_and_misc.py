@@ -239,3 +239,15 @@ def test_cli_profile_writes_trace(tmp_path, capsys):
         raw = open(fp, "rb").read()
         blob += gzip.decompress(raw) if fp.endswith(".gz") else raw
     assert b"perspective_self_calibration" in blob or b"bundle_adjustment" in blob
+
+
+def test_cli_euclidean_shard_points(capsys):
+    """--shard-points N runs the end-to-end sharded pipeline from the CLI
+    (4-way points mesh on the virtual-device test fixture)."""
+    from mvrecon_tpu.cli import main
+
+    main(["euclidean", "--n-images", "6", "--max-iter", "8", "--float64",
+          "--shard-points", "4"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["status"] == 0 and rec["shard_points"] == 4
+    assert np.isfinite(rec["reprojection_error"])

@@ -293,3 +293,33 @@ def test_2d_mesh_rejects_indivisible_f(ba_problem):
     mesh = make_mesh({"points": 1, "cameras": 8})
     with pytest.raises(ValueError, match="divisible"):
         sharded_bundle_adjust_2d(mesh, x, X_, K_, R_, t_)
+
+
+def test_sharded_euclidean_pipeline_matches_single_device(ref):
+    """End-to-end points-sharded pipeline (sharded calibration -> sharded
+    BA, no single-device gather of the cloud in between) must match the
+    single-device euclidean pipeline."""
+    from mvrecon_tpu.models.pipelines import euclidean_reconstruction
+    from mvrecon_tpu.parallel.pipelines import sharded_euclidean_reconstruction
+
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=8)
+    x = jnp.asarray(np.stack(x_list))  # (F, P, 2), P = 200
+    config = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=12)
+
+    res_single = euclidean_reconstruction(
+        x, f0=1.0, tol=1e-2, method="dual", config=config
+    )
+    mesh = make_mesh({"points": 4})
+    res_sharded = sharded_euclidean_reconstruction(
+        mesh, x, f0=1.0, tol=1e-2, method="dual", config=config
+    )
+    assert int(res_sharded.status) == 0
+    np.testing.assert_allclose(
+        float(res_sharded.error), float(res_single.error), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.X), np.asarray(res_single.X), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.R), np.asarray(res_single.R), atol=1e-7
+    )
