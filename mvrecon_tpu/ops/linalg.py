@@ -140,6 +140,136 @@ def inv_lower3(l: jax.Array) -> jax.Array:
     )
 
 
+def _round_robin_pairs(n: int):
+    """Static round-robin (circle method) pairings: n-1 rounds of n/2
+    disjoint pairs covering all index pairs exactly once per sweep.
+    ``n`` must be even."""
+    idx = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        rounds.append([(min(idx[i], idx[n - 1 - i]), max(idx[i], idx[n - 1 - i]))
+                       for i in range(n // 2)])
+        idx = [idx[0]] + [idx[-1]] + idx[1:-1]  # rotate all but the first
+    return rounds
+
+
+def jacobi_eigh(
+    a: jax.Array, max_sweeps: int = 15
+) -> tuple[jax.Array, jax.Array]:
+    """Batched symmetric eigendecomposition for small n via two-sided
+    cyclic Jacobi with parallel round-robin orderings — pure XLA
+    (elementwise ops + static gathers), no LAPACK-style custom call.
+
+    TPU rationale: ``jnp.linalg.eigh`` on a (3200, 12, 12) batch lowers
+    to a blocked custom call that is *latency*-bound at tiny n (measured
+    ~54 ms per call in the batched pipeline); a Jacobi sweep applies all
+    n/2 disjoint rotations of a round simultaneously across the whole
+    batch as fused VPU math. Quadratic convergence: ``max_sweeps``
+    defaults far beyond what n <= 16 needs; an off(A)-based early exit
+    stops typical batches after 5-8 sweeps. Exact to fp — same contract
+    as ``eigh`` (ascending eigenvalues, ``v[..., :, k]`` the k-th
+    eigenvector), eigenvector signs unspecified as usual.
+    """
+    n = a.shape[-1]
+    dt = a.dtype
+    odd = n % 2
+    if odd:
+        # decoupled padding index: its off-diagonals are zero and stay
+        # zero under every rotation (angle 0), so the extra eigenpair
+        # never mixes and is dropped before sorting
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, 1), (0, 1)])
+    m = n + odd
+    eps = jnp.finfo(dt).eps
+    # zeros_like keeps `a`'s device-variance type so the while/scan
+    # carries stay consistent under shard_map
+    v0 = jnp.zeros_like(a) + jnp.eye(m, dtype=dt)
+
+    # Static per-round tables: partner permutation + "am I the smaller
+    # (p) member of my pair" mask, stacked so a traced round index works.
+    perm_rows, pmask_rows = [], []
+    for prs in _round_robin_pairs(m):
+        part = [0] * m
+        pmask = [0.0] * m
+        for (p, q) in prs:
+            part[p], part[q] = q, p
+            pmask[p] = 1.0
+        perm_rows.append(part)
+        pmask_rows.append(pmask)
+    perms_arr = jnp.asarray(perm_rows)  # (R, m) int
+    pmask_arr = jnp.asarray(pmask_rows, dtype=dt)  # (R, m) 1.0 at p
+
+    def one_round(av, r):
+        a_cur, v_cur = av
+        perm = perms_arr[r]
+        pmask = pmask_arr[r]
+
+        diag = jnp.diagonal(a_cur, axis1=-2, axis2=-1)  # (..., m)
+        # A[..., i, perm[i]] — the pair's off-diagonal entry seen from i
+        idx = jnp.broadcast_to(perm[:, None], a_cur.shape[:-1] + (1,))
+        apq = jnp.take_along_axis(a_cur, idx, axis=-1)[..., 0]
+        app = diag
+        aqq = diag[..., perm]
+        small = jnp.abs(apq) <= eps * (jnp.abs(app) + jnp.abs(aqq) + eps)
+        tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+        # classic stable tangent; sign(0) := +1 so tau = 0 gives the
+        # exact 45-degree rotation instead of a no-op
+        sgn_tau = jnp.where(tau >= 0, 1.0, -1.0).astype(dt)
+        t = sgn_tau / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(small, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        # both members of a pair use the p-member's (c, s)
+        c_pair = pmask * c + (1.0 - pmask) * c[..., perm]
+        s_pair = pmask * s + (1.0 - pmask) * s[..., perm]
+        sgn = 1.0 - 2.0 * pmask  # -1 at p, +1 at q
+
+        # rows:    row_p' = c row_p - s row_q ; row_q' = s row_p + c row_q
+        a_rows = (
+            c_pair[..., :, None] * a_cur
+            + (sgn * s_pair)[..., :, None] * a_cur[..., perm, :]
+        )
+        # columns: col_p' = c col_p - s col_q ; col_q' = s col_p + c col_q
+        a_new = (
+            c_pair[..., None, :] * a_rows
+            + (sgn * s_pair)[..., None, :] * a_rows[..., :, perm]
+        )
+        v_new = (
+            c_pair[..., None, :] * v_cur
+            + (sgn * s_pair)[..., None, :] * v_cur[..., :, perm]
+        )
+        a_new = 0.5 * (a_new + jnp.swapaxes(a_new, -1, -2))
+        return (a_new, v_new), None
+
+    n_rounds = perms_arr.shape[0]
+
+    def sweep(carry):
+        a_cur, v_cur, k = carry
+        (a_cur, v_cur), _ = jax.lax.scan(
+            one_round, (a_cur, v_cur), jnp.arange(n_rounds)
+        )
+        return a_cur, v_cur, k + 1
+
+    def not_converged(carry):
+        a_cur, _, k = carry
+        diag = jnp.diagonal(a_cur, axis1=-2, axis2=-1)
+        off = a_cur - diag[..., None] * jnp.eye(m, dtype=dt)
+        num = jnp.sum(off * off, axis=(-2, -1))
+        den = jnp.sum(a_cur * a_cur, axis=(-2, -1)) + eps
+        return (jnp.max(num / den) > (10 * eps) ** 2) & (k < max_sweeps)
+
+    a_f, v_f, _ = jax.lax.while_loop(
+        not_converged, sweep, (a, v0, jnp.asarray(0))
+    )
+    w = jnp.diagonal(a_f, axis1=-2, axis2=-1)
+    if odd:
+        w = w[..., :n]
+        v_f = v_f[..., :n, :n]
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    v_f = jnp.take_along_axis(v_f, order[..., None, :], axis=-1)
+    return w, v_f
+
+
 def blockdiag_scatter(blocks: jax.Array) -> jax.Array:
     """(F, K, K) -> (F*K, F*K) block-diagonal matrix, statically shaped.
 

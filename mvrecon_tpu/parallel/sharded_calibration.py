@@ -36,6 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import HIGHEST
 from ..models.bundle_adjustment import _psum
 from ..models.bundle_adjustment_chunked import _vary
+from ..ops.linalg import jacobi_eigh
 from ..models.perspective import (
     CalibrationResult,
     STATUS_MAX_ITER,
@@ -122,7 +123,7 @@ def _depth_step_dual_sharded(xh_l, z_l, f0, n_total, axis_name):
     y = y.reshape(nf, 12, npts_l).transpose(0, 2, 1)  # (F, Pl, 12)
 
     gram = _psum(jnp.einsum("fna,fnb->fab", y, y, precision=HIGHEST), axis_name)
-    _, vecs = jnp.linalg.eigh(gram)
+    _, vecs = jacobi_eigh(gram)  # pure-XLA tiny-batch eigh (see ops/linalg.py)
     xi_t = jnp.einsum("fna,fa->fn", y, vecs[..., -1], precision=HIGHEST)
     xi_t = xi_t / jnp.sqrt(
         _psum(jnp.sum(xi_t * xi_t, axis=-1), axis_name)

@@ -42,7 +42,11 @@ def main():
     )  # (S, F, P, 2)
     print("scenes ready", x.shape, flush=True)
 
-    config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=ba_iters)
+    # Nielsen damping: see bench.py::bench_batched for the measured win
+    config = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=ba_iters,
+        accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+    )
 
     def run():
         res = batched_euclidean_reconstruction(

@@ -135,3 +135,39 @@ def test_sym_reduce_quadratic_form_identity():
     # note: bcal flat index is [3i+j, 3k+l] -> tensor index [i, j, k, l]
     rhs = np.einsum("ij,kl,ijkl->", t_sym, t_sym, bcal.reshape(3, 3, 3, 3))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_jacobi_eigh_matches_lapack():
+    """Pure-XLA batched Jacobi (ops/linalg.py) == np.linalg.eigh for the
+    small symmetric batches the pipelines feed it (grams 4x4 / 12x12,
+    affine B 6x6, DAQ 10x10; odd n exercises the decoupled pad)."""
+    from mvrecon_tpu.ops.linalg import jacobi_eigh
+
+    rng = np.random.default_rng(3)
+    for n in (3, 4, 6, 10, 12):
+        b = rng.standard_normal((40, n, n))
+        for mat in ((b + b.swapaxes(-1, -2)) / 2,
+                    np.einsum("bij,bkj->bik", b, b)):
+            w, v = jacobi_eigh(jnp.asarray(mat))
+            w, v = np.asarray(w), np.asarray(v)
+            wr, _ = np.linalg.eigh(mat)
+            scale = np.abs(wr).max()
+            np.testing.assert_allclose(w, wr, atol=1e-12 * scale)
+            rec = np.einsum("bik,bk,bjk->bij", v, w, v)
+            np.testing.assert_allclose(rec, mat, atol=1e-12 * scale)
+            vv = np.einsum("bki,bkj->bij", v, v)
+            np.testing.assert_allclose(vv, np.broadcast_to(np.eye(n), vv.shape),
+                                       atol=1e-12)
+
+
+def test_jacobi_eigh_degenerate_and_diagonal():
+    """Repeated eigenvalues and already-diagonal input (zero rotations)."""
+    from mvrecon_tpu.ops.linalg import jacobi_eigh
+
+    d = jnp.asarray(np.diag([3.0, -1.0, 2.0, 2.0]))[None]
+    w, v = jacobi_eigh(d)
+    np.testing.assert_allclose(np.asarray(w)[0], [-1.0, 2.0, 2.0, 3.0])
+    # eigenvalue 2 has multiplicity 2: check the invariant subspace
+    rec = np.einsum("bik,bk,bjk->bij", np.asarray(v), np.asarray(w),
+                    np.asarray(v))
+    np.testing.assert_allclose(rec, np.asarray(d), atol=1e-13)
