@@ -120,7 +120,7 @@ def _top_eigvec_lowrank(y: jax.Array) -> jax.Array:
     return xi / jnp.linalg.norm(xi, axis=-1, keepdims=True)
 
 
-def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float, eig_method: str = "eigh"):
+def _depth_step_primary(xh, z, f0: float, eig_method: str = "eigh"):
     """One primary-method depth update (reference ``:79-133``): per-point
     F x F Rayleigh-quotient eigenproblem over the rank-4 motion subspace.
 
@@ -133,6 +133,8 @@ def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float, eig_method: str 
     wm = w.reshape(npts, -1).T  # (3F, P)
     u, sigma, vt = jnp.linalg.svd(wm, full_matrices=False)
     u4 = u[:, :4]  # (3F, 4)
+    m = u4
+    s = sigma[:4, None] * vt[:4]
     uimg = u4.reshape(nf, 3, 4)
 
     # x . u_k per (point, image, rank).
@@ -149,13 +151,11 @@ def _depth_step_primary(xh: jax.Array, z: jax.Array, f0: float, eig_method: str 
     xi = _sign_fix(xi)  # max-eigenvalue eigenvector (P, F)
     z_new = xi / xnorm
 
-    m = u4
-    s = sigma[:4, None] * vt[:4]
     e = reprojection_error(xh, m, s, f0)
     return z_new, e
 
 
-def _depth_step_dual(xh: jax.Array, z: jax.Array, f0: float, eig_method: str = "eigh"):
+def _depth_step_dual(xh, z, f0: float, eig_method: str = "eigh"):
     """One dual-method depth update (reference ``:165-227``): per-image
     P x P eigenproblem over the rank-4 shape subspace."""
     npts, nf, _ = xh.shape
