@@ -213,3 +213,93 @@ def test_watchdog_aborts_wedged_process():
     )
     assert proc.returncode == 124
     assert "watchdog" in proc.stderr
+
+
+def test_supervised_restart_resumes_after_wedge(tmp_path):
+    """Full resilience loop: a run whose device call wedges mid-job is
+    killed by the watchdog (exit 124), the supervisor re-invokes, and the
+    restarted run resumes from the checkpoint to exactly the result of an
+    uninterrupted run. This is the contract documented in
+    docs/SCALING.md's supervised-restart recipe."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = str(tmp_path / "wedge_ck.npz")
+    out = str(tmp_path / "result.npz")
+
+    script = r"""
+import sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+wedge = sys.argv[1] == "wedge"
+ck, out = sys.argv[2], sys.argv[3]
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+from mvrecon_tpu.runtime.elastic import resumable_bundle_adjust
+from mvrecon_tpu.runtime.watchdog import Watchdog
+import mvrecon_tpu.runtime.elastic as elastic
+
+scene = make_synthetic_scene(jax.random.key(2), n_images=12)
+X0 = scene.X + 0.02 * jax.random.normal(jax.random.key(3), scene.X.shape,
+                                        scene.X.dtype)
+xj = scene.x.transpose(1, 0, 2)
+cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=99)
+
+if wedge:
+    # simulate a device tunnel that wedges after the first segment:
+    # the second bundle_adjust_chunked call never returns
+    from mvrecon_tpu.models import bundle_adjustment_chunked as bac
+    real = bac.bundle_adjust_chunked
+    calls = {"n": 0}
+    def wedging(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            time.sleep(600)  # "stuck in a device RPC"
+        return real(*a, **k)
+    # resumable_bundle_adjust imports the symbol at call time
+    bac.bundle_adjust_chunked = wedging
+
+dog = Watchdog(timeout_s=8.0, poll_s=0.25).start()
+res, n = resumable_bundle_adjust(
+    xj, X0, scene.K, scene.R, scene.t, checkpoint_path=ck,
+    total_iters=6, segment_iters=2, axis="x-up_z-forward",
+    config=cfg, chunk_size=64,
+)
+dog.stop()
+np.savez(out, X=np.asarray(res.X), e=float(res.error), n=n)
+print("COMPLETED", n)
+"""
+    # 1st invocation wedges after one segment -> watchdog exit 124
+    p1 = subprocess.run(
+        [_sys.executable, "-c", script, "wedge", ck, out],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert p1.returncode == 124, (p1.returncode, p1.stderr[-400:])
+    assert os.path.exists(ck), "first segment must have checkpointed"
+    assert not os.path.exists(out)
+
+    # supervisor restarts -> resumes from the checkpoint and completes
+    p2 = subprocess.run(
+        [_sys.executable, "-c", script, "clean", ck, out],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert p2.returncode == 0, p2.stderr[-400:]
+    resumed = np.load(out)
+    assert int(resumed["n"]) < 6  # only the remainder ran here
+
+    # uninterrupted oracle
+    ck2, out2 = str(tmp_path / "full_ck.npz"), str(tmp_path / "full.npz")
+    p3 = subprocess.run(
+        [_sys.executable, "-c", script, "clean", ck2, out2],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert p3.returncode == 0, p3.stderr[-400:]
+    full = np.load(out2)
+    np.testing.assert_allclose(float(resumed["e"]), float(full["e"]), rtol=1e-9)
+    np.testing.assert_allclose(resumed["X"], full["X"], atol=1e-9)
