@@ -172,6 +172,7 @@ def bundle_adjust_streamed(
     axis: str = "x-right_z-forward",
     config: LMConfig = LMConfig(),
     chunk_size: int = 16384,
+    init_c: float | None = None,
 ) -> BAResult:
     """Drop-in ``bundle_adjust`` whose observations stream from host RAM.
 
@@ -179,7 +180,9 @@ def bundle_adjust_streamed(
     anything np.asarray-able) — they are never moved to HBM whole. Camera
     state, X (P, 3), and the (9F, 9F) system live on device. Semantics
     follow the chunked core (reference protocol; "reference" damping and
-    fixed accept divisor).
+    fixed accept divisor). ``init_c`` resumes the damping schedule (the
+    returned ``log["c"]`` carries the final value), so segmented runs
+    match continuous ones — same contract as the chunked core.
     """
     dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
     npts, nf = x_host.shape[0], x_host.shape[1]
@@ -222,7 +225,7 @@ def bundle_adjust_streamed(
         return e
 
     e_prev = float(error_of(cam, X_dev))
-    c = float(config.init_damping)
+    c = float(config.init_damping if init_c is None else init_c)
     n_iter = 0
     n_retries = 0
 
@@ -272,5 +275,5 @@ def bundle_adjust_streamed(
     return BAResult(
         X=Xg, K=build_K(cam.f, cam.u, f0), R=Rg, t=tg,
         error=jnp.asarray(e_prev, dtype), n_iter=jnp.asarray(n_iter),
-        log={"n_solver_retries": jnp.asarray(n_retries)},
+        log={"n_solver_retries": jnp.asarray(n_retries), "c": c},
     )

@@ -64,3 +64,34 @@ def test_streamed_visibility_and_ragged_chunks(ref, quiet):
     )
     np.testing.assert_allclose(float(streamed.error), float(chunked.error), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(streamed.X), np.asarray(chunked.X), atol=1e-8)
+
+
+def test_streamed_segmented_resume_matches_continuous(ref, quiet):
+    """3+3 streamed iterations with carried (state, c) == one 6-iteration
+    run — resume contract parity with the dense/chunked cores. (Uses a
+    scene with a well-conditioned gauge: the restore/re-normalize
+    roundtrip between segments flips the frame when t1_y ~ 0, see the
+    crash-resume test in test_fault_injection.py.)"""
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+
+    scene = make_synthetic_scene(jax.random.key(2), n_images=12)
+    X_ = np.asarray(scene.X + 0.02 * jax.random.normal(
+        jax.random.key(3), scene.X.shape, scene.X.dtype))
+    K_, R_, t_ = np.asarray(scene.K), np.asarray(scene.R), np.asarray(scene.t)
+    x = np.asarray(scene.x.transpose(1, 0, 2))
+    cfg6 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=6)
+    cfg3 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=3)
+
+    full = bundle_adjust_streamed(
+        x, X_, K_, R_, t_, axis="x-up_z-forward", config=cfg6, chunk_size=64
+    )
+    p1 = bundle_adjust_streamed(
+        x, X_, K_, R_, t_, axis="x-up_z-forward", config=cfg3, chunk_size=64
+    )
+    p2 = bundle_adjust_streamed(
+        x, np.asarray(p1.X), np.asarray(p1.K), np.asarray(p1.R),
+        np.asarray(p1.t), axis="x-up_z-forward", config=cfg3, chunk_size=64,
+        init_c=p1.log["c"],
+    )
+    np.testing.assert_allclose(float(p2.error), float(full.error), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p2.X), np.asarray(full.X), atol=1e-9)
