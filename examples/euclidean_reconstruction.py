@@ -48,7 +48,10 @@ def main():
         f0=1.0,
         tol=args.tol,
         method=args.method,
-        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100),
+        # record the per-iteration BA log for the convergence animation
+        # (the reference driver's get_log/animate replay) when plotting
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=100,
+                        record_log=not args.no_viz),
     )
     print(f"calibration status: {int(res.status)}")
     print(f"BA iterations: {int(res.n_iter)}, final reprojection error E = {float(res.error):.3e}")
@@ -63,6 +66,13 @@ def main():
             [reproj[i] for i in range(reproj.shape[0])],
             n_col=5,
         )
+
+        # convergence animation (reference euclidiean_reconstruction.py:57-66)
+        if res.ba_log is not None:
+            from mvrecon_tpu.runtime.logging import device_log_to_records
+            from mvrecon_tpu.viz import animate
+
+            animate(device_log_to_records(res.ba_log, int(res.n_iter)))
 
 
 if __name__ == "__main__":

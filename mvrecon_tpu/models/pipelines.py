@@ -39,6 +39,10 @@ class ReconstructionResult(NamedTuple):
     n_iter: jax.Array  # BA iterations
     calib_X: jax.Array  # pre-BA points (the self-calibration output)
     status: jax.Array  # perspective calibration status (0 = ok); 0 for affine
+    # stacked device-side BA iteration log when config.record_log is set
+    # (feed through runtime.logging.device_log_to_records to viz.animate —
+    # the reference's get_log/animate replay, bundle_adjustment.py:204-206)
+    ba_log: dict | None = None
 
 
 def affine_reconstruction(
@@ -85,6 +89,7 @@ def affine_reconstruction(
         n_iter=ba.n_iter,
         calib_X=S,
         status=jnp.asarray(0),
+        ba_log=ba.log,
     )
 
 
@@ -130,4 +135,5 @@ def euclidean_reconstruction(
         n_iter=ba.n_iter,
         calib_X=calib.X,
         status=calib.status,
+        ba_log=ba.log,
     )

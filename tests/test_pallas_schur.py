@@ -116,7 +116,15 @@ k1, k2 = jax.random.split(jax.random.key(5))
 X0 = scene.X + 0.02 * jax.random.normal(k1, scene.X.shape, dtype=jnp.float32)
 t0 = scene.t + 0.02 * jax.random.normal(k2, scene.t.shape, dtype=jnp.float32)
 x = scene.x.transpose(1, 0, 2)
-cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=5)
+if os.environ.get("MVRECON_TEST_ROBUST") == "1":
+    # inject a gross outlier; Huber IRLS must absorb it on both paths
+    x = np.asarray(x).copy()
+    x[3, 2, 0] += 0.5
+    x = jnp.asarray(x)
+    cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=5,
+                   robust="huber", huber_delta=0.02)
+else:
+    cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=5)
 res = bundle_adjust_chunked(x, X0, scene.K, scene.R, t0, f0=1.0,
                             axis="x-up_z-forward", config=cfg, chunk_size=32)
 print(json.dumps({"error": float(res.error), "n_iter": int(res.n_iter),
@@ -124,8 +132,9 @@ print(json.dumps({"error": float(res.error), "n_iter": int(res.n_iter),
 """
 
 
-def _run_e2e(mode):
-    env = dict(os.environ, MVRECON_FUSED_SCHUR=mode, JAX_PLATFORMS="cpu")
+def _run_e2e(mode, robust=False):
+    env = dict(os.environ, MVRECON_FUSED_SCHUR=mode, JAX_PLATFORMS="cpu",
+               MVRECON_TEST_ROBUST="1" if robust else "0")
     out = subprocess.run(
         [sys.executable, "-c", _FUSED_E2E], capture_output=True, text=True,
         env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -143,5 +152,16 @@ def test_fused_core_matches_unfused_end_to_end():
     assert fused["n_iter"] == base["n_iter"]
     # the bf16 Hessian takes slightly different (still-accepted) steps;
     # mid-convergence states agree to ~1%, errors to <1%
+    assert abs(fused["error"] - base["error"]) < 2e-2 * max(base["error"], 1e-9)
+    np.testing.assert_allclose(fused["X0"], base["X0"], rtol=5e-2, atol=0.2)
+
+
+def test_fused_core_matches_unfused_huber():
+    """Huber IRLS through the fused path (weights fold into the effective
+    visibility inside fused_chunk_update/fused_backsub_chunk) must match
+    the unfused robust path like the plain-LS test above."""
+    base = _run_e2e("0", robust=True)
+    fused = _run_e2e("interpret", robust=True)
+    assert fused["n_iter"] == base["n_iter"]
     assert abs(fused["error"] - base["error"]) < 2e-2 * max(base["error"], 1e-9)
     np.testing.assert_allclose(fused["X0"], base["X0"], rtol=5e-2, atol=0.2)

@@ -59,3 +59,32 @@ def test_euclidean_pipeline_power_eig():
     )
     assert int(res.status) == 0
     assert _rms(res, scene.x) < 0.006
+
+
+def test_pipeline_records_ba_log_for_animation():
+    """config.record_log surfaces the stacked BA iteration log through the
+    pipeline result (the reference's get_log/animate replay,
+    euclidiean_reconstruction.py:57-66); records convert and errors are
+    monotone over accepted iterations."""
+    from mvrecon_tpu.runtime.logging import device_log_to_records
+
+    scene = make_synthetic_scene(jax.random.key(1), n_images=6)
+    x = scene.x
+    res = euclidean_reconstruction(
+        x, f0=1.0, tol=1e-2, method="dual",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=8,
+                        record_log=True),
+    )
+    assert res.ba_log is not None
+    records = device_log_to_records(res.ba_log, res.n_iter)
+    assert len(records) == int(res.n_iter) + 1
+    errs = [r["reprojection_error"] for r in records]
+    assert all(b <= a + 1e-12 for a, b in zip(errs, errs[1:]))
+    assert records[0]["points"].shape == (x.shape[1], 3)
+
+    # default config keeps the result log-free (no memory cost)
+    res2 = euclidean_reconstruction(
+        x, f0=1.0, tol=1e-2, method="dual",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=4),
+    )
+    assert res2.ba_log is None
