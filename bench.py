@@ -176,7 +176,15 @@ def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=32):
 
 
 def main():
+    # Wedge guard: the device tunnel on this class of machine can hang a
+    # client indefinitely; if a whole workload (incl. first compile,
+    # observed up to ~4 min) makes no progress for 15 min, dump stacks
+    # and exit 124 instead of hanging the driver.
+    from mvrecon_tpu.runtime.watchdog import Watchdog
+
+    dog = Watchdog(timeout_s=900).start()
     wall = bench_headline()
+    dog.pet()
     out = {
         "metric": f"ba_{N_POINTS}pts_{N_VIEWS}views_{N_ITERS}iter_wall",
         "value": round(wall, 4),
@@ -185,7 +193,9 @@ def main():
     }
     if os.environ.get("MVRECON_BENCH_FAST") != "1":
         out["northstar"] = bench_northstar()
+        dog.pet()
         out["batched"] = bench_batched()
+    dog.stop()
     print(json.dumps(out))
 
 

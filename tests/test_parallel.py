@@ -323,3 +323,22 @@ def test_sharded_euclidean_pipeline_matches_single_device(ref):
     np.testing.assert_allclose(
         np.asarray(res_sharded.R), np.asarray(res_single.R), atol=1e-7
     )
+
+
+def test_sharded_pipeline_on_hybrid_mesh(ref):
+    """The end-to-end sharded pipeline also runs on the multi-slice
+    hybrid mesh (scenes axis idle, points axis inner) — the deployment
+    shape of docs/SCALING.md's 'many scenes, many slices' row when a
+    slice works on one scene."""
+    from mvrecon_tpu.parallel.pipelines import sharded_euclidean_reconstruction
+
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=8)
+    x = jnp.asarray(np.stack(x_list))
+    mesh = hybrid_scene_point_mesh(2)  # (2 scenes, 4 points) over 8 devices
+    res = sharded_euclidean_reconstruction(
+        mesh, x, f0=1.0, tol=1e-2, method="dual",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=8),
+    )
+    assert int(res.status) == 0
+    assert np.isfinite(float(res.error))
+    assert np.isfinite(np.asarray(res.X)).all()
