@@ -77,7 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
         "reconstruct", help="reconstruct from tracked features in an .npz file"
     )
     _common(p_rec)
-    p_rec.add_argument("input", type=str, help=".npz with x (F, P, 2) [+ visibility, f]")
+    p_rec.add_argument("input", type=str, help=".npz with x (F, P, 2) [+ visibility, f, X_gt]")
     p_rec.add_argument("--shard-points", type=int, default=0, metavar="N",
                        help=shard_help + " (euclidean pipeline only)")
     p_rec.add_argument("--output", type=str, default=None, help="write result .npz here")
@@ -226,6 +226,14 @@ def main(argv=None) -> None:
             n_points=int(res.X.shape[0]),
             n_views=int(nf),
         )
+        if "X_gt" in data:
+            # evaluation against provided ground truth: reconstruction is
+            # defined up to a similarity, so align (Umeyama) before RMSE
+            from .ops.procrustes import aligned_rmse
+
+            out["aligned_rmse_gt"] = float(
+                aligned_rmse(res.X, jnp.asarray(data["X_gt"], dtype=dtype))
+            )
         if args.output:
             save_observations(
                 args.output, data["x"],

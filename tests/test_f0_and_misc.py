@@ -251,3 +251,23 @@ def test_cli_euclidean_shard_points(capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["status"] == 0 and rec["shard_points"] == 4
     assert np.isfinite(rec["reprojection_error"])
+
+
+def test_cli_reconstruct_reports_aligned_rmse(tmp_path, capsys):
+    """An input .npz carrying ground-truth points gets an aligned-RMSE
+    evaluation in the CLI output (similarity-invariant accuracy metric)."""
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.runtime.io import save_observations
+
+    scene = make_synthetic_scene(jax.random.key(9), n_images=10)
+    inp = str(tmp_path / "tracks_gt.npz")
+    save_observations(inp, np.asarray(scene.x), X_gt=np.asarray(scene.X))
+
+    main(["reconstruct", inp, "--max-iter", "40", "--float64"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["status"] == 0
+    # pixel noise is sigma=0.005 but 3D uncertainty from 10 views is
+    # larger (weakly constrained depth directions): require the aligned
+    # cloud to land within a small fraction of the ~3-unit scene extent
+    assert 0 <= rec["aligned_rmse_gt"] < 0.15
