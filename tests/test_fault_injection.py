@@ -252,26 +252,27 @@ xj = scene.x.transpose(1, 0, 2)
 cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=99)
 
 if wedge:
-    # simulate a device tunnel that wedges after the first segment:
-    # the second bundle_adjust_chunked call never returns
+    # simulate a device tunnel that wedges after the first segment: the
+    # second bundle_adjust_chunked call never returns. The watchdog is
+    # armed *at the wedge* so legitimate first-segment compile time
+    # (arbitrarily slow under CI load) cannot race the deadline.
     from mvrecon_tpu.models import bundle_adjustment_chunked as bac
     real = bac.bundle_adjust_chunked
     calls = {"n": 0}
     def wedging(*a, **k):
         calls["n"] += 1
         if calls["n"] >= 2:
+            Watchdog(timeout_s=3.0, poll_s=0.25).start()
             time.sleep(600)  # "stuck in a device RPC"
         return real(*a, **k)
     # resumable_bundle_adjust imports the symbol at call time
     bac.bundle_adjust_chunked = wedging
 
-dog = Watchdog(timeout_s=8.0, poll_s=0.25).start()
 res, n = resumable_bundle_adjust(
     xj, X0, scene.K, scene.R, scene.t, checkpoint_path=ck,
     total_iters=6, segment_iters=2, axis="x-up_z-forward",
     config=cfg, chunk_size=64,
 )
-dog.stop()
 np.savez(out, X=np.asarray(res.X), e=float(res.error), n=n)
 print("COMPLETED", n)
 """
