@@ -136,7 +136,7 @@ def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
     }
 
 
-def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=32):
+def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=64):
     from mvrecon_tpu.parallel.batched import batched_euclidean_reconstruction
 
     dtype = jnp.float32
