@@ -291,3 +291,36 @@ def test_bundle_adjust_visibility_mask(ref, quiet):
     )
     np.testing.assert_allclose(np.asarray(res_a.X), np.asarray(res_b.X), atol=1e-10)
     np.testing.assert_allclose(float(res_a.error), float(res_b.error), rtol=1e-10)
+
+
+def test_bundle_adjust_x_right_axis_parity(ref, quiet):
+    """End-to-end LM parity in the reference's *default* gauge mode
+    ("x-right_z-forward", index mask [3..8, 12] and the t1_x-based scale
+    at bundle_adjustment.py:62-72, 227-238) — the other axis mode is
+    covered by the demo-scene parity test."""
+    _, _, _, _, x_list = make_ref_scene(ref, n_images=10)
+    with quiet():
+        X_, R_, t_, K_ = ref.perspective.perspective_self_calibration(
+            [x.copy() for x in x_list], 1.0, tol=1e-2, method="dual"
+        )
+    x = np.stack(x_list).transpose(1, 0, 2)
+
+    adjuster = ref.ba.BundleAdjuster(
+        x.copy(), X_.copy(), K_.copy(), R_.copy(), t_.copy(),
+        axis="x-right_z-forward",
+    )
+    with quiet():
+        X_ref, K_ref, R_ref, t_ref = adjuster.optimize(2.0, 1e-8, max_iter=20)
+
+    res = bundle_adjust(
+        jnp.asarray(x), jnp.asarray(X_), jnp.asarray(K_), jnp.asarray(R_),
+        jnp.asarray(t_), f0=1.0, axis="x-right_z-forward",
+        config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=20),
+    )
+    K_final = adjuster._get_K(adjuster._f, adjuster._u)
+    _, p, q, r = adjuster._calc_pqr(adjuster._X, K_final, adjuster._R, adjuster._t)
+    e_ref = adjuster._calc_reprojection_error(p, q, r)
+    np.testing.assert_allclose(float(res.error), e_ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.X), X_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.R), R_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.t), t_ref, atol=1e-4)

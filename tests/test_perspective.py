@@ -289,3 +289,48 @@ def test_compat_wrapper_warns_on_depth_max_iter(ref):
         issubclass(w.category, RuntimeWarning) and "max_iter" in str(w.message)
         for w in caught
     )
+
+
+def test_cheirality_flip_resolves_sign_ambiguity():
+    """The dual-quadric upgrade's H is sign-ambiguous; metric
+    reconstruction must resolve it by camera-0 cheirality (reference
+    ``:442-448``): H and -H give the *identical* scene, and the flip
+    branch actually fires for one of the two signs."""
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.models.perspective import (
+        cheirality_score,
+        euclidean_upgrading,
+        homogenize,
+        metric_cameras,
+        metric_points,
+        metric_reconstruction,
+        projective_depths,
+    )
+    from mvrecon_tpu.ops.factorization import factorization_method
+    import jax
+
+    scene = make_synthetic_scene(jax.random.key(123), n_images=10)
+    xh = homogenize(scene.x, 1.0)
+    z, _, _ = projective_depths(xh, 1.0, 1e-2, "dual")
+    w = (xh * z[..., None]).reshape(xh.shape[0], -1).T  # (3F, P)
+    m, s = factorization_method(w, 4)
+    p = m.reshape(-1, 3, 4)
+    h, k, ok = euclidean_upgrading(p, 1.0)
+    assert bool(ok)
+
+    res_pos = metric_reconstruction(p, s, k, h)
+    res_neg = metric_reconstruction(p, s, k, -h)
+    for a, b in zip(res_pos, res_neg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+    # both fixed outputs have positive cheirality...
+    assert float(cheirality_score(*res_pos)) > 0
+    # ...and the raw (pre-fix) decomposition violates cheirality for this
+    # scene (the SVD orthonormalization inside metric_cameras absorbs H's
+    # sign, so both signs land on the same raw configuration) — i.e. the
+    # flip branch demonstrably fires
+    scores = []
+    for hh in (h, -h):
+        x_raw = metric_points(s, hh)
+        r_raw, t_raw = metric_cameras(p, k, hh)
+        scores.append(float(cheirality_score(x_raw, r_raw, t_raw)))
+    assert min(scores) <= 0
