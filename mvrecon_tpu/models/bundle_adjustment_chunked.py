@@ -161,22 +161,25 @@ def _build_system_fused(
     f_pad, n_acc = schur_acc_dim(nf)
 
     def body(carry, inp):
-        acc, g_acc, df_acc, e_acc = carry
+        acc, g_acc, df_acc, e_acc, bp_acc = carry
         X_c, x_c, vis_c = inp
-        acc, d_F, matG, e_chunk = fused_chunk_update(
+        acc, d_F, matG, e_chunk, b_p32 = fused_chunk_update(
             acc, state_cam, X_c, x_c, vis_c, f0, c, huber_delta
         )
-        return (acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk), None
+        return (acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk,
+                bp_acc + b_p32), None
 
     init = (
         jnp.zeros((n_acc, n_acc), jnp.float32),
         jnp.zeros((nf, 9, 9), dt),
         jnp.zeros((9 * nf,), dt),
         jnp.zeros((), dt),
+        jnp.zeros((9, f_pad), dt),
     )
-    (acc, g, d_f, e_now), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
+    (acc, g, d_f, e_now, bp32), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
     d_f = d_f * free
-    schur_tm, b_p_tm = finish_schur(acc, nf)
+    schur_tm = finish_schur(acc, nf)
+    b_p_tm = bp32.reshape(-1)
     a, b, free_tm = assemble_type_major(
         schur_tm, b_p_tm, g, d_f, free, c, nf, f_pad
     )

@@ -24,9 +24,12 @@ SYRK itself (VERDICT r1 top_next). Two structural changes fix that:
    100k x 1000 generate+reduce runs in 348 ms on a v5e — 1.7-2.4x
    faster than the round-1 materialize-then-SYRK path.
 
-**rhs for free**: yd = L^-1 d_P is written into the very last padding
-column of Y, so row n_acc - 1 of the accumulated product is exactly
-b_p = sum Y^T yd — no separate reduction.
+**rhs in f32**: b_p = sum Y^T yd is accumulated as two d_F-shaped f32
+einsums per chunk (w = sum_x al_x yd_x, then sum_p w b_j) instead of
+riding a bf16 stuffed column of Y — measured both faster (the tail TILE
+block of the accumulator disappears: 19 -> 18 tiles at F = 1000) and
+better-conditioned (the rhs no longer carries bf16 rounding; 4.57 s vs
+4.86 s at the north star, same 12 retries).
 
 Y row layout is x-major (row x * C + p), so per-point factors broadcast
 along lanes and per-camera constants along sublanes — no strided access.
@@ -82,10 +85,11 @@ def _interpret() -> bool:
 
 
 def schur_acc_dim(nf: int) -> tuple[int, int]:
-    """(f_pad, n_acc): per-type padded camera count and accumulator side.
-    One extra TILE block carries the rhs column."""
+    """(f_pad, n_acc): per-type padded camera count and accumulator side
+    (9 type blocks of f_pad columns; the rhs is accumulated separately in
+    f32, so no stuffed column/tail block exists)."""
     f_pad = _round_up(nf, TILE)
-    return f_pad, 9 * f_pad + TILE
+    return f_pad, 9 * f_pad
 
 
 def _syrk_acc_kernel(i_map, j_map, acc_in_ref, yi_ref, yj_ref, out_ref):
@@ -136,18 +140,16 @@ def syrk_acc(acc: jax.Array, y: jax.Array) -> jax.Array:
     )(jnp.asarray(i_map), jnp.asarray(j_map), acc, y, y)
 
 
-def finish_schur(acc: jax.Array, nf: int) -> tuple[jax.Array, jax.Array]:
-    """Mirror the accumulated lower tiles; split ((9 Fp, 9 Fp) type-major
-    sum F^T Einv F, rhs b_p (9 Fp,))."""
+def finish_schur(acc: jax.Array, nf: int) -> jax.Array:
+    """Mirror the accumulated lower tiles into the full symmetric
+    (9 Fp, 9 Fp) type-major sum F^T Einv F."""
+    del nf
     n_acc = acc.shape[0]
     tile_row = jnp.arange(n_acc) // TILE
     lower_block = tile_row[:, None] >= tile_row[None, :]
     strict = tile_row[:, None] > tile_row[None, :]
     lo = jnp.where(lower_block, acc, 0.0)
-    full = lo + jnp.where(strict, lo, 0.0).T
-    f_pad = (n_acc - TILE) // 9
-    m = 9 * f_pad
-    return full[:m, :m], full[n_acc - 1, :m]
+    return lo + jnp.where(strict, lo, 0.0).T
 
 
 def type_major_free(free: jax.Array, nf: int, f_pad: int) -> jax.Array:
@@ -206,7 +208,7 @@ def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
     dt = x_c.dtype
     c_pts, nf = x_c.shape[0], x_c.shape[1]
     n_acc = acc.shape[0]
-    f_pad = (n_acc - TILE) // 9
+    f_pad = n_acc // 9
 
     K = build_K(cam.f, cam.u, f0)
     pmat, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
@@ -276,6 +278,12 @@ def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
         + jnp.einsum("pf,jpf->jf", wres2, b2, precision=HIGHEST)
     )  # (9, F)
     d_F_cm = d_F_tm.T.reshape(9 * nf)
+    # f32 rhs: b_p = sum_x,p y yd in full precision (same reduction
+    # shape as d_F) — see the module docstring
+    b_p32 = (
+        jnp.einsum("pf,jpf->jf", jnp.einsum("xpf,px->pf", al1, yd, precision=HIGHEST), b1, precision=HIGHEST)
+        + jnp.einsum("pf,jpf->jf", jnp.einsum("xpf,px->pf", al2, yd, precision=HIGHEST), b2, precision=HIGHEST)
+    )  # (9, F)
     matG = 2.0 * (
         jnp.einsum("pf,ipf,jpf->fij", vis_d, b1, b1, precision=HIGHEST)
         + jnp.einsum("pf,ipf,jpf->fij", vis_d, b2, b2, precision=HIGHEST)
@@ -287,14 +295,8 @@ def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
          + jnp.einsum("xpf,jpf->xpjf", al2, b2, precision=HIGHEST))
     y = y.astype(jnp.bfloat16)
     y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, f_pad - nf)))
-    tail = n_acc - 9 * f_pad
-    tail_block = jnp.zeros((3, c_pts, tail), jnp.bfloat16)
-    tail_block = tail_block.at[:, :, tail - 1].set(
-        jnp.swapaxes(yd, 0, 1).astype(jnp.bfloat16)
-    )
-    y = jnp.concatenate([y.reshape(3, c_pts, 9 * f_pad), tail_block], axis=-1)
     acc = syrk_acc(acc, y.reshape(3 * c_pts, n_acc))
-    return acc, d_F_cm, matG, e_chunk
+    return acc, d_F_cm, matG, e_chunk, jnp.pad(b_p32, ((0, 0), (0, f_pad - nf)))
 
 
 def fused_backsub_chunk(

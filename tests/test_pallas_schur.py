@@ -47,10 +47,11 @@ def test_fused_chunk_matches_materialized_oracle(monkeypatch):
     free = gauge_mask(nf, "x-up_z-forward", jnp.float32)
 
     acc0 = jnp.zeros((n_acc, n_acc), jnp.float32)
-    acc, d_F, matG, e_chunk = ps.fused_chunk_update(
+    acc, d_F, matG, e_chunk, b_p32 = ps.fused_chunk_update(
         acc0, cam, X_c, x_c, vis_c, f0, jnp.float32(c)
     )
-    a_tm, b_tm = ps.finish_schur(acc, nf)
+    a_tm = ps.finish_schur(acc, nf)
+    b_tm = jnp.pad(b_p32, ((0, 0), (0, 0))).reshape(-1)
 
     d_P_o, d_F_o, matE_o, matF, matG_o, e_o = _chunk_blocks(
         cam, X_c, x_c, vis_c, free, f0

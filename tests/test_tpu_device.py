@@ -40,26 +40,21 @@ enable_compilation_cache()
 # --- 1. SYRK kernel vs NumPy oracle on identical bf16 inputs ---------
 from mvrecon_tpu.ops.pallas_schur import TILE, finish_schur, syrk_acc
 
-nf = 96                      # n_acc = 9 * 512 + 512 = 5120 -> 10 tiles
+nf = 96                      # n_acc = 9 * 512 = 4608 -> 9 tiles
 f_pad = 512
-n_acc = 9 * f_pad + TILE
+n_acc = 9 * f_pad
 k = 3 * 128
 rng = np.random.default_rng(0)
 y = jnp.asarray(rng.standard_normal((k, n_acc)), jnp.bfloat16)
 acc = jnp.zeros((n_acc, n_acc), jnp.float32)
 acc = syrk_acc(acc, y)
 acc = syrk_acc(acc, y)  # accumulation (aliased output) must add in place
-full, rhs = finish_schur(acc, nf)
+full = finish_schur(acc, nf)
 y32 = np.asarray(y, np.float32)
 oracle = 2.0 * (y32.T @ y32)
-m = 9 * f_pad
 got = np.asarray(full)
-ref = oracle[:m, :m]
-scale = np.abs(ref).max()
-out["syrk_max_abs_err_rel"] = float(np.abs(got - ref).max() / scale)
-out["rhs_max_abs_err_rel"] = float(
-    np.abs(np.asarray(rhs) - oracle[n_acc - 1, :m]).max() / max(1e-30, np.abs(oracle[n_acc - 1, :m]).max())
-)
+scale = np.abs(oracle).max()
+out["syrk_max_abs_err_rel"] = float(np.abs(got - oracle).max() / scale)
 
 # --- 2. fused vs non-fused chunked BA on device ----------------------
 from mvrecon_tpu.config import LMConfig
@@ -111,7 +106,6 @@ def test_fused_schur_numerics_on_device():
 
     # kernel == oracle to f32 roundoff (inputs identical bf16)
     assert out["syrk_max_abs_err_rel"] < 1e-5, out
-    assert out["rhs_max_abs_err_rel"] < 1e-4, out
     # the bf16-Y fused system must not change what BA converges to
     assert np.isfinite(out["e_fused"]) and np.isfinite(out["e_xla"]), out
     assert abs(out["e_fused"] - out["e_xla"]) <= 1e-3 * out["e_xla"], out
