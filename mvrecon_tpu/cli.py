@@ -36,6 +36,15 @@ def _common(parser: argparse.ArgumentParser) -> None:
                         help="append convergence records to this JSONL file")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a device trace to DIR (TensorBoard/Perfetto)")
+    parser.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                        default=None,
+                        help="force a jax platform before backend init "
+                        "(env JAX_PLATFORMS can be read too late when jax "
+                        "is preloaded at interpreter startup); default: "
+                        "MVRECON_PLATFORM env or jax's own choice")
+    parser.add_argument("--num-cpu-devices", type=int, default=None,
+                        help="virtual CPU device count (for --platform cpu "
+                        "with --shard-points)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -106,9 +115,20 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    import os
+
     import jax
 
     from .runtime.cache import enable_compilation_cache
+
+    platform = args.platform or os.environ.get("MVRECON_PLATFORM")
+    if platform and platform != "default":
+        # Must land before first backend use; works even when jax was
+        # preloaded at interpreter startup (env vars are read too late
+        # then — see CLAUDE.md "Environment gotchas").
+        jax.config.update("jax_platforms", platform)
+    if args.num_cpu_devices:
+        jax.config.update("jax_num_cpu_devices", args.num_cpu_devices)
 
     enable_compilation_cache()
     if args.float64:
@@ -146,6 +166,15 @@ def main(argv=None) -> None:
                 from .parallel.mesh import make_mesh
                 from .parallel.pipelines import sharded_euclidean_reconstruction
 
+                if args.eig_method != "eigh":
+                    import sys
+
+                    print(
+                        "warning: --eig-method is ignored with --shard-points "
+                        "(the sharded calibration always uses the exact "
+                        "Gram-subspace eigensolve)",
+                        file=sys.stderr,
+                    )
                 mesh = make_mesh({"points": args.shard_points})
                 res = sharded_euclidean_reconstruction(
                     mesh, scene.x, f0=args.f0, tol=args.tol,

@@ -169,8 +169,18 @@ def jacobi_eigh(
     stops typical batches after 5-8 sweeps. Exact to fp — same contract
     as ``eigh`` (ascending eigenvalues, ``v[..., :, k]`` the k-th
     eigenvector), eigenvector signs unspecified as usual.
+
+    Intended for n <= 32 (call sites use 4x4-12x12). Beyond that the
+    default ``max_sweeps`` may exit before the off(A) test passes and
+    silently return degraded eigenpairs — asserted here rather than
+    surfaced as a flag, since every caller is in-graph.
     """
     n = a.shape[-1]
+    if n > 32:
+        raise ValueError(
+            f"jacobi_eigh is tuned for n <= 32 (got n={n}); use "
+            "jnp.linalg.eigh or raise max_sweeps with care"
+        )
     dt = a.dtype
     odd = n % 2
     if odd:

@@ -142,23 +142,29 @@ def _row_sharded_cg_solver(
             # axis; the matvec walks the ring.
             perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
+            def _acc_block(acc, v_rot, k):
+                src = jnp.mod(dc - k, n_shards)  # owner of v_rot
+                col0 = (src * n_rows).astype(jnp.int32)
+                a_blk = jax.lax.dynamic_slice(
+                    a_rows, (zero, col0), (n_rows, n_rows)
+                )
+                return acc + jnp.einsum(
+                    "mn,n->m", a_blk, v_rot, precision=HIGHEST
+                )
+
             def matvec_l(p_l):
+                # k = 0 uses the local shard directly; each later step
+                # rotates first, so the final (discarded) rotation of the
+                # old accumulate-then-rotate order never hits the wire —
+                # n_shards - 1 ppermutes per matvec instead of n_shards.
                 def step(carry, k):
                     acc, v_rot = carry
-                    src = jnp.mod(dc - k, n_shards)  # owner of v_rot
-                    col0 = (src * n_rows).astype(jnp.int32)
-                    a_blk = jax.lax.dynamic_slice(
-                        a_rows, (zero, col0), (n_rows, n_rows)
-                    )
-                    acc = acc + jnp.einsum(
-                        "mn,n->m", a_blk, v_rot, precision=HIGHEST
-                    )
                     v_rot = jax.lax.ppermute(v_rot, CAMERAS_AXIS, perm)
-                    return (acc, v_rot), None
+                    return (_acc_block(acc, v_rot, k), v_rot), None
 
+                acc0 = _acc_block(jnp.zeros_like(p_l), p_l, 0)
                 (acc, _), _ = jax.lax.scan(
-                    step, (jnp.zeros_like(p_l), p_l),
-                    jnp.arange(n_shards),
+                    step, (acc0, p_l), jnp.arange(1, n_shards)
                 )
                 return acc
 
