@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_eucl.add_argument("--eig-method", choices=["eigh", "lowrank", "power"], default="eigh")
 
     p_aff = sub.add_parser("affine", help="affine self-calibration + BA")
+    p_aff.add_argument("--shard-points", type=int, default=0, metavar="N",
+                       help=shard_help)
     _common(p_aff)
     p_aff.add_argument("--n-images", type=int, default=12)
     p_aff.add_argument(
@@ -189,11 +191,22 @@ def main(argv=None) -> None:
                     config=config, eig_method=args.eig_method,
                 )
         else:
-            from .models.pipelines import affine_reconstruction
-
             f_arr = jnp.full((args.n_images,), args.f, dtype=dtype)
-            res = affine_reconstruction(scene.x, f_arr, model=args.model,
-                                        f0=args.f0, config=config)
+            if getattr(args, "shard_points", 0) > 0:
+                from .parallel.mesh import make_mesh
+                from .parallel.pipelines import sharded_affine_reconstruction
+
+                mesh = make_mesh({"points": args.shard_points})
+                res = sharded_affine_reconstruction(
+                    mesh, scene.x, f_arr, model=args.model, f0=args.f0,
+                    config=config,
+                )
+                out["shard_points"] = args.shard_points
+            else:
+                from .models.pipelines import affine_reconstruction
+
+                res = affine_reconstruction(scene.x, f_arr, model=args.model,
+                                            f0=args.f0, config=config)
         out.update(
             status=int(res.status),
             ba_iterations=int(res.n_iter),

@@ -171,35 +171,28 @@ def _rotation_from_motion(
     return orthonormalize(R)
 
 
-@partial(jax.jit, static_argnames=("model",))
-def affine_self_calibration(
-    x: jax.Array, model: str = "paraperspective", f: jax.Array | None = None
+def metric_upgrade_from_subspace(
+    u_: jax.Array, t: jax.Array, model: str, f: jax.Array | None
 ) -> tuple[jax.Array, jax.Array]:
-    """Affine self-calibration of observations x (F, P, 2).
+    """Metric upgrade + rotation recovery from the rank-3 left subspace.
 
-    Returns (S, R): shape S (P, 3) and per-image rotations R (F, 3, 3)
-    (reference entry points ``affine_camera_calibration.py:7,59,137``).
-    ``f`` (F,) focal lengths are required for the paraperspective model.
+    ``u_`` (2F, 3) spans W's leading left subspace (SVD columns or Gram
+    eigenvectors — any orthonormal basis of the same span, the upgrade is
+    covariant in it); ``t`` (F, 2) are the per-image centroids. Returns
+    (A, R): the metric-upgrading factor (Cholesky of T, reference
+    ``affine_camera_calibration.py:49,127,214``) and per-image rotations.
+    Shared by the single-device path below and the point-sharded path
+    (``parallel/sharded_affine.py``), where everything here is replicated
+    O(F) work and only the shape rows are sharded.
     """
-    if model not in _COEFFS:
-        raise ValueError(f"unknown affine model: {model}")
-    if model == "paraperspective" and f is None:
-        raise ValueError("paraperspective model requires focal lengths f")
-
-    w, t = observation_matrix(x)
-    u, sigma, vt = jnp.linalg.svd(w, full_matrices=False)
-    u_ = u[:, :3]
     u0, u1 = u_[0::2], u_[1::2]
-
-    if f is not None:
-        f = jnp.asarray(f, dtype=x.dtype)
     basis = _outer_basis(u0, u1)
-    coeff = _COEFFS[model](t, f, x.dtype)
+    coeff = _COEFFS[model](t, f, u_.dtype)
     bcal = fourth_moment_matrix(basis, coeff)  # (9, 9)
     b6 = sym_reduce(bcal, 3)
 
     if model == "orthographic":
-        rhs = jnp.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0], dtype=x.dtype)
+        rhs = jnp.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0], dtype=u_.dtype)
         tau = jnp.linalg.solve(b6, rhs)
     else:
         _, tau = min_eigvec_sym(b6)
@@ -209,9 +202,50 @@ def affine_self_calibration(
 
     A = jnp.linalg.cholesky(T)
     M = u_ @ A
-    S = jnp.linalg.inv(A) @ (sigma[:3, None] * vt[:3])
-
     R = _rotation_from_motion(M, u0, u1, T, t)
+    return A, R
+
+
+@partial(jax.jit, static_argnames=("model", "canonical_signs"))
+def affine_self_calibration(
+    x: jax.Array,
+    model: str = "paraperspective",
+    f: jax.Array | None = None,
+    canonical_signs: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Affine self-calibration of observations x (F, P, 2).
+
+    Returns (S, R): shape S (P, 3) and per-image rotations R (F, 3, 3)
+    (reference entry points ``affine_camera_calibration.py:7,59,137``).
+    ``f`` (F,) focal lengths are required for the paraperspective model.
+
+    ``canonical_signs``: the reconstruction branch depends on the SVD's
+    per-column sign choice (flipping subspace column k flips shape axis k
+    and can mirror the solution). Default keeps the backend's SVD signs
+    (LAPACK on CPU-x64 = reference oracle parity); True pins each column
+    so the first point's shape coordinate is non-negative — the
+    data-deterministic convention the point-sharded path
+    (``parallel/sharded_affine.py``) uses, enabling exact cross-path
+    comparison.
+    """
+    if model not in _COEFFS:
+        raise ValueError(f"unknown affine model: {model}")
+    if model == "paraperspective" and f is None:
+        raise ValueError("paraperspective model requires focal lengths f")
+
+    w, t = observation_matrix(x)
+    u, sigma, vt = jnp.linalg.svd(w, full_matrices=False)
+    u_ = u[:, :3]
+    vt3 = vt[:3]
+    if canonical_signs:
+        d = jnp.where(vt3[:, 0] < 0, -1.0, 1.0).astype(x.dtype)
+        u_ = u_ * d[None, :]
+        vt3 = vt3 * d[:, None]
+
+    if f is not None:
+        f = jnp.asarray(f, dtype=x.dtype)
+    A, R = metric_upgrade_from_subspace(u_, t, model, f)
+    S = jnp.linalg.inv(A) @ (sigma[:3, None] * vt3)
     return S.T, R
 
 
