@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..config import HIGHEST
 from ..ops.factorization import factorization_method
-from ..ops.linalg import jacobi_eigh, min_eigvec_sym
+from ..ops.linalg import det3x3, inv3x3, jacobi_eigh, min_eigvec_sym, polar_orthogonal3
 from ..ops.moments import fourth_moment_matrix, sym_expand, sym_reduce
 from ..ops.rotations import unit_vec
 
@@ -120,6 +120,37 @@ def _top_eigvec_lowrank(y: jax.Array) -> jax.Array:
     return xi / jnp.linalg.norm(xi, axis=-1, keepdims=True)
 
 
+def _rank4_subspace_gram(wm: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact leading rank-4 left/right subspaces of wm (3F, P) via eigh
+    of the *smaller* Gram (statically chosen side). Returns
+    (u4 (3F, 4), v4 (P, 4), sigma4 (4,)) in descending order.
+
+    TPU rationale: the batched (S, 3F, P) SVD is the depth loop's single
+    dominant op (104 ms in-graph at (64, 300, 200) on v5e); the Gram eigh
+    of the 200-side is 75 ms and the result is mathematically identical
+    (the Gram's top eigenvectors ARE the singular vectors; downstream
+    depth updates depend only on the rank-4 *projection*, which is
+    basis-invariant). Same trick as the sharded calibration
+    (``parallel/sharded_calibration._rank4_subspace``).
+    """
+    m, n = wm.shape
+    if m <= n:
+        g = jnp.einsum("ap,bp->ab", wm, wm, precision=HIGHEST)
+        evals, evecs = jnp.linalg.eigh(g)
+        u4 = evecs[:, :-5:-1]
+        sigma4 = jnp.sqrt(jnp.maximum(evals[:-5:-1], 0.0))
+        safe = jnp.maximum(sigma4, jnp.finfo(wm.dtype).tiny)
+        v4 = jnp.einsum("ap,ak->pk", wm, u4, precision=HIGHEST) / safe
+    else:
+        g = jnp.einsum("ap,aq->pq", wm, wm, precision=HIGHEST)
+        evals, evecs = jnp.linalg.eigh(g)
+        v4 = evecs[:, :-5:-1]
+        sigma4 = jnp.sqrt(jnp.maximum(evals[:-5:-1], 0.0))
+        safe = jnp.maximum(sigma4, jnp.finfo(wm.dtype).tiny)
+        u4 = jnp.einsum("ap,pk->ak", wm, v4, precision=HIGHEST) / safe
+    return u4, v4, sigma4
+
+
 def _depth_step_primary(xh, z, f0: float, eig_method: str = "eigh"):
     """One primary-method depth update (reference ``:79-133``): per-point
     F x F Rayleigh-quotient eigenproblem over the rank-4 motion subspace.
@@ -131,10 +162,17 @@ def _depth_step_primary(xh, z, f0: float, eig_method: str = "eigh"):
     w = xh * z[..., None]  # (P, F, 3)
     w = w / jnp.linalg.norm(w.reshape(npts, -1), axis=1)[:, None, None]
     wm = w.reshape(npts, -1).T  # (3F, P)
-    u, sigma, vt = jnp.linalg.svd(wm, full_matrices=False)
-    u4 = u[:, :4]  # (3F, 4)
-    m = u4
-    s = sigma[:4, None] * vt[:4]
+    if eig_method == "lowrank":
+        # Gram-eigh subspace (exact; no batched SVD custom call) — the
+        # depth update and error depend only on the rank-4 projection.
+        u4, _, _ = _rank4_subspace_gram(wm)
+        m = u4
+        s = jnp.einsum("ak,ap->kp", u4, wm, precision=HIGHEST)
+    else:
+        u, sigma, vt = jnp.linalg.svd(wm, full_matrices=False)
+        u4 = u[:, :4]  # (3F, 4)
+        m = u4
+        s = sigma[:4, None] * vt[:4]
     uimg = u4.reshape(nf, 3, 4)
 
     # x . u_k per (point, image, rank).
@@ -166,8 +204,11 @@ def _depth_step_dual(xh, z, f0: float, eig_method: str = "eigh"):
     w = (wt / norm_sq[:, None, None]).transpose(2, 0, 1)
 
     wm = w.reshape(npts, -1).T  # (3F, P)
-    u, sigma, vt = jnp.linalg.svd(wm, full_matrices=False)
-    v4 = vt[:4].T  # (P, 4)
+    if eig_method == "lowrank":
+        _, v4, _ = _rank4_subspace_gram(wm)  # exact, no SVD custom call
+    else:
+        u, sigma, vt = jnp.linalg.svd(wm, full_matrices=False)
+        v4 = vt[:4].T  # (P, 4)
 
     xt = xh.transpose(1, 2, 0)  # (F, 3, P)
     xnorm = jnp.linalg.norm(xt, axis=1)  # (F, P)
@@ -191,8 +232,14 @@ def _depth_step_dual(xh, z, f0: float, eig_method: str = "eigh"):
     xi = _sign_fix(xi_t.T)  # (P, F)
     z_new = xi / xnorm.T
 
-    m = u[:, :4]
-    s = sigma[:4, None] * vt[:4]
+    if eig_method == "lowrank":
+        # rank-4 truncation as wm V4 V4^T: right-projection form, no
+        # sigma division (V4 comes straight from the smaller Gram's eigh)
+        m = jnp.einsum("ap,pk->ak", wm, v4, precision=HIGHEST)
+        s = v4.T
+    else:
+        m = u[:, :4]
+        s = sigma[:4, None] * vt[:4]
     e = reprojection_error(xh, m, s, f0)
     return z_new, e
 
@@ -373,7 +420,10 @@ def euclidean_upgrading(
 
     def body(carry):
         k, j_med_prev, _, _, _, count = carry
-        q = jnp.linalg.inv(k) @ p  # (F, 3, 4)
+        # closed-form 3x3 inverse: jnp.linalg.inv on the (F, 3, 3) batch
+        # is a latency-bound custom call re-paid every loop iteration
+        # (measured ~5 ms at (64, 100, 3, 3) in-graph on v5e)
+        q = inv3x3(k) @ p  # (F, 3, 4)
         omega, sigma, w, ok = calc_omega(q)
         h = _homography_from_omega(sigma, w)
         k_new, j = update_intrinsics(k, omega, q)
@@ -402,13 +452,13 @@ def metric_cameras(
     (reference ``_reconstruct_3d`` camera side, ``:432-441``). Purely
     camera-sized work (replicated under point sharding)."""
     p_metric = p @ h  # (F, 3, 4)
-    ab = jnp.linalg.inv(k) @ p_metric
-    scale = jnp.cbrt(jnp.linalg.det(ab[:, :, :3]))
+    ab = inv3x3(k) @ p_metric
+    scale = jnp.cbrt(det3x3(ab[:, :, :3]))
     ab = ab / scale[:, None, None]
     a, b = ab[:, :, :3], ab[:, :, 3]
 
-    u, _, vt = jnp.linalg.svd(a)
-    r = jnp.swapaxes(u @ vt, -1, -2)  # (F, 3, 3)
+    # polar factor (== SVD's U V^T) via the custom-call-free 3x3 path
+    r = jnp.swapaxes(polar_orthogonal3(a), -1, -2)  # (F, 3, 3)
     t = -jnp.einsum("fij,fj->fi", r, b)
     return r, t
 
@@ -506,7 +556,14 @@ def perspective_self_calibration(
     )
 
     w = xh * z[..., None]  # (P, F, 3)
-    m, s = factorization_method(w.reshape(w.shape[0], -1).T, n_rank=4)
+    wm = w.reshape(w.shape[0], -1).T
+    if eig_method == "lowrank":
+        # Gram-eigh factorization (basis differs from the SVD's by an
+        # orthogonal 4x4; the metric upgrade is covariant in it)
+        m, v4, sigma4 = _rank4_subspace_gram(wm)
+        s = sigma4[:, None] * v4.T
+    else:
+        m, s = factorization_method(wm, n_rank=4)
     p = m.reshape(-1, 3, 4)
 
     h, k, ok = euclidean_upgrading(p, f0, max_iter=upgrade_max_iter)
