@@ -13,8 +13,11 @@ Workloads (all float32, full visibility):
    MFU figure (useful Schur FLOPs / wall / bf16 peak).
 3. **batched** (extra field): 64 scenes x 100 views full pipeline
    (perspective self-calibration + 15 BA iters), scene-chunked.
+4. **batched_converged** (extra field): same pipeline run to the
+   reference's stopping contract (per-scene |dE| <= 1e-3, budget 40)
+   with per-scene iteration counts and worst-E vs the noise floor.
 
-MVRECON_BENCH_FAST=1 skips workloads 2-3 (headline only).
+MVRECON_BENCH_FAST=1 skips workloads 2-4 (headline only).
 """
 
 import json
@@ -115,11 +118,14 @@ def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
 
     run()
     times, err, retries = [], None, None
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         err, retries = run()
         times.append(time.perf_counter() - start)
-    wall = min(times)
+    # median-of-3 with the spread surfaced: the retry count carries
+    # ~±0.35 s of fp-ordering sensitivity at this workload (BASELINE.md),
+    # so a single min() overstates reproducibility
+    wall = float(np.median(times))
     assert np.isfinite(err), "north-star BA diverged"
     # Useful FLOPs, lower bound: the symmetric Schur accumulation is
     # 3P (9F)^2 MACs per solver retry exploiting symmetry, i.e.
@@ -129,14 +135,17 @@ def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
     mfu = flops / wall / PEAK_FLOPS
     return {
         "points": n_points, "views": n_views, "iters": n_iters,
-        "wall_s": round(wall, 3), "retries": retries,
+        "wall_s": round(wall, 3),
+        "wall_s_spread": [round(min(times), 3), round(max(times), 3)],
+        "retries": retries,
         "reprojection_error": err,
         "mfu_pct": round(100 * mfu, 1),
         "peak_flops": PEAK_FLOPS,
     }
 
 
-def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=64):
+def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=64,
+                  delta_tol=0.0):
     from mvrecon_tpu.parallel.batched import batched_euclidean_reconstruction
 
     dtype = jnp.float32
@@ -149,7 +158,7 @@ def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=64):
     # (max E 1.28 vs 4.64 against a ~1.0 noise floor) — fewer rejected
     # retries, and every retry here is a full batched Schur solve.
     config = LMConfig(
-        scale_factor=4.0, delta_tol=0.0, max_iter=ba_iters,
+        scale_factor=4.0, delta_tol=delta_tol, max_iter=ba_iters,
         accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
     )
 
@@ -160,18 +169,24 @@ def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=64):
         )
         errs = np.asarray(res.error)
         status = np.asarray(res.status)
-        return errs, status
+        n_iter = np.asarray(res.n_iter)
+        return errs, status, n_iter
 
     run()
     start = time.perf_counter()
-    errs, status = run()
+    errs, status, n_iter = run()
     wall = time.perf_counter() - start
+    noise_floor = 200 * n_views * 2 * 0.005**2
     return {
         "scenes": n_scenes, "views": n_views, "ba_iters": ba_iters,
+        "delta_tol": delta_tol,
         "wall_s": round(wall, 3),
         "scenes_per_s": round(n_scenes / wall, 2),
         "calib_ok": int((status == 0).sum()),
         "finite": int(np.isfinite(errs).sum()),
+        "converged_early": int((n_iter < ba_iters).sum()),
+        "n_iter_max": int(n_iter.max()),
+        "worst_E_vs_noise_floor": round(float(np.nanmax(errs) / noise_floor), 3),
     }
 
 
@@ -195,6 +210,12 @@ def main():
         out["northstar"] = bench_northstar()
         dog.pet()
         out["batched"] = bench_batched()
+        dog.pet()
+        # run-to-convergence variant (the reference stopping contract,
+        # lib/bundle_adjustment.py:186-191): per-scene early exit at
+        # |dE| <= 1e-3, budget 40 — reports scenes/s-to-noise-floor
+        # alongside the fixed-budget throughput number above
+        out["batched_converged"] = bench_batched(ba_iters=40, delta_tol=1e-3)
     dog.stop()
     print(json.dumps(out))
 

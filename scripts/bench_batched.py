@@ -30,6 +30,10 @@ def main():
     ba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     eig_method = sys.argv[4] if len(sys.argv) > 4 else "eigh"
     scene_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    # run-to-convergence mode: per-scene early exit at |dE| <= delta_tol
+    # (the reference stopping contract, lib/bundle_adjustment.py:186-191);
+    # ba_iters then bounds the budget instead of fixing it
+    delta_tol = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
 
     dtype = jnp.float32
     keys = jax.random.split(jax.random.key(0), n_scenes)
@@ -44,7 +48,7 @@ def main():
 
     # Nielsen damping: see bench.py::bench_batched for the measured win
     config = LMConfig(
-        scale_factor=4.0, delta_tol=0.0, max_iter=ba_iters,
+        scale_factor=4.0, delta_tol=delta_tol, max_iter=ba_iters,
         accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
     )
 
@@ -69,6 +73,16 @@ def main():
         f"batched S={n_scenes} F={n_views} BA_iters={ba_iters} eig={eig_method}: wall={wall:.3f}s "
         f"({n_scenes / wall:.1f} scenes/s), calib_ok={ok}/{n_scenes}, "
         f"finite={finite}/{n_scenes}, median E={np.nanmedian(errs):.4e}",
+        flush=True,
+    )
+    n_iter = np.asarray(res.n_iter)
+    noise_floor = 200 * n_views * 2 * 0.005**2
+    print(
+        f"  per-scene n_iter min/med/max = {n_iter.min()}/{int(np.median(n_iter))}/"
+        f"{n_iter.max()}; converged (n_iter < budget) = "
+        f"{int((n_iter < ba_iters).sum())}/{n_scenes}; "
+        f"worst E = {np.nanmax(errs):.3f} ({np.nanmax(errs) / noise_floor:.2f}x "
+        f"noise floor {noise_floor:.2f})",
         flush=True,
     )
 

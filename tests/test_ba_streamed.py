@@ -95,3 +95,31 @@ def test_streamed_segmented_resume_matches_continuous(ref, quiet):
     )
     np.testing.assert_allclose(float(p2.error), float(full.error), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(p2.X), np.asarray(full.X), atol=1e-9)
+
+
+def test_streamed_prefetch_matches_serial(ref):
+    """Double-buffered prefetch (worker thread issuing async transfers
+    ahead of the consumer) must be a pure scheduling change: results
+    bit-identical to the serial feed."""
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+
+    scene = make_synthetic_scene(
+        jax.random.key(5), n_images=6, n_slices=10, n_angles=20,
+        dtype=jnp.float64,
+    )
+    X_ = np.asarray(scene.X + 0.02 * jax.random.normal(
+        jax.random.key(6), scene.X.shape, scene.X.dtype))
+    K_, R_, t_ = np.asarray(scene.K), np.asarray(scene.R), np.asarray(scene.t)
+    x = np.asarray(scene.x.transpose(1, 0, 2))
+    cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=4)
+
+    serial = bundle_adjust_streamed(
+        x, X_, K_, R_, t_, axis="x-up_z-forward", config=cfg,
+        chunk_size=64, prefetch=0,
+    )
+    buffered = bundle_adjust_streamed(
+        x, X_, K_, R_, t_, axis="x-up_z-forward", config=cfg,
+        chunk_size=64, prefetch=2,
+    )
+    assert float(buffered.error) == float(serial.error)
+    np.testing.assert_array_equal(np.asarray(buffered.X), np.asarray(serial.X))
