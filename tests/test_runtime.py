@@ -1,6 +1,7 @@
 """Runtime subsystems: checkpoint/resume, structured logging, native MST."""
 
 import os
+import tempfile
 
 import numpy as np
 import jax
@@ -204,3 +205,90 @@ def test_segmented_sharded_chunked_resume(ref, quiet):
         config=cfg3, chunk_size=32, init_c=r3.log["c"], init_nu=r3.log["nu"])
     np.testing.assert_allclose(float(r33.error), float(r6.error), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(r33.X), np.asarray(r6.X), atol=1e-8)
+
+
+def test_bal_roundtrip():
+    """BAL text format (Agarwal et al.) round-trips through save_bal/
+    load_bal with the convention conversion (world->camera R/t, negated
+    pixels absorbing BAL's -z projection)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.runtime.io import load_bal, save_bal
+
+    sc = make_synthetic_scene(jax.random.key(0), n_images=8, dtype=jnp.float64)
+    nf, npts = sc.x.shape[0], sc.x.shape[1]
+    rng = np.random.default_rng(0)
+    vis = (rng.random((npts, nf)) < 0.4).astype(float)
+    vis[:, 0] = 1.0
+    path = os.path.join(tempfile.mkdtemp(), "problem.bal")
+    save_bal(path, np.asarray(sc.x), vis, np.asarray(sc.X),
+             np.asarray(sc.R), np.asarray(sc.t), np.asarray(sc.K[:, 0, 0]))
+    d = load_bal(path)
+    np.testing.assert_allclose(d["R"], np.asarray(sc.R), atol=1e-10)
+    np.testing.assert_allclose(d["t"], np.asarray(sc.t), atol=1e-10)
+    np.testing.assert_allclose(d["X"], np.asarray(sc.X), atol=1e-12)
+    np.testing.assert_array_equal(d["visibility"], vis)
+    m = d["visibility"].T > 0
+    np.testing.assert_allclose(d["x"][m], np.asarray(sc.x)[m], atol=1e-12)
+
+
+def test_bal_sparse_visibility_huber_ba():
+    """Sliding-window sparse visibility (realistic sequential-capture
+    sparsity ~25%) + gross outliers through Huber BA: converges to the
+    inlier floor and ignores the outliers. Exercises the visibility
+    path at a sparsity no other test reaches."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvrecon_tpu.config import LMConfig
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
+    from mvrecon_tpu.ops.procrustes import aligned_rmse
+    from mvrecon_tpu.runtime.io import load_bal, save_bal
+
+    n_cams, n_points = 12, 200
+    sc = make_synthetic_scene(
+        jax.random.key(3), n_images=n_cams, noise=0.0, dtype=jnp.float64
+    )
+    x = np.asarray(sc.x)
+    rng = np.random.default_rng(3)
+    window = 4
+    centers = rng.integers(0, n_cams, n_points)
+    lo = np.clip(centers - window // 2, 0, n_cams - window)
+    cams = np.arange(n_cams)
+    vis = ((cams[None] >= lo[:, None]) & (cams[None] < (lo + window)[:, None])).astype(float)
+    x = x + 0.003 * rng.standard_normal(x.shape)
+    pi, ci = np.nonzero(vis > 0)
+    pick = rng.choice(len(pi), 12, replace=False)
+    x[ci[pick], pi[pick]] += 0.5  # gross outliers
+
+    path = os.path.join(tempfile.mkdtemp(), "sparse.bal")
+    save_bal(path, x, vis, np.asarray(sc.X), np.asarray(sc.R),
+             np.asarray(sc.t), np.asarray(sc.K[:, 0, 0]))
+    d = load_bal(path)
+
+    X0 = jnp.asarray(d["X"] + 0.03 * rng.standard_normal((n_points, 3)))
+
+    def run(robust):
+        return bundle_adjust(
+            jnp.asarray(d["x"].transpose(1, 0, 2)), X0, jnp.asarray(d["K"]),
+            jnp.asarray(d["R"]), jnp.asarray(d["t"]), f0=1.0,
+            axis="x-up_z-forward",
+            config=LMConfig(scale_factor=4.0, delta_tol=1e-10, max_iter=40,
+                            accept_divisor=1.0, init_damping=3e-3,
+                            damping="nielsen", robust=robust,
+                            huber_delta=0.02),
+            visibility=jnp.asarray(d["visibility"]),
+        )
+
+    gt = jnp.asarray(sc.X, jnp.float64)
+    rmse_huber = float(aligned_rmse(run("huber").X, gt))
+    rmse_plain = float(aligned_rmse(run("none").X, gt))
+    # The intrinsic accuracy at this sparsity (4 narrow-baseline views
+    # per point, sigma=0.003) is ~0.023 outlier-free. Huber must hold
+    # near that level against the 0.5-magnitude outliers; the plain
+    # quadratic loss must be measurably dragged off by them.
+    assert rmse_huber < 0.07, rmse_huber
+    assert rmse_huber < 0.7 * rmse_plain, (rmse_huber, rmse_plain)
