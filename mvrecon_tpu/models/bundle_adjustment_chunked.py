@@ -166,17 +166,18 @@ def _build_system_fused(
         acc, d_F, matG, e_chunk, b_p32 = fused_chunk_update(
             acc, state_cam, X_c, x_c, vis_c, f0, c, huber_delta
         )
-        return (acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk,
+        return (acc, g_acc + matG, df_acc + d_F, _kadd(e_acc, e_chunk),
                 bp_acc + b_p32), None
 
+    zero = jnp.zeros((), dt)
     init = (
         jnp.zeros((n_acc, n_acc), jnp.float32),
         jnp.zeros((nf, 9, 9), dt),
         jnp.zeros((9 * nf,), dt),
-        jnp.zeros((), dt),
+        (zero, zero),
         jnp.zeros((9, f_pad), dt),
     )
-    (acc, g, d_f, e_now, bp32), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
+    (acc, g, d_f, (e_now, _), bp32), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
     d_f = d_f * free
     schur_tm = finish_schur(acc, nf)
     b_p_tm = bp32.reshape(-1)
@@ -185,6 +186,26 @@ def _build_system_fused(
     )
     diag_g = jnp.diagonal(g, axis1=-2, axis2=-1).reshape(-1)  # (9F,) undamped
     return a, b, e_now, (diag_g, d_f), free_tm
+
+
+def _kadd(acc, x):
+    """One Kahan compensated-summation step on a (sum, comp) carry pair.
+
+    The LM accept test and the Nielsen gain ratio read scalars that are
+    plain f32 sums of per-chunk partials (131 chunks at the north star);
+    compensating them removes the accumulation-order noise from the
+    *decisions* at ~zero cost (3 scalar ops per chunk). Measured effect
+    (BASELINE.md): the 12/14 retry flip between chunk 768/512 collapses
+    to 13 retries for BOTH — chunk-invariant decisions — at the price of
+    leaving the uncompensated 768 config's lucky 12-retry rounding basin
+    (north star 4.36 -> 4.66 s, still well under the 5 s target; shipped
+    because a protocol robust to chunk size beats a +0.3 s basin that
+    any layout change could flip away — VERDICT r2 next-step #7/weak #2).
+    """
+    s, comp = acc
+    y = x - comp
+    t = s + y
+    return (t, (t - s) - y)
 
 
 def _vary(v, axis_name):
@@ -234,7 +255,10 @@ def _build_system(
             y.reshape(npts_c * 3, nf9), HIGHEST, schur_acc.shape[0]
         )
         b_acc = b_acc + jnp.einsum("pxm,px->m", y, yd, precision=HIGHEST)
-        return (schur_acc, b_acc, g_acc + matG, df_acc + d_F, e_acc + e_chunk), None
+        return (
+            schur_acc, b_acc, g_acc + matG, df_acc + d_F,
+            _kadd(e_acc, e_chunk),
+        ), None
 
     n_acc = syrk_accumulator_dim(nf9)
     init = _vary(
@@ -243,11 +267,11 @@ def _build_system(
             jnp.zeros((nf9,), dt),
             jnp.zeros((nf, 9, 9), dt),
             jnp.zeros((nf9,), dt),
-            jnp.zeros((), dt),
+            (jnp.zeros((), dt), jnp.zeros((), dt)),
         ),
         axis_name,
     )
-    (schur, b_p, g, d_f, e_now), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
+    (schur, b_p, g, d_f, (e_now, _)), _ = jax.lax.scan(body, init, (X_ch, x_ch, vis_ch))
     schur = finish_syrk_accumulator(_psum(schur, axis_name), nf9, dt)
     b_p = _psum(b_p, axis_name)
     g = _psum(g, axis_name)
@@ -282,11 +306,14 @@ def _backsub_and_trial(
                 state_cam, trial_cam, X_c, x_c, vis_c, f0, c,
                 delta_xi * free, huber_delta,
             )
-            return (e_acc + e_c, dDd_acc + dDd_c, gd_acc + gd_c), X_new
+            return (
+                _kadd(e_acc, e_c), _kadd(dDd_acc, dDd_c), _kadd(gd_acc, gd_c)
+            ), X_new
 
         zero_f = jnp.zeros((), x_ch.dtype)
-        (e_trial, dDd_pts, gd_pts), X_new_ch = jax.lax.scan(
-            body_f, (zero_f, zero_f, zero_f), (X_ch, x_ch, vis_ch)
+        zp = (zero_f, zero_f)
+        ((e_trial, _), (dDd_pts, _), (gd_pts, _)), X_new_ch = jax.lax.scan(
+            body_f, (zp, zp, zp), (X_ch, x_ch, vis_ch)
         )
         return X_new_ch, e_trial, dDd_pts, gd_pts
 
@@ -331,11 +358,14 @@ def _backsub_and_trial(
             vis_c
             * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
         )
-        return (e_acc + e_c, dDd_acc + dDd_c, gd_acc + gd_c), X_new
+        return (
+            _kadd(e_acc, e_c), _kadd(dDd_acc, dDd_c), _kadd(gd_acc, gd_c)
+        ), X_new
 
     zero = _vary(jnp.zeros((), dt), axis_name)
-    (e_trial, dDd_pts, gd_pts), X_new_ch = jax.lax.scan(
-        body, (zero, zero, zero), (X_ch, x_ch, vis_ch)
+    zp = (zero, zero)
+    ((e_trial, _), (dDd_pts, _), (gd_pts, _)), X_new_ch = jax.lax.scan(
+        body, (zp, zp, zp), (X_ch, x_ch, vis_ch)
     )
     return (
         X_new_ch,
