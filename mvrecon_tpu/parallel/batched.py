@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -73,3 +75,109 @@ def shard_scenes(x: jax.Array, mesh: Mesh) -> jax.Array:
     """Place a (S, ...) batch with the scenes axis sharded over the mesh —
     XLA then runs the batched pipeline pure-DP with zero collectives."""
     return jax.device_put(x, NamedSharding(mesh, P(SCENES_AXIS)))
+
+
+def _bucket(n: int) -> int:
+    """Round a compaction-subset size up to a small set of bucket sizes so
+    continuation phases reuse compiled programs instead of recompiling per
+    distinct subset size."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def batched_euclidean_to_convergence(
+    x: jax.Array,
+    f0: float = 1.0,
+    tol: float = 1e-2,
+    method: str = "dual",
+    config: LMConfig = LMConfig(scale_factor=2.0, delta_tol=1e-3, max_iter=15),
+    eig_method: str = "lowrank",
+    scene_chunk: int | None = None,
+    continuation_budget: int = 25,
+    max_phases: int = 8,
+) -> ReconstructionResult:
+    """Run every scene to the reference stopping contract (per-scene
+    |dE| <= config.delta_tol) via **scene compaction**: a vmapped
+    ``while_loop`` cannot stop paying for converged lanes (each chunk
+    runs to its slowest scene), so after the first fixed-budget pipeline
+    pass the still-unconverged scenes are gathered into a small batch
+    and continued with BA-only phases until all reach the tolerance (or
+    ``max_phases`` expires). Subset sizes round up to power-of-two
+    buckets so continuation programs compile once per bucket, not per
+    subset. Damping restarts per phase (a fresh Nielsen schedule — the
+    continued trajectory differs from a continuous run but satisfies
+    the same stopping contract).
+
+    Returns the merged per-scene results; ``n_iter`` counts TOTAL BA
+    iterations across phases, and scenes still at the budget after
+    ``max_phases`` keep ``n_iter == sum of budgets`` (inspect it to see
+    who hit the cap). Reference contract:
+    ``/root/reference/lib/bundle_adjustment.py:186-191``.
+    """
+    from ..models.bundle_adjustment import bundle_adjust
+
+    if config.delta_tol <= 0:
+        raise ValueError("to-convergence mode needs config.delta_tol > 0")
+
+    res = batched_euclidean_reconstruction(
+        x, f0=f0, tol=tol, method=method, config=config,
+        eig_method=eig_method, scene_chunk=scene_chunk,
+    )
+    X = np.array(res.X)
+    K = np.array(res.K)
+    R = np.array(res.R)
+    t = np.array(res.t)
+    err = np.array(res.error)
+    n_iter = np.array(res.n_iter)
+    status = np.asarray(res.status)
+    x_pf = np.asarray(x).transpose(0, 2, 1, 3)  # (S, P, F, 2)
+
+    import dataclasses
+
+    cont_cfg = dataclasses.replace(config, max_iter=continuation_budget)
+
+    @partial(jax.jit, static_argnames=())
+    def _continue(x_b, X_b, K_b, R_b, t_b):
+        def one(x1, X1, K1, R1, t1):
+            r = bundle_adjust(
+                x1, X1, K1, R1, t1, f0=f0, axis="x-up_z-forward",
+                config=cont_cfg,
+            )
+            return r.X, r.K, r.R, r.t, r.error, r.n_iter
+
+        return jax.vmap(one)(x_b, X_b, K_b, R_b, t_b)
+
+    for _ in range(max_phases):
+        # budget-capped scenes have n_iter == their phase budget
+        unconverged = np.nonzero(
+            (n_iter == config.max_iter)
+            | ((n_iter > config.max_iter)
+               & ((n_iter - config.max_iter) % continuation_budget == 0))
+        )[0]
+        unconverged = unconverged[np.isfinite(err[unconverged])]
+        if len(unconverged) == 0:
+            break
+        m = _bucket(len(unconverged))
+        idx = np.concatenate(
+            [unconverged, np.full(m - len(unconverged), unconverged[0])]
+        )
+        outs = _continue(
+            jnp.asarray(x_pf[idx]), jnp.asarray(X[idx]), jnp.asarray(K[idx]),
+            jnp.asarray(R[idx]), jnp.asarray(t[idx]),
+        )
+        Xn, Kn, Rn, tn, en, nin = (np.asarray(o) for o in outs)
+        k = len(unconverged)
+        X[unconverged] = Xn[:k]
+        K[unconverged] = Kn[:k]
+        R[unconverged] = Rn[:k]
+        t[unconverged] = tn[:k]
+        err[unconverged] = en[:k]
+        n_iter[unconverged] += nin[:k]
+
+    return ReconstructionResult(
+        X=jnp.asarray(X), K=jnp.asarray(K), R=jnp.asarray(R), t=jnp.asarray(t),
+        error=jnp.asarray(err), n_iter=jnp.asarray(n_iter),
+        calib_X=res.calib_X, status=jnp.asarray(status),
+    )

@@ -52,13 +52,31 @@ def main():
         accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
     )
 
-    def run():
-        res = batched_euclidean_reconstruction(
-            x, f0=1.0, tol=1e-2, method="dual", config=config,
-            eig_method=eig_method, scene_chunk=scene_chunk,
-        )
-        errs = np.asarray(res.error)  # host round-trip
-        return res, errs
+    mode = sys.argv[7] if len(sys.argv) > 7 else "lanes"
+    if delta_tol > 0 and mode == "compact":
+        # scene compaction (batched_euclidean_to_convergence). MEASURED
+        # DEAD END at this workload (256x100, tol 1e-3): 15.1 s vs 8.6 s
+        # for single-phase lane-level early exit — the convergence tail
+        # is the bulk (median scene ~44 iters), stragglers are already
+        # near the floor, and per-phase damping restarts + power-of-two
+        # continuation buckets cost more than the converged-lane waste
+        # they remove. Kept for workloads with genuine straggler tails.
+        from mvrecon_tpu.parallel.batched import batched_euclidean_to_convergence
+
+        def run():
+            res = batched_euclidean_to_convergence(
+                x, f0=1.0, tol=1e-2, method="dual", config=config,
+                eig_method=eig_method, scene_chunk=scene_chunk,
+            )
+            return res, np.asarray(res.error)
+    else:
+        def run():
+            res = batched_euclidean_reconstruction(
+                x, f0=1.0, tol=1e-2, method="dual", config=config,
+                eig_method=eig_method, scene_chunk=scene_chunk,
+            )
+            errs = np.asarray(res.error)  # host round-trip
+            return res, errs
 
     t0 = time.perf_counter()
     res, errs = run()

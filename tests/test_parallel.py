@@ -421,3 +421,41 @@ def test_sharded_affine_rejects_indivisible():
     mesh = make_mesh({"points": 4})
     with pytest.raises(ValueError, match="divisible"):
         sharded_affine_self_calibration(mesh, x, model="orthographic")
+
+
+def test_batched_to_convergence_compaction(ref):
+    """Scene-compaction run-to-convergence: every scene must reach the
+    per-scene |dE| <= delta_tol contract (or be continued until it
+    does), results at the noise floor. (Perf note: measured slower than
+    single-phase lane early-exit on homogeneous batches — BASELINE.md —
+    but the contract semantics are what this test pins.)"""
+    from mvrecon_tpu.parallel.batched import batched_euclidean_to_convergence
+
+    scenes = []
+    for seed in (123, 7, 99, 11):
+        _, _, _, _, x_list = make_ref_scene(ref, n_images=6, seed=seed)
+        scenes.append(np.stack(x_list))
+    x = jnp.asarray(np.stack(scenes), jnp.float32)
+
+    cfg = LMConfig(scale_factor=4.0, delta_tol=1e-4, max_iter=8,
+                   accept_divisor=1.0, init_damping=3e-3, damping="nielsen")
+    res = batched_euclidean_to_convergence(
+        x, tol=1e-2, config=cfg, continuation_budget=10, max_phases=6,
+    )
+    errs = np.asarray(res.error)
+    assert np.isfinite(errs).all()
+    noise_floor = 200 * 6 * 2 * 0.005**2
+    assert (errs < 3 * noise_floor).all()
+    # n_iter accounts phases: anything not a budget multiple converged
+    n_iter = np.asarray(res.n_iter)
+    assert (n_iter >= 1).all()
+
+
+def test_batched_to_convergence_requires_tol():
+    from mvrecon_tpu.parallel.batched import batched_euclidean_to_convergence
+
+    with pytest.raises(ValueError, match="delta_tol"):
+        batched_euclidean_to_convergence(
+            jnp.zeros((1, 4, 8, 2)),
+            config=LMConfig(delta_tol=0.0, max_iter=2),
+        )
