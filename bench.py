@@ -11,13 +11,16 @@ Workloads (all float32, full visibility):
 2. **northstar** (extra field): chunk-streamed BA, P=100,000 x F=1,000,
    10 LM iterations — the BASELINE.json "<5 s on 1x v5p" target — with an
    MFU figure (useful Schur FLOPs / wall / bf16 peak).
-3. **batched** (extra field): 64 scenes x 100 views full pipeline
-   (perspective self-calibration + 15 BA iters), scene-chunked.
+3. **batched** (extra field): 256 scenes x 100 views full pipeline
+   (perspective self-calibration + 15 BA iters), scene-chunked — the
+   BASELINE.json batched north star.
 4. **batched_converged** (extra field): same pipeline run to the
    reference's stopping contract (per-scene |dE| <= 1e-3, budget 40)
    with per-scene iteration counts and worst-E vs the noise floor.
+5. **bal_sparse** (extra field): Huber BA on a BAL-format problem with
+   sliding-window ~20% visibility and 2% gross outliers.
 
-MVRECON_BENCH_FAST=1 skips workloads 2-4 (headline only).
+MVRECON_BENCH_FAST=1 skips workloads 2-5 (headline only).
 """
 
 import json
@@ -144,6 +147,60 @@ def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
     }
 
 
+def bench_bal(n_points=20_000, n_cams=100, vis_frac=0.2, outlier_frac=0.02):
+    """Sparse-visibility Huber BA on a BAL-format problem (sequential-
+    capture sliding-window visibility + gross outliers); see
+    scripts/bench_bal.py for the full proof point."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_bal", os.path.join(os.path.dirname(__file__), "scripts", "bench_bal.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from mvrecon_tpu.ops.procrustes import aligned_rmse
+    from mvrecon_tpu.runtime.io import load_bal
+
+    X_gt = mod.make_problem(n_points, n_cams, vis_frac, outlier_frac)
+    d = load_bal(mod.PATH)
+    n_obs = int(d["visibility"].sum())
+
+    dtype = jnp.float32
+    x = jnp.asarray(d["x"].transpose(1, 0, 2), dtype)
+    vis = jnp.asarray(d["visibility"], dtype)
+    rng = np.random.default_rng(1)
+    X0 = jnp.asarray(d["X"] + 0.05 * rng.standard_normal(d["X"].shape), dtype)
+    t0 = jnp.asarray(d["t"] + 0.05 * rng.standard_normal(d["t"].shape), dtype)
+    config = LMConfig(
+        scale_factor=4.0, delta_tol=1e-4, max_iter=30,
+        accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+        robust="huber", huber_delta=0.02,
+    )
+
+    def run():
+        res = bundle_adjust(
+            x, X0, jnp.asarray(d["K"], dtype), jnp.asarray(d["R"], dtype),
+            t0, f0=1.0, axis="x-up_z-forward", config=config, visibility=vis,
+        )
+        _fetch(res.X)
+        return res
+
+    run()
+    start = time.perf_counter()
+    res = run()
+    wall = time.perf_counter() - start
+    return {
+        "cams": n_cams, "points": n_points, "observations": n_obs,
+        "visibility_frac": round(n_obs / (n_points * n_cams), 3),
+        "outlier_frac": outlier_frac,
+        "wall_s": round(wall, 3), "n_iter": int(res.n_iter),
+        "aligned_rmse_vs_gt": round(
+            float(aligned_rmse(res.X, jnp.asarray(X_gt, dtype))), 5
+        ),
+    }
+
+
 def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=64,
                   delta_tol=0.0):
     from mvrecon_tpu.parallel.batched import batched_euclidean_reconstruction
@@ -209,13 +266,17 @@ def main():
     if os.environ.get("MVRECON_BENCH_FAST") != "1":
         out["northstar"] = bench_northstar()
         dog.pet()
-        out["batched"] = bench_batched()
+        out["batched"] = bench_batched(n_scenes=256)
         dog.pet()
         # run-to-convergence variant (the reference stopping contract,
         # lib/bundle_adjustment.py:186-191): per-scene early exit at
         # |dE| <= 1e-3, budget 40 — reports scenes/s-to-noise-floor
         # alongside the fixed-budget throughput number above
-        out["batched_converged"] = bench_batched(ba_iters=40, delta_tol=1e-3)
+        out["batched_converged"] = bench_batched(
+            n_scenes=256, ba_iters=40, delta_tol=1e-3
+        )
+        dog.pet()
+        out["bal_sparse"] = bench_bal()
     dog.stop()
     print(json.dumps(out))
 

@@ -324,3 +324,57 @@ def test_bundle_adjust_x_right_axis_parity(ref, quiet):
     np.testing.assert_allclose(np.asarray(res.X), X_ref, atol=1e-4)
     np.testing.assert_allclose(np.asarray(res.R), R_ref, atol=1e-4)
     np.testing.assert_allclose(np.asarray(res.t), t_ref, atol=1e-4)
+
+
+def test_camera_side_solve_matches_full_kkt():
+    """The flipped Schur elimination (3P < 9F regime: closed-form 9x9
+    camera-block inverse + (3P, 3P) dense solve) must equal a brute-force
+    solve of the full damped KKT system exactly (f64). Also pins the
+    gauge semantics: fixed camera params move exactly zero."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.models.bundle_adjustment import (
+        BAState, _compute_derivs, _damped_solve, gauge_mask, normalize_gauge,
+    )
+
+    # P=20, F=10 -> 60 < 90 triggers the camera side
+    sc = make_synthetic_scene(jax.random.key(0), n_images=10, n_slices=1,
+                              n_angles=20, dtype=jnp.float64)
+    k1, k2 = jax.random.split(jax.random.key(1))
+    X0 = sc.X + 0.02 * jax.random.normal(k1, sc.X.shape, jnp.float64)
+    t0 = sc.t + 0.02 * jax.random.normal(k2, sc.t.shape, jnp.float64)
+    Xn, Rn, tn, _ = normalize_gauge(X0, sc.R, t0, "x-up_z-forward")
+    st = BAState(X=Xn, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=tn, R=Rn)
+    x = sc.x.transpose(1, 0, 2)
+    vis = jnp.ones(x.shape[:2], jnp.float64)
+    free = gauge_mask(10, "x-up_z-forward", jnp.float64)
+    derivs, _ = _compute_derivs(st, x, vis, free, 1.0, None)
+    c = jnp.float64(1e-3)
+    dxi, dx = _damped_solve(derivs, c, free, None)  # auto -> camera side
+
+    p3 = derivs.matE.shape[0] * 3
+    f9 = derivs.matF.shape[2]
+    assert p3 < f9  # the flipped branch is the one under test
+    E = np.zeros((p3, p3))
+    matEc = np.asarray(derivs.matE + 1e-3 * derivs.matE * jnp.eye(3))
+    for p in range(p3 // 3):
+        E[3 * p:3 * p + 3, 3 * p:3 * p + 3] = matEc[p]
+    F = np.asarray(derivs.matF).reshape(p3, f9)
+    matGc = np.asarray(derivs.matG + 1e-3 * derivs.matG * jnp.eye(9))
+    G = np.zeros((f9, f9))
+    for f_ in range(f9 // 9):
+        G[9 * f_:9 * f_ + 9, 9 * f_:9 * f_ + 9] = matGc[f_]
+    fr = np.asarray(free)
+    G = G * np.outer(fr, fr) + np.diag(1 - fr)
+    A = np.block([[E, F], [F.T, G]])
+    b = -np.concatenate(
+        [np.asarray(derivs.d_P).ravel(), np.asarray(derivs.d_F)]
+    )
+    sol = np.linalg.solve(A, b)
+    np.testing.assert_allclose(np.asarray(dx), sol[:p3].reshape(-1, 3), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dxi), sol[p3:], atol=1e-9)
+    assert (np.asarray(dxi)[fr == 0] == 0.0).all()
