@@ -88,6 +88,16 @@ class LMConfig:
     # outliers stop dominating the normal equations.
     robust: str | None = None
     huber_delta: float = 0.05
+    # radial-distortion optimization (BAL camera model): number of
+    # (geometry LM -> closed-form per-camera k1/k2 refit) alternations to
+    # run before the final LM pass. 0 = distortion (if provided to
+    # bundle_adjust) is held fixed. Each k-refit is exact: the BAL
+    # prediction is linear in (k1, k2) given the geometry.
+    distortion_rounds: int = 0
+    # tie (k1, k2) across all cameras during the refit (one physical
+    # camera captured the sequence) — well-posed even when single frames
+    # see too few rays to identify their own distortion.
+    distortion_shared: bool = False
 
     @property
     def divisor(self) -> float:

@@ -71,6 +71,7 @@ class BAResult(NamedTuple):
     error: jax.Array  # final reprojection error E (sum of squares)
     n_iter: jax.Array
     log: dict | None  # stacked per-iteration (X, R, t, E) when recorded
+    distortion: jax.Array | None = None  # (F, 2) radial (k1, k2) when modeled
 
 
 AXIS_MODES = ("x-right_z-forward", "x-up_z-forward")
@@ -170,6 +171,32 @@ def reprojection_error(
     return jnp.sum(vis * e)
 
 
+def _distortion_terms(
+    state: BAState, p: jax.Array, q: jax.Array, r: jax.Array, f0: float,
+    dist: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-observation radial-distortion quantities (BAL camera model:
+    pixel = f * d(rho) * rho with d = 1 + k1 |rho|^2 + k2 |rho|^4 on the
+    normalized ray rho = Xc_xy / Xc_z; see ``runtime/io.py::load_bal``).
+
+    In this framework's f0-normalized image coordinates the undistorted
+    prediction is pi = (p/r, q/r) = (f/f0) rho + u/f0, so with
+    g = pi - u/f0 and s = |rho|^2 = (f0/f)^2 |g|^2 the distorted
+    prediction is ``pi~ = d(s) g + u/f0``. Returns (g1, g2, s, d, w)
+    with w = dd/ds = k1 + 2 k2 s — everything the residual and the
+    chain-rule Jacobian transform need. ``r`` must already be sanitized
+    (nonzero where masked)."""
+    g1 = p / r - (state.u[:, 0] / f0)[None]  # (P, F)
+    g2 = q / r - (state.u[:, 1] / f0)[None]
+    ratio2 = (f0 / state.f) ** 2  # (F,)
+    s = ratio2[None] * (g1 * g1 + g2 * g2)
+    k1 = dist[:, 0][None]
+    k2 = dist[:, 1][None]
+    d = 1.0 + s * (k1 + s * k2)
+    w = k1 + 2.0 * k2 * s
+    return g1, g2, s, d, w
+
+
 @dataclasses.dataclass(frozen=True)
 class _Derivs:
     """Per-outer-iteration derivative tensors (reference ``:106-116``)."""
@@ -241,12 +268,19 @@ def _compute_derivs(
     free: jax.Array,
     f0: float,
     axis_name: str | None = None,
+    dist: jax.Array | None = None,
 ) -> tuple[_Derivs, jax.Array]:
     """All first/second derivative blocks for one outer LM iteration
     (reference ``:102-116``). Returns (derivs, current E).
 
     With ``axis_name`` set (inside shard_map over points), the camera-side
-    sums (d_F, matG, E) are psum-reduced; point-side blocks stay local."""
+    sums (d_F, matG, E) are psum-reduced; point-side blocks stay local.
+
+    With ``dist`` ((F, 2) radial k1/k2, BAL model) the residual becomes
+    the distorted one and the Jacobian factors are chained through the
+    exact 2x2 distortion Jacobian D = d I + 2 w (f0/f)^2 g g^T — the
+    rank-2 outer-product structure every downstream Schur path exploits
+    is preserved, so distortion costs only elementwise work."""
     npts, nf = x.shape[0], state.f.shape[0]
     K = build_K(state.f, state.u, f0)
     pmat, p, q, r = calc_pqr(state.X, K, state.R, state.t)
@@ -264,7 +298,6 @@ def _compute_derivs(
     r = jnp.where(vis > 0, r, jnp.ones_like(r))
     res_p = p / r - x[..., 0] / f0  # (P, F)
     res_q = q / r - x[..., 1] / f0
-    e_now = _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
 
     # Jacobian blocks scaled by 1/r^2 (folded into the factors so every
     # second-derivative block is a plain product of two tensors):
@@ -275,6 +308,40 @@ def _compute_derivs(
     a2 = (r[..., None] * dqdX[None] - q[..., None] * drdX[None]) * inv_r2[..., None]
     b1 = (r[..., None] * dpdc - p[..., None] * drdc) * inv_r2[..., None]
     b2 = (r[..., None] * dqdc - q[..., None] * drdc) * inv_r2[..., None]
+
+    if dist is not None:
+        # Distorted prediction pi~ = d(s) g + u/f0. Residual gains
+        # (d - 1) g; the factor rows chain through the 2x2 Jacobian
+        # D = d I + 2 w (f0/f)^2 g g^T, which applies verbatim to the
+        # point rows (a). The camera rows (b) differ from dg/dtheta in
+        # exactly two places: the u columns (dg/du = dpi/du - 1/f0, and
+        # pi~ adds its own +1/f0 back) and the f column (s depends on f
+        # directly: dpi~/df gains -(2 w s / f) g).
+        g1, g2, s, d, w = _distortion_terms(state, p, q, r, f0, dist)
+        res_p = res_p + (d - 1.0) * g1
+        res_q = res_q + (d - 1.0) * g2
+        cw = (2.0 * w) * (f0 / state.f)[None] ** 2  # (P, F)
+        d11 = d + cw * g1 * g1
+        d12 = cw * g1 * g2
+        d22 = d + cw * g2 * g2
+        a1, a2 = (
+            d11[..., None] * a1 + d12[..., None] * a2,
+            d12[..., None] * a1 + d22[..., None] * a2,
+        )
+        inv_f0 = jnp.asarray(1.0 / f0, b1.dtype)
+        b1 = b1.at[..., 1].add(-inv_f0)  # b -> dg/dtheta (u columns only)
+        b2 = b2.at[..., 2].add(-inv_f0)
+        b1, b2 = (
+            d11[..., None] * b1 + d12[..., None] * b2,
+            d12[..., None] * b1 + d22[..., None] * b2,
+        )
+        b1 = b1.at[..., 1].add(inv_f0)  # + d(u/f0)/du
+        b2 = b2.at[..., 2].add(inv_f0)
+        cf = 2.0 * w * s / state.f[None]  # -(2 w s / f) g on the f column
+        b1 = b1.at[..., 0].add(-cf * g1)
+        b2 = b2.at[..., 0].add(-cf * g2)
+
+    e_now = _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
 
     visf = vis[..., None]
 
@@ -449,29 +516,97 @@ def _apply_update(state: BAState, delta_xi: jax.Array, delta_x: jax.Array) -> BA
     )
 
 
-def _state_error(
-    state: BAState, x: jax.Array, vis: jax.Array, f0: float, axis_name: str | None = None
-) -> jax.Array:
-    K = build_K(state.f, state.u, f0)
-    _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
-    return _psum(reprojection_error(x, p, q, r, vis, f0), axis_name)
-
-
-def _huber_weights(
-    state: BAState, x: jax.Array, vis: jax.Array, f0: float, delta: float
-) -> jax.Array:
-    """IRLS Huber weights from the current residuals: w = min(1, delta/|r|)
-    per observation (|r| = normalized reprojection residual magnitude).
-    Multiplied into the visibility mask, gross outliers contribute
-    linearly instead of quadratically."""
+def _residuals(
+    state: BAState, x: jax.Array, vis: jax.Array, f0: float,
+    dist: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-observation (res_p, res_q), optionally through the radial
+    distortion model (masked entries sanitized)."""
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
     r = jnp.where(vis > 0, r, jnp.ones_like(r))
     res_p = p / r - x[..., 0] / f0
     res_q = q / r - x[..., 1] / f0
+    if dist is not None:
+        g1, g2, _, d, _ = _distortion_terms(state, p, q, r, f0, dist)
+        res_p = res_p + (d - 1.0) * g1
+        res_q = res_q + (d - 1.0) * g2
+    return res_p, res_q
+
+
+def _state_error(
+    state: BAState, x: jax.Array, vis: jax.Array, f0: float,
+    axis_name: str | None = None, dist: jax.Array | None = None,
+) -> jax.Array:
+    res_p, res_q = _residuals(state, x, vis, f0, dist)
+    return _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
+
+
+def _huber_weights(
+    state: BAState, x: jax.Array, vis: jax.Array, f0: float, delta: float,
+    dist: jax.Array | None = None,
+) -> jax.Array:
+    """IRLS Huber weights from the current residuals: w = min(1, delta/|r|)
+    per observation (|r| = normalized reprojection residual magnitude).
+    Multiplied into the visibility mask, gross outliers contribute
+    linearly instead of quadratically."""
+    res_p, res_q = _residuals(state, x, vis, f0, dist)
     mag = jnp.sqrt(res_p**2 + res_q**2)
     w = jnp.minimum(1.0, delta / jnp.maximum(mag, 1e-12))
     return vis * w
+
+
+def fit_distortion(
+    state: BAState, x: jax.Array, vis: jax.Array, f0: float,
+    shared: bool = False,
+) -> jax.Array:
+    """Closed-form per-camera radial-distortion refit.
+
+    The BAL camera model's prediction ``pi~ = (1 + k1 s + k2 s^2) g +
+    u/f0`` is *linear* in (k1, k2) given the geometry, so the
+    least-squares-optimal distortion for the current state is an exact
+    batched 2x2 normal-equation solve — no custom calls, no LM.
+    Alternated with the geometry LM (``LMConfig.distortion_rounds``)
+    this optimizes the full 9-parameter BAL camera (Rodrigues rotation,
+    t, f, k1, k2; /root/reference has no distortion model — this covers
+    the standard public BAL datasets' cameras). Degenerate cameras
+    (all rays at the principal point) keep (0, 0).
+
+    ``shared=True`` ties (k1, k2) across all cameras (one physical
+    camera captured the sequence — the common video/turntable case):
+    the per-camera normal equations sum into one global 2x2 system,
+    which stays well-posed even when each frame alone sees too few
+    rays to identify its own distortion."""
+    K = build_K(state.f, state.u, f0)
+    _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
+    r = jnp.where(vis > 0, r, jnp.ones_like(r))
+    g1 = p / r - (state.u[:, 0] / f0)[None]
+    g2 = q / r - (state.u[:, 1] / f0)[None]
+    s = ((f0 / state.f) ** 2)[None] * (g1 * g1 + g2 * g2)
+    # target: (x/f0 - u/f0) - g = what (k1 s + k2 s^2) g must explain
+    t1 = x[..., 0] / f0 - (state.u[:, 0] / f0)[None] - g1
+    t2 = x[..., 1] / f0 - (state.u[:, 1] / f0)[None] - g2
+    gg = g1 * g1 + g2 * g2
+    gt = g1 * t1 + g2 * t2
+    s2 = s * s
+    a11 = jnp.sum(vis * s2 * gg, axis=0)  # (F,)
+    a12 = jnp.sum(vis * s2 * s * gg, axis=0)
+    a22 = jnp.sum(vis * s2 * s2 * gg, axis=0)
+    b1 = jnp.sum(vis * s * gt, axis=0)
+    b2 = jnp.sum(vis * s2 * gt, axis=0)
+    if shared:
+        nf = state.f.shape[0]
+        a11, a12, a22, b1, b2 = (
+            jnp.broadcast_to(jnp.sum(v, keepdims=True), (nf,))
+            for v in (a11, a12, a22, b1, b2)
+        )
+    det = a11 * a22 - a12 * a12
+    tiny = jnp.asarray(np.finfo(np.dtype(x.dtype)).tiny, x.dtype)
+    safe = det > tiny
+    det_s = jnp.where(safe, det, 1.0)
+    k1 = jnp.where(safe, (b1 * a22 - b2 * a12) / det_s, 0.0)
+    k2 = jnp.where(safe, (b2 * a11 - b1 * a12) / det_s, 0.0)
+    return jnp.stack([k1, k2], axis=-1)
 
 
 def lm_step(
@@ -482,6 +617,7 @@ def lm_step(
     f0: float,
     c: jax.Array,
     axis_name: str | None = None,
+    dist: jax.Array | None = None,
 ) -> tuple[BAState, jax.Array, jax.Array]:
     """One damped Gauss-Newton/LM step: derivatives -> Schur solve ->
     update -> new error. The framework's "train step" building block
@@ -489,10 +625,10 @@ def lm_step(
 
     Returns (new_state, error_before, error_after).
     """
-    derivs, e0 = _compute_derivs(state, x, vis, free, f0, axis_name)
+    derivs, e0 = _compute_derivs(state, x, vis, free, f0, axis_name, dist)
     delta_xi, delta_x = _damped_solve(derivs, c, free, axis_name)
     new = _apply_update(state, delta_xi, delta_x)
-    e1 = _state_error(new, x, vis, f0, axis_name)
+    e1 = _state_error(new, x, vis, f0, axis_name, dist)
     return new, e0, e1
 
 
@@ -506,6 +642,7 @@ def lm_optimize(
     axis_name: str | None = None,
     init_c: jax.Array | None = None,
     solver=None,
+    dist: jax.Array | None = None,
 ) -> tuple[BAState, jax.Array, jax.Array, jax.Array, dict | None]:
     """Levenberg–Marquardt outer loop (reference ``optimize``, ``:77-195``).
 
@@ -527,7 +664,7 @@ def lm_optimize(
     record = config.record_log
     max_iter = config.max_iter
 
-    e0 = _state_error(state0, x, vis, f0, axis_name)
+    e0 = _state_error(state0, x, vis, f0, axis_name, dist)
 
     if record:
         npts, nf = state0.X.shape[0], state0.f.shape[0]
@@ -557,7 +694,7 @@ def lm_optimize(
             c_cur, nu_cur, _, _, tries, _ = carry
             delta_xi, delta_x = solve(derivs, c_cur, free, axis_name)
             trial = _apply_update(state_c, delta_xi, delta_x)
-            e_trial = _state_error(trial, x, vis_it, f0, axis_name)
+            e_trial = _state_error(trial, x, vis_it, f0, axis_name, dist)
             accepted = e_trial <= e_prev
             if nielsen:
                 pred = _predicted_reduction(derivs, delta_xi, delta_x, c_cur, axis_name)
@@ -597,10 +734,10 @@ def lm_optimize(
         if robust:
             # IRLS: reweight from the current residuals; the accept test
             # and the stopping delta both use this iteration's weights.
-            vis_it = _huber_weights(state_c, x, vis, f0, config.huber_delta)
+            vis_it = _huber_weights(state_c, x, vis, f0, config.huber_delta, dist)
         else:
             vis_it = vis
-        derivs, e_prev_w = _compute_derivs(state_c, x, vis_it, free, f0, axis_name)
+        derivs, e_prev_w = _compute_derivs(state_c, x, vis_it, free, f0, axis_name, dist)
         e_base = e_prev_w if robust else e_prev
         c_new, nu_new, e_new, trial = inner(state_c, derivs, e_base, c, nu, vis_it)
         delta = jnp.abs(e_new - e_base)
@@ -636,12 +773,23 @@ def bundle_adjust(
     visibility: jax.Array | None = None,
     axis: str = "x-right_z-forward",
     config: LMConfig = LMConfig(),
+    distortion: jax.Array | None = None,
 ) -> BAResult:
     """Full bundle adjustment: gauge-normalize, LM-optimize, restore
     (reference ``BundleAdjuster.__init__`` + ``optimize``).
 
     x: (P, F, 2) observations; init_K/R/t: (F, ...) camera init;
     visibility: optional (P, F) mask (reference ``:56-59``).
+
+    distortion: optional (F, 2) radial (k1, k2) in the BAL camera model
+    (``runtime/io.py::load_bal``; /root/reference has no distortion
+    model). Held fixed unless ``config.distortion_rounds > 0``, which
+    alternates geometry LM with the exact closed-form per-camera refit
+    (``fit_distortion``) — pass ``distortion_rounds > 0`` with
+    ``distortion=None`` to start the refit from (0, 0). Distortion is
+    similarity-gauge invariant, so it needs no normalize/restore. When a
+    log is recorded it covers the final LM segment; ``n_iter`` counts
+    all segments.
     """
     dt = x.dtype
     npts, nf, _ = x.shape
@@ -660,7 +808,36 @@ def bundle_adjust(
     state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
 
-    final, e, _, n_iter, log = lm_optimize(x, state0, vis, free, f0, config)
+    dist = None if distortion is None else jnp.asarray(distortion, dt)
+    if config.distortion_rounds > 0 and dist is None:
+        dist = jnp.zeros((nf, 2), dt)
+
+    n_total = jnp.asarray(0)
+    c_seg = None
+    for _ in range(config.distortion_rounds):
+        # Refit FIRST: BAL-style problems come with a good geometry init,
+        # and running pinhole LM before the first refit walks the free
+        # geometry into the distortion-absorbing basin (measured: from a
+        # good init, LM-then-refit converges to a wrong (geometry, k)
+        # pair with near-identical E; refit-then-LM recovers both).
+        # Under the Huber loss the refit uses the IRLS weights — the
+        # 2-parameter per-camera LSQ otherwise latches onto the gross
+        # outliers the robust geometry pass is busy rejecting.
+        if config.robust == "huber":
+            vis_fit = _huber_weights(state0, x, vis, f0, config.huber_delta, dist)
+        else:
+            vis_fit = vis
+        dist = fit_distortion(state0, x, vis_fit, f0,
+                              shared=config.distortion_shared)
+        seg_cfg = dataclasses.replace(config, record_log=False)
+        state0, _, c_seg, n_seg, _ = lm_optimize(
+            x, state0, vis, free, f0, seg_cfg, init_c=c_seg, dist=dist
+        )
+        n_total = n_total + n_seg
+
+    final, e, _, n_iter, log = lm_optimize(
+        x, state0, vis, free, f0, config, init_c=c_seg, dist=dist
+    )
 
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     return BAResult(
@@ -669,6 +846,7 @@ def bundle_adjust(
         R=Rg,
         t=tg,
         error=e,
-        n_iter=n_iter,
+        n_iter=n_iter + n_total,
         log=log,
+        distortion=dist,
     )

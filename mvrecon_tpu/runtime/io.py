@@ -66,9 +66,15 @@ def load_bal(path: str) -> dict[str, np.ndarray]:
       only the sign-sensitive cheirality heuristics of the calibration
       stage assume positive depth, and BAL problems come with an
       initialization, so calibration is skipped anyway).
-    - The radial distortion (k1, k2) is returned for completeness; the
-      pinhole model ignores it (real BAL problems then converge to a
-      distortion-limited error floor rather than the pixel-noise floor).
+    - The radial distortion (k1, k2) is returned as ``distortion`` (F, 2)
+      and is directly consumable by ``bundle_adjust(distortion=...)``
+      (``models/bundle_adjustment.py``): the BAL model's s = |rho|^2 is
+      sign-invariant and the pixel negation passes through ``d(s) g``
+      linearly, so the converted problem optimizes the *exact* BAL
+      objective. ``LMConfig.distortion_rounds`` additionally re-estimates
+      (k1, k2) by the closed-form per-camera (or ``distortion_shared``)
+      refit. Ignoring it (``distortion=None``) reproduces the pinhole
+      model, which converges to a distortion-limited error floor.
     """
     with open(path) as fh:
         tokens = fh.read().split()
