@@ -103,6 +103,37 @@ def build_parser() -> argparse.ArgumentParser:
         default="paraperspective",
     )
 
+    p_bal = sub.add_parser(
+        "bal", help="bundle-adjust a BAL-format problem file"
+    )
+    _common(p_bal)
+    p_bal.add_argument(
+        "input", type=str,
+        help="BAL text file (Agarwal et al. ECCV 2010 format)",
+    )
+    p_bal.add_argument("--output", type=str, default=None,
+                       help="write result .npz here")
+    p_bal.add_argument(
+        "--huber", type=float, default=None, metavar="DELTA",
+        help="Huber-robust IRLS with this delta (f0-normalized residual)",
+    )
+    p_bal.add_argument(
+        "--optimize-distortion", type=int, default=0, metavar="R",
+        help="alternate R closed-form (k1, k2) refits with the geometry LM",
+    )
+    p_bal.add_argument(
+        "--shared-k", action="store_true",
+        help="tie (k1, k2) across all cameras during the refit "
+             "(single physical camera)",
+    )
+    p_bal.add_argument(
+        "--ignore-distortion", action="store_true",
+        help="pinhole model: drop the file's k1/k2",
+    )
+    p_bal.add_argument(
+        "--damping", choices=["reference", "nielsen"], default="nielsen",
+    )
+
     p_bench = sub.add_parser("bench-ba", help="time bundle adjustment")
     _common(p_bench)
     p_bench.add_argument("--points", type=int, default=2000)
@@ -304,6 +335,61 @@ def main(argv=None) -> None:
             statuses=[int(s) for s in np.asarray(res.status)],
             reprojection_errors=[float(e) for e in errs],
         )
+
+    elif args.command == "bal":
+        import numpy as np
+
+        from .models.bundle_adjustment import bundle_adjust
+        from .runtime.io import load_bal
+
+        d = load_bal(args.input)
+        x = jnp.asarray(d["x"].transpose(1, 0, 2), dtype)  # (P, F, 2)
+        vis = jnp.asarray(d["visibility"], dtype)
+        cfg = LMConfig(
+            scale_factor=args.scale_factor,
+            delta_tol=args.delta_tol,
+            max_iter=args.max_iter,
+            damping=args.damping,
+            robust="huber" if args.huber is not None else None,
+            huber_delta=args.huber if args.huber is not None else 0.05,
+            distortion_rounds=args.optimize_distortion,
+            distortion_shared=args.shared_k,
+        )
+        dist = (
+            None if args.ignore_distortion
+            else jnp.asarray(d["distortion"], dtype)
+        )
+        res = bundle_adjust(
+            x, jnp.asarray(d["X"], dtype), jnp.asarray(d["K"], dtype),
+            jnp.asarray(d["R"], dtype), jnp.asarray(d["t"], dtype),
+            f0=float(d["f0"]), axis="x-up_z-forward", config=cfg,
+            visibility=vis, distortion=dist,
+        )
+        out.update(
+            cams=int(vis.shape[1]),
+            points=int(vis.shape[0]),
+            observations=int(np.asarray(vis).sum()),
+            ba_iterations=int(res.n_iter),
+            reprojection_error=float(res.error),
+        )
+        if res.distortion is not None:
+            out["k1_mean"] = float(np.asarray(res.distortion)[:, 0].mean())
+            out["k2_mean"] = float(np.asarray(res.distortion)[:, 1].mean())
+        if args.output:
+            from .runtime.io import save_observations
+
+            save_observations(
+                args.output, d["x"],
+                X=np.asarray(res.X), K=np.asarray(res.K),
+                R=np.asarray(res.R), t=np.asarray(res.t),
+                visibility=d["visibility"],
+                **(
+                    {}
+                    if res.distortion is None
+                    else {"distortion": np.asarray(res.distortion)}
+                ),
+            )
+            out["output"] = args.output
 
     elif args.command == "bench-ba":
         scene = make_synthetic_scene(

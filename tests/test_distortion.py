@@ -291,3 +291,34 @@ def test_shared_distortion_sparse_visibility_huber():
     rmse_pin = float(aligned_rmse(res_pin.X, sc.X))
     rmse = float(aligned_rmse(res.X, sc.X))
     assert rmse < 0.6 * rmse_pin, (rmse, rmse_pin)
+
+
+def test_cli_bal_command(tmp_path, capsys):
+    """`mvrecon_tpu bal problem.txt --huber --optimize-distortion` runs a
+    BAL file end-to-end through the CLI and reports the refit k."""
+    import json
+
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.runtime.io import save_bal
+
+    sc, dist, xd = _distorted_scene(n_images=8, noise=0.001)
+    vis = np.ones(xd.shape[:2])
+    path = str(tmp_path / "problem.txt")
+    save_bal(
+        path, np.asarray(xd).transpose(1, 0, 2), vis, np.asarray(sc.X),
+        np.asarray(sc.R), np.asarray(sc.t), np.asarray(sc.K[:, 0, 0]),
+        distortion=np.asarray(dist),
+    )
+    out_npz = str(tmp_path / "result.npz")
+    main([
+        "bal", path, "--float64", "--max-iter", "15", "--huber", "0.05",
+        "--optimize-distortion", "1", "--output", out_npz,
+    ])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["command"] == "bal"
+    assert rec["cams"] == 8 and rec["points"] == xd.shape[0]
+    assert np.isfinite(rec["reprojection_error"])
+    assert "k1_mean" in rec
+    saved = np.load(out_npz)
+    assert saved["X"].shape == (xd.shape[0], 3)
+    assert saved["distortion"].shape == (8, 2)
