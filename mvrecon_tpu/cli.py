@@ -133,6 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_bal.add_argument(
         "--damping", choices=["reference", "nielsen"], default="nielsen",
     )
+    p_bal.add_argument(
+        "--chunk-size", type=int, default=0, metavar="C",
+        help="stream points through the O(chunk)-memory LM core in "
+             "chunks of C (for problems too large for the dense core)",
+    )
 
     p_bench = sub.add_parser("bench-ba", help="time bundle adjustment")
     _common(p_bench)
@@ -337,10 +342,20 @@ def main(argv=None) -> None:
         )
 
     elif args.command == "bal":
+        import functools
+
         import numpy as np
 
-        from .models.bundle_adjustment import bundle_adjust
         from .runtime.io import load_bal
+
+        if args.chunk_size > 0:
+            from .models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+            bundle_adjust = functools.partial(
+                bundle_adjust_chunked, chunk_size=args.chunk_size
+            )
+        else:
+            from .models.bundle_adjustment import bundle_adjust
 
         d = load_bal(args.input)
         x = jnp.asarray(d["x"].transpose(1, 0, 2), dtype)  # (P, F, 2)

@@ -197,6 +197,59 @@ def _distortion_terms(
     return g1, g2, s, d, w
 
 
+def _apply_distortion_chain(
+    state: BAState, p, q, r, f0: float, dist, res_p, res_q, a1, a2, b1, b2
+):
+    """Distortion transform of the residuals and the rank-2 Jacobian
+    factors (shared by the dense and chunked derivative builds; leading
+    axis is P or a chunk C).
+
+    Distorted prediction pi~ = d(s) g + u/f0. The residual gains
+    (d - 1) g; the factor rows chain through the 2x2 Jacobian
+    D = d I + 2 w (f0/f)^2 g g^T, which applies verbatim to the point
+    rows (a). The camera rows (b) differ from dg/dtheta in exactly two
+    places: the u columns (dg/du = dpi/du - 1/f0, and pi~ adds its own
+    +1/f0 back) and the f column (s depends on f directly: dpi~/df
+    gains -(2 w s / f) g)."""
+    g1, g2, s, d, w = _distortion_terms(state, p, q, r, f0, dist)
+    res_p = res_p + (d - 1.0) * g1
+    res_q = res_q + (d - 1.0) * g2
+    cw = (2.0 * w) * (f0 / state.f)[None] ** 2
+    d11 = d + cw * g1 * g1
+    d12 = cw * g1 * g2
+    d22 = d + cw * g2 * g2
+    a1, a2 = (
+        d11[..., None] * a1 + d12[..., None] * a2,
+        d12[..., None] * a1 + d22[..., None] * a2,
+    )
+    inv_f0 = jnp.asarray(1.0 / f0, b1.dtype)
+    b1 = b1.at[..., 1].add(-inv_f0)  # b -> dg/dtheta (u columns only)
+    b2 = b2.at[..., 2].add(-inv_f0)
+    b1, b2 = (
+        d11[..., None] * b1 + d12[..., None] * b2,
+        d12[..., None] * b1 + d22[..., None] * b2,
+    )
+    b1 = b1.at[..., 1].add(inv_f0)  # + d(u/f0)/du
+    b2 = b2.at[..., 2].add(inv_f0)
+    cf = 2.0 * w * s / state.f[None]  # -(2 w s / f) g on the f column
+    b1 = b1.at[..., 0].add(-cf * g1)
+    b2 = b2.at[..., 0].add(-cf * g2)
+    return res_p, res_q, a1, a2, b1, b2
+
+
+def _distorted_residual(state: BAState, p, q, r, x, f0: float, dist):
+    """(res_p, res_q) through the distortion model from sanitized
+    (p, q, r) — the shared trial-error expression of the dense and
+    chunked cores."""
+    res_p = p / r - x[..., 0] / f0
+    res_q = q / r - x[..., 1] / f0
+    if dist is not None:
+        g1, g2, _, d, _ = _distortion_terms(state, p, q, r, f0, dist)
+        res_p = res_p + (d - 1.0) * g1
+        res_q = res_q + (d - 1.0) * g2
+    return res_p, res_q
+
+
 @dataclasses.dataclass(frozen=True)
 class _Derivs:
     """Per-outer-iteration derivative tensors (reference ``:106-116``)."""
@@ -310,36 +363,9 @@ def _compute_derivs(
     b2 = (r[..., None] * dqdc - q[..., None] * drdc) * inv_r2[..., None]
 
     if dist is not None:
-        # Distorted prediction pi~ = d(s) g + u/f0. Residual gains
-        # (d - 1) g; the factor rows chain through the 2x2 Jacobian
-        # D = d I + 2 w (f0/f)^2 g g^T, which applies verbatim to the
-        # point rows (a). The camera rows (b) differ from dg/dtheta in
-        # exactly two places: the u columns (dg/du = dpi/du - 1/f0, and
-        # pi~ adds its own +1/f0 back) and the f column (s depends on f
-        # directly: dpi~/df gains -(2 w s / f) g).
-        g1, g2, s, d, w = _distortion_terms(state, p, q, r, f0, dist)
-        res_p = res_p + (d - 1.0) * g1
-        res_q = res_q + (d - 1.0) * g2
-        cw = (2.0 * w) * (f0 / state.f)[None] ** 2  # (P, F)
-        d11 = d + cw * g1 * g1
-        d12 = cw * g1 * g2
-        d22 = d + cw * g2 * g2
-        a1, a2 = (
-            d11[..., None] * a1 + d12[..., None] * a2,
-            d12[..., None] * a1 + d22[..., None] * a2,
+        res_p, res_q, a1, a2, b1, b2 = _apply_distortion_chain(
+            state, p, q, r, f0, dist, res_p, res_q, a1, a2, b1, b2
         )
-        inv_f0 = jnp.asarray(1.0 / f0, b1.dtype)
-        b1 = b1.at[..., 1].add(-inv_f0)  # b -> dg/dtheta (u columns only)
-        b2 = b2.at[..., 2].add(-inv_f0)
-        b1, b2 = (
-            d11[..., None] * b1 + d12[..., None] * b2,
-            d12[..., None] * b1 + d22[..., None] * b2,
-        )
-        b1 = b1.at[..., 1].add(inv_f0)  # + d(u/f0)/du
-        b2 = b2.at[..., 2].add(inv_f0)
-        cf = 2.0 * w * s / state.f[None]  # -(2 w s / f) g on the f column
-        b1 = b1.at[..., 0].add(-cf * g1)
-        b2 = b2.at[..., 0].add(-cf * g2)
 
     e_now = _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
 
@@ -525,13 +551,7 @@ def _residuals(
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
     r = jnp.where(vis > 0, r, jnp.ones_like(r))
-    res_p = p / r - x[..., 0] / f0
-    res_q = q / r - x[..., 1] / f0
-    if dist is not None:
-        g1, g2, _, d, _ = _distortion_terms(state, p, q, r, f0, dist)
-        res_p = res_p + (d - 1.0) * g1
-        res_q = res_q + (d - 1.0) * g2
-    return res_p, res_q
+    return _distorted_residual(state, p, q, r, x, f0, dist)
 
 
 def _state_error(
@@ -579,6 +599,14 @@ def fit_distortion(
     rays to identify its own distortion."""
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
+    terms = _distortion_lsq_terms(state, p, q, r, x, vis, f0)
+    return _solve_distortion_lsq(terms, shared)
+
+
+def _distortion_lsq_terms(state: BAState, p, q, r, x, vis, f0: float):
+    """Per-camera (F, 5) normal-equation accumulands (a11, a12, a22,
+    b1, b2) of the linear-in-(k1, k2) distortion fit — a per-point sum,
+    so the chunked core accumulates them over point chunks."""
     r = jnp.where(vis > 0, r, jnp.ones_like(r))
     g1 = p / r - (state.u[:, 0] / f0)[None]
     g2 = q / r - (state.u[:, 1] / f0)[None]
@@ -589,19 +617,23 @@ def fit_distortion(
     gg = g1 * g1 + g2 * g2
     gt = g1 * t1 + g2 * t2
     s2 = s * s
-    a11 = jnp.sum(vis * s2 * gg, axis=0)  # (F,)
-    a12 = jnp.sum(vis * s2 * s * gg, axis=0)
-    a22 = jnp.sum(vis * s2 * s2 * gg, axis=0)
-    b1 = jnp.sum(vis * s * gt, axis=0)
-    b2 = jnp.sum(vis * s2 * gt, axis=0)
+    return jnp.stack([
+        jnp.sum(vis * s2 * gg, axis=0),
+        jnp.sum(vis * s2 * s * gg, axis=0),
+        jnp.sum(vis * s2 * s2 * gg, axis=0),
+        jnp.sum(vis * s * gt, axis=0),
+        jnp.sum(vis * s2 * gt, axis=0),
+    ], axis=-1)  # (F, 5)
+
+
+def _solve_distortion_lsq(terms: jax.Array, shared: bool) -> jax.Array:
+    """(F, 2) distortion from the accumulated (F, 5) normal terms."""
+    nf = terms.shape[0]
     if shared:
-        nf = state.f.shape[0]
-        a11, a12, a22, b1, b2 = (
-            jnp.broadcast_to(jnp.sum(v, keepdims=True), (nf,))
-            for v in (a11, a12, a22, b1, b2)
-        )
+        terms = jnp.broadcast_to(jnp.sum(terms, axis=0, keepdims=True), (nf, 5))
+    a11, a12, a22, b1, b2 = (terms[:, i] for i in range(5))
     det = a11 * a22 - a12 * a12
-    tiny = jnp.asarray(np.finfo(np.dtype(x.dtype)).tiny, x.dtype)
+    tiny = jnp.asarray(np.finfo(np.dtype(terms.dtype)).tiny, terms.dtype)
     safe = det > tiny
     det_s = jnp.where(safe, det, 1.0)
     k1 = jnp.where(safe, (b1 * a22 - b2 * a12) / det_s, 0.0)

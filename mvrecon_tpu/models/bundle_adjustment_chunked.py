@@ -26,6 +26,7 @@ XLA double-buffers the scan's HBM->VMEM chunk streaming automatically.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -50,9 +51,13 @@ from ..ops.pallas_syrk import (
 from .bundle_adjustment import (
     BAResult,
     BAState,
-    _camera_param_derivs,
+    _apply_distortion_chain,
     _apply_update,
+    _camera_param_derivs,
+    _distorted_residual,
+    _distortion_lsq_terms,
     _psum,
+    _solve_distortion_lsq,
     build_K,
     calc_pqr,
     gauge_mask,
@@ -61,7 +66,8 @@ from .bundle_adjustment import (
 )
 
 
-def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None):
+def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None,
+                   dist=None):
     """Rank-2 Jacobian factors for one point chunk: every second-derivative
     block is 2 * vis * (a1 (x) b1 + a2 (x) b2), so downstream stages work
     from (a1, a2 (C, F, 3); b1, b2 (C, F, 9); residuals) without
@@ -70,7 +76,12 @@ def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None):
     With ``huber_delta`` set, IRLS Huber weights (computed from this
     chunk's residuals at the current state — identical across the build
     and back-substitution scans of an iteration) multiply into the
-    returned effective visibility."""
+    returned effective visibility.
+
+    With ``dist`` ((F, 2) radial k1/k2, BAL model) the residuals and the
+    factors chain through the exact 2x2 distortion Jacobian exactly as
+    in the dense core (``_apply_distortion_chain``) — per-observation
+    elementwise work, so the O(chunk) memory contract is untouched."""
     st = state_cam._replace(X=X_c)
     K = build_K(st.f, st.u, f0)
     pmat, p, q, r = calc_pqr(X_c, K, st.R, st.t)
@@ -82,15 +93,22 @@ def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None):
     res_p = p / r - x_c[..., 0] / f0
     res_q = q / r - x_c[..., 1] / f0
 
-    if huber_delta is not None:
-        mag = jnp.sqrt(res_p**2 + res_q**2)
-        vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
-
     inv_r2 = 1.0 / (r * r)
     a1 = (r[..., None] * dpdX[None] - p[..., None] * drdX[None]) * inv_r2[..., None]
     a2 = (r[..., None] * dqdX[None] - q[..., None] * drdX[None]) * inv_r2[..., None]
     b1 = (r[..., None] * dpdc - p[..., None] * drdc) * inv_r2[..., None]
     b2 = (r[..., None] * dqdc - q[..., None] * drdc) * inv_r2[..., None]
+
+    if dist is not None:
+        res_p, res_q, a1, a2, b1, b2 = _apply_distortion_chain(
+            st, p, q, r, f0, dist, res_p, res_q, a1, a2, b1, b2
+        )
+
+    if huber_delta is not None:
+        # IRLS weights from the model's actual (distorted) residuals
+        mag = jnp.sqrt(res_p**2 + res_q**2)
+        vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+
     return a1, a2, b1, b2, res_p, res_q, vis_c
 
 
@@ -110,12 +128,13 @@ def _point_grad_and_block(a1, a2, res_p, res_q, vis_c):
     return d_P, matE
 
 
-def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=None):
+def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=None,
+                  dist=None):
     """Derivative blocks for one point chunk (C points): the chunk-local
     analog of ``_compute_derivs`` (same math, same reference citations)."""
     nf = state_cam.f.shape[0]
     a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-        state_cam, X_c, x_c, vis_c, f0, huber_delta
+        state_cam, X_c, x_c, vis_c, f0, huber_delta, dist
     )
     e_chunk = jnp.sum(vis_c * (res_p**2 + res_q**2))
 
@@ -222,7 +241,8 @@ def _vary(v, axis_name):
 
 
 def _build_system(
-    state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None, huber_delta=None
+    state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None, huber_delta=None,
+    dist=None,
 ):
     """Scan 1: accumulate the damped reduced camera system over chunks
     (then over devices when ``axis_name`` is set — sharding composes with
@@ -238,7 +258,7 @@ def _build_system(
         schur_acc, b_acc, g_acc, df_acc, e_acc = carry
         X_c, x_c, vis_c = inp
         d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
-            state_cam, X_c, x_c, vis_c, free, f0, huber_delta
+            state_cam, X_c, x_c, vis_c, free, f0, huber_delta, dist
         )
         # Cholesky-split the damped point blocks: F^T Einv F = (L^-1 F)^T
         # (L^-1 F) — a *symmetric* rank-k product, computed by the Pallas
@@ -292,7 +312,7 @@ def _build_system(
 
 def _backsub_and_trial(
     state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, delta_xi,
-    axis_name=None, huber_delta=None, fused=False,
+    axis_name=None, huber_delta=None, fused=False, dist=None,
 ):
     """Scan 2: per chunk, recompute blocks at the *current* state, back-
     substitute the point update, and accumulate the trial error under the
@@ -332,7 +352,7 @@ def _backsub_and_trial(
         #                             + a2[p,f,x] <b2[p,f], dxi_f>)
         # so the (C, 3, 9F) coupling block is never materialized here.
         a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-            state_cam, X_c, x_c, vis_c, f0, huber_delta
+            state_cam, X_c, x_c, vis_c, f0, huber_delta, dist
         )
         d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
         matEc = matE + c * matE * eye3[None]
@@ -354,10 +374,10 @@ def _backsub_and_trial(
 
         _, p, q, r = calc_pqr(X_new, K_trial, trial_cam.R, trial_cam.t)
         r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
-        e_c = jnp.sum(
-            vis_c
-            * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
+        res_tp, res_tq = _distorted_residual(
+            trial_cam, p, q, r, x_c, f0, dist
         )
+        e_c = jnp.sum(vis_c * (res_tp**2 + res_tq**2))
         return (
             _kadd(e_acc, e_c), _kadd(dDd_acc, dDd_c), _kadd(gd_acc, gd_c)
         ), X_new
@@ -390,6 +410,7 @@ def lm_optimize_chunked(
     axis_name: str | None = None,
     init_c: jax.Array | None = None,
     init_nu: jax.Array | None = None,
+    dist: jax.Array | None = None,
 ) -> tuple[BAState, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Chunk-streamed LM with the dense core's exact protocol
     (reference ``bundle_adjustment.py:77-195``). Returns
@@ -426,10 +447,8 @@ def lm_optimize_chunked(
             X_c, x_c, vis_c = inp
             _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
             r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
-            e = jnp.sum(
-                vis_c
-                * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
-            )
+            res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
+            e = jnp.sum(vis_c * (res_p**2 + res_q**2))
             return acc + e, None
 
         e, _ = jax.lax.scan(
@@ -444,7 +463,10 @@ def lm_optimize_chunked(
     huber_delta = config.huber_delta if config.robust == "huber" else None
 
     nf = state0.f.shape[0]
-    fused = use_fused_schur(dt) and axis_name is None
+    # The fused Pallas generate-and-reduce path does not implement the
+    # distortion chain; with dist set the XLA chunked build (same math,
+    # same O(chunk) memory) runs instead.
+    fused = use_fused_schur(dt) and axis_name is None and dist is None
     f_pad_tm, _ = schur_acc_dim(nf)
 
     def inner(cam, X_ch_, e_prev, c, nu):
@@ -465,7 +487,7 @@ def lm_optimize_chunked(
             else:
                 a, b, e_w, (diag_g, d_f) = _build_system(
                     cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name,
-                    huber_delta,
+                    huber_delta, dist,
                 )
                 delta_xi = jax.scipy.linalg.cho_solve(
                     jax.scipy.linalg.cho_factor(a), b
@@ -473,7 +495,7 @@ def lm_optimize_chunked(
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             X_new_ch, e_trial, dDd_pts, gd_pts = _backsub_and_trial(
                 cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi,
-                axis_name, huber_delta, fused=fused,
+                axis_name, huber_delta, fused=fused, dist=dist,
             )
             e_base = e_w if huber_delta is not None else e_prev
             accepted = e_trial <= e_base
@@ -532,6 +554,55 @@ def lm_optimize_chunked(
     return cam_f._replace(X=X_full), e_f, c_f, nu_f, n_iter, n_retries
 
 
+def fit_distortion_chunked(
+    state: BAState, x: jax.Array, vis: jax.Array, f0: float,
+    chunk_size: int, shared: bool = False,
+    huber_delta: float | None = None, dist=None,
+) -> jax.Array:
+    """Chunk-streamed closed-form radial-distortion refit: the (F, 5)
+    normal-equation terms of the linear-in-(k1, k2) fit are per-point
+    sums (``_distortion_lsq_terms``), so a ``lax.scan`` over point chunks
+    accumulates them under the same O(chunk) HBM contract as the LM
+    core. Exactly equals the dense ``fit_distortion`` on the same data.
+
+    With ``huber_delta`` the fit is IRLS-weighted by the *current*
+    model's (``dist``) distorted residuals, computed per chunk — no
+    dense (P, F) weight array is ever materialized."""
+    npts = x.shape[0]
+    dt = x.dtype
+    pad = (-npts) % chunk_size
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], dt)], axis=0)
+        vis = jnp.concatenate([vis, jnp.zeros((pad,) + vis.shape[1:], dt)], axis=0)
+        state = state._replace(X=jnp.concatenate(
+            [state.X, jnp.broadcast_to(jnp.mean(state.X, axis=0), (pad, 3))],
+            axis=0,
+        ))
+    n_chunks = x.shape[0] // chunk_size
+    cam = state._replace(X=jnp.zeros((0, 3), dt))
+    K = build_K(cam.f, cam.u, f0)
+
+    def body(acc, inp):
+        X_c, x_c, vis_c = inp
+        _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+        r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+        if huber_delta is not None:
+            res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
+            mag = jnp.sqrt(res_p**2 + res_q**2)
+            vis_c = vis_c * jnp.minimum(
+                1.0, huber_delta / jnp.maximum(mag, 1e-12)
+            )
+        return acc + _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0), None
+
+    terms, _ = jax.lax.scan(
+        body,
+        jnp.zeros((cam.f.shape[0], 5), dt),
+        (_chunked(state.X, n_chunks), _chunked(x, n_chunks),
+         _chunked(vis, n_chunks)),
+    )
+    return _solve_distortion_lsq(terms, shared)
+
+
 @partial(jax.jit, static_argnames=("f0", "axis", "config", "chunk_size"))
 def bundle_adjust_chunked(
     x: jax.Array,
@@ -546,6 +617,7 @@ def bundle_adjust_chunked(
     chunk_size: int = 4096,
     init_c: jax.Array | None = None,
     init_nu: jax.Array | None = None,
+    distortion: jax.Array | None = None,
 ) -> BAResult:
     """Drop-in alternative to ``bundle_adjust`` with an O(chunk) HBM
     footprint — the path for 100k-point / 1000-view scenes. The returned
@@ -570,13 +642,39 @@ def bundle_adjust_chunked(
     state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
 
+    dist = None if distortion is None else jnp.asarray(distortion, dt)
+    if config.distortion_rounds > 0 and dist is None:
+        dist = jnp.zeros((nf, 2), dt)
+
+    n_total = jnp.asarray(0)
+    c_seg, nu_seg = init_c, init_nu
+    for _ in range(config.distortion_rounds):
+        # refit-first alternation, exactly as the dense core (see
+        # bundle_adjust); under Huber the refit weights by the IRLS
+        # weights of the current distorted residuals, computed chunked.
+        dist = fit_distortion_chunked(
+            state0, x, vis, f0, chunk_size,
+            shared=config.distortion_shared,
+            huber_delta=(config.huber_delta if config.robust == "huber"
+                         else None),
+            dist=dist,
+        )
+        seg_cfg = dataclasses.replace(config, record_log=False)
+        state0, _, c_seg, nu_seg, n_seg, _ = lm_optimize_chunked(
+            x, state0, vis, free, f0, seg_cfg, chunk_size,
+            init_c=c_seg, init_nu=nu_seg, dist=dist,
+        )
+        n_total = n_total + n_seg
+
     final, e, c_f, nu_f, n_iter, n_retries = lm_optimize_chunked(
         x, state0, vis, free, f0, config, chunk_size,
-        init_c=init_c, init_nu=init_nu,
+        init_c=c_seg, init_nu=nu_seg, dist=dist,
     )
 
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     return BAResult(
-        X=Xg, K=build_K(final.f, final.u, f0), R=Rg, t=tg, error=e, n_iter=n_iter,
+        X=Xg, K=build_K(final.f, final.u, f0), R=Rg, t=tg, error=e,
+        n_iter=n_iter + n_total,
         log={"n_solver_retries": n_retries, "c": c_f, "nu": nu_f},
+        distortion=dist,
     )

@@ -322,3 +322,95 @@ def test_cli_bal_command(tmp_path, capsys):
     saved = np.load(out_npz)
     assert saved["X"].shape == (xd.shape[0], 3)
     assert saved["distortion"].shape == (8, 2)
+
+
+def test_chunked_distortion_matches_dense():
+    """The chunk-streamed core with a fixed distortion must match the
+    dense core (same math streamed through the O(chunk) scans), including
+    under Huber IRLS."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+
+    sc, dist, xd = _distorted_scene(n_images=8)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    for robust in (None, "huber"):
+        cfg = LMConfig(max_iter=12, delta_tol=1e-12, robust=robust,
+                       huber_delta=0.05)
+        res_d = bundle_adjust(xd, X0, sc.K, sc.R, t0, f0=1.0,
+                              axis="x-up_z-forward", config=cfg,
+                              distortion=dist)
+        res_c = bundle_adjust_chunked(
+            xd, X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+            config=cfg, chunk_size=32, distortion=dist,
+        )
+        np.testing.assert_allclose(
+            float(res_c.error), float(res_d.error), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_c.X), np.asarray(res_d.X), atol=1e-7
+        )
+        assert int(res_c.n_iter) == int(res_d.n_iter), robust
+
+
+def test_chunked_distortion_refit_matches_dense():
+    """fit_distortion_chunked == fit_distortion exactly (per-point sums
+    accumulated over chunks, including a padded final chunk), and the
+    chunked refit-first alternation tracks the dense one."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked, fit_distortion_chunked,
+    )
+    from mvrecon_tpu.models.bundle_adjustment import normalize_gauge
+
+    sc, dist, xd = _distorted_scene(n_images=8)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    Xn, Rn, tn, _ = normalize_gauge(X0, sc.R, t0, "x-up_z-forward")
+    st = BAState(X=Xn, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=tn, R=Rn)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    k_dense = fit_distortion(st, xd, vis, 1.0)
+    # chunk 48 does not divide P=800 -> exercises the zero-padded tail
+    k_chunk = fit_distortion_chunked(st, xd, vis, 1.0, chunk_size=48)
+    np.testing.assert_allclose(
+        np.asarray(k_chunk), np.asarray(k_dense), atol=1e-12
+    )
+
+    cfg = LMConfig(max_iter=15, delta_tol=1e-12, distortion_rounds=2)
+    res_d = bundle_adjust(xd, X0, sc.K, sc.R, t0, f0=1.0,
+                          axis="x-up_z-forward", config=cfg)
+    res_c = bundle_adjust_chunked(
+        xd, X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg, chunk_size=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_c.distortion), np.asarray(res_d.distortion),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(res_c.error), float(res_d.error), rtol=1e-6
+    )
+
+
+def test_cli_bal_chunked(tmp_path, capsys):
+    """--chunk-size routes the BAL file through the O(chunk)-memory core
+    with the same distortion support."""
+    import json
+
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.runtime.io import save_bal
+
+    sc, dist, xd = _distorted_scene(n_images=8, noise=0.001)
+    vis = np.ones(xd.shape[:2])
+    path = str(tmp_path / "problem.txt")
+    save_bal(
+        path, np.asarray(xd).transpose(1, 0, 2), vis, np.asarray(sc.X),
+        np.asarray(sc.R), np.asarray(sc.t), np.asarray(sc.K[:, 0, 0]),
+        distortion=np.asarray(dist),
+    )
+    main([
+        "bal", path, "--float64", "--max-iter", "10", "--chunk-size", "64",
+        "--optimize-distortion", "1",
+    ])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["command"] == "bal"
+    assert np.isfinite(rec["reprojection_error"])
+    assert "k1_mean" in rec
