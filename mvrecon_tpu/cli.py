@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="stream points through the O(chunk)-memory LM core in "
              "chunks of C (for problems too large for the dense core)",
     )
+    p_bal.add_argument(
+        "--shard-points", type=int, default=0, metavar="N",
+        help="shard the points axis over N devices (dense core, or the "
+             "chunk-streamed core when combined with --chunk-size)",
+    )
 
     p_bench = sub.add_parser("bench-ba", help="time bundle adjustment")
     _common(p_bench)
@@ -344,11 +349,25 @@ def main(argv=None) -> None:
     elif args.command == "bal":
         import functools
 
-        import numpy as np
-
         from .runtime.io import load_bal
 
-        if args.chunk_size > 0:
+        if args.shard_points > 0:
+            from .parallel.mesh import make_mesh
+            from .parallel.sharded_ba import (
+                sharded_bundle_adjust,
+                sharded_bundle_adjust_chunked,
+            )
+
+            mesh = make_mesh({"points": args.shard_points})
+            if args.chunk_size > 0:
+                bundle_adjust = functools.partial(
+                    sharded_bundle_adjust_chunked, mesh,
+                    chunk_size=args.chunk_size,
+                )
+            else:
+                bundle_adjust = functools.partial(sharded_bundle_adjust, mesh)
+            out["shard_points"] = args.shard_points
+        elif args.chunk_size > 0:
             from .models.bundle_adjustment_chunked import bundle_adjust_chunked
 
             bundle_adjust = functools.partial(

@@ -578,7 +578,7 @@ def _huber_weights(
 
 def fit_distortion(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float,
-    shared: bool = False,
+    shared: bool = False, axis_name: str | None = None,
 ) -> jax.Array:
     """Closed-form per-camera radial-distortion refit.
 
@@ -596,11 +596,14 @@ def fit_distortion(
     camera captured the sequence — the common video/turntable case):
     the per-camera normal equations sum into one global 2x2 system,
     which stays well-posed even when each frame alone sees too few
-    rays to identify its own distortion."""
+    rays to identify its own distortion.
+
+    The (F, 5) normal terms are per-point sums, so under point sharding
+    (``axis_name``) one psum completes them."""
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
     terms = _distortion_lsq_terms(state, p, q, r, x, vis, f0)
-    return _solve_distortion_lsq(terms, shared)
+    return _solve_distortion_lsq(_psum(terms, axis_name), shared)
 
 
 def _distortion_lsq_terms(state: BAState, p, q, r, x, vis, f0: float):

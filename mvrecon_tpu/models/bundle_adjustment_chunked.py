@@ -558,6 +558,7 @@ def fit_distortion_chunked(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float,
     chunk_size: int, shared: bool = False,
     huber_delta: float | None = None, dist=None,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Chunk-streamed closed-form radial-distortion refit: the (F, 5)
     normal-equation terms of the linear-in-(k1, k2) fit are per-point
@@ -594,13 +595,16 @@ def fit_distortion_chunked(
             )
         return acc + _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0), None
 
+    acc0 = jnp.zeros((cam.f.shape[0], 5), dt)
+    if axis_name is not None:
+        acc0 = _vary(acc0, axis_name)  # match the shard-varying body output
     terms, _ = jax.lax.scan(
         body,
-        jnp.zeros((cam.f.shape[0], 5), dt),
+        acc0,
         (_chunked(state.X, n_chunks), _chunked(x, n_chunks),
          _chunked(vis, n_chunks)),
     )
-    return _solve_distortion_lsq(terms, shared)
+    return _solve_distortion_lsq(_psum(terms, axis_name), shared)
 
 
 @partial(jax.jit, static_argnames=("f0", "axis", "config", "chunk_size"))

@@ -41,6 +41,9 @@ from .bundle_adjustment import (
     BAResult,
     BAState,
     _apply_update,
+    _distorted_residual,
+    _distortion_lsq_terms,
+    _solve_distortion_lsq,
     build_K,
     calc_pqr,
     gauge_mask,
@@ -51,12 +54,13 @@ from .bundle_adjustment_chunked import _chunk_blocks, _chunk_factors, _point_gra
 
 
 @partial(jax.jit, static_argnames=("f0",), donate_argnums=(0,))
-def _accumulate_chunk(accs, cam: BAState, X_c, x_c, vis_c, free, c, f0: float):
+def _accumulate_chunk(accs, cam: BAState, X_c, x_c, vis_c, free, c, f0: float,
+                      dist=None):
     """Fold one chunk's damped Schur/gradient contributions into the
     device-resident accumulators (schur, b, G, d_F, E)."""
     schur_acc, b_acc, g_acc, df_acc, e_acc = accs
     d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
-        cam, X_c, x_c, vis_c, free, f0
+        cam, X_c, x_c, vis_c, free, f0, dist=dist
     )
     dt = x_c.dtype
     eye3 = jnp.eye(3, dtype=dt)
@@ -92,9 +96,11 @@ def _assemble_and_solve(accs, free, c, f0: float):
 
 @partial(jax.jit, static_argnames=("f0",))
 def _backsub_chunk(cam: BAState, trial_cam: BAState, X_c, x_c, vis_c, free, c,
-                   delta_xi, f0: float):
+                   delta_xi, f0: float, dist=None):
     """Back-substitute one chunk's point update and its trial error."""
-    a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(cam, X_c, x_c, vis_c, f0)
+    a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
+        cam, X_c, x_c, vis_c, f0, dist=dist
+    )
     d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
     dt = x_c.dtype
     eye3 = jnp.eye(3, dtype=dt)
@@ -114,20 +120,28 @@ def _backsub_chunk(cam: BAState, trial_cam: BAState, X_c, x_c, vis_c, free, c,
     K_trial = build_K(trial_cam.f, trial_cam.u, f0)
     _, p, q, r = calc_pqr(X_new, K_trial, trial_cam.R, trial_cam.t)
     r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
-    e_c = jnp.sum(
-        vis_c * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
-    )
+    res_tp, res_tq = _distorted_residual(trial_cam, p, q, r, x_c, f0, dist)
+    e_c = jnp.sum(vis_c * (res_tp**2 + res_tq**2))
     return X_new, e_c
 
 
 @partial(jax.jit, static_argnames=("f0",))
-def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float):
+def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float, dist=None):
     K = build_K(cam.f, cam.u, f0)
     _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
     r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
-    return jnp.sum(
-        vis_c * ((p / r - x_c[..., 0] / f0) ** 2 + (q / r - x_c[..., 1] / f0) ** 2)
-    )
+    res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
+    return jnp.sum(vis_c * (res_p**2 + res_q**2))
+
+
+@partial(jax.jit, static_argnames=("f0",))
+def _chunk_distortion_terms(cam: BAState, X_c, x_c, vis_c, f0: float):
+    """One chunk's (F, 5) normal-equation contribution to the closed-form
+    (k1, k2) refit (a per-point sum — see ``fit_distortion``)."""
+    K = build_K(cam.f, cam.u, f0)
+    _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+    r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+    return _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0)
 
 
 class _ChunkFeed:
@@ -225,6 +239,7 @@ def bundle_adjust_streamed(
     chunk_size: int = 16384,
     init_c: float | None = None,
     prefetch: int = 2,
+    distortion=None,
 ) -> BAResult:
     """Drop-in ``bundle_adjust`` whose observations stream from host RAM.
 
@@ -239,6 +254,11 @@ def bundle_adjust_streamed(
     ``prefetch``: chunks transferred ahead of the consumer (default 2 =
     double buffering; 0 = serial). Results are identical either way —
     only the transfer/compute overlap changes.
+
+    ``distortion`` / ``config.distortion_rounds``: BAL radial model with
+    the same refit-first alternation as the other cores; the refit's
+    (F, 5) normal terms accumulate over the streamed chunks, so it adds
+    one streaming pass per round and no dense residency.
     """
     dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
     npts, nf = x_host.shape[0], x_host.shape[1]
@@ -277,62 +297,99 @@ def bundle_adjust_streamed(
             [X_s[lo:hi], jnp.zeros((feed.chunk - (hi - lo), 3), dtype)]
         )
 
-    def error_of(cam_s, X_s):
+    def error_of(cam_s, X_s, dist):
         e = jnp.zeros((), dtype)
         for lo, hi, x_c, vis_c in feed:
-            e = e + _chunk_error(cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0)
+            e = e + _chunk_error(
+                cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0, dist
+            )
         return e
 
-    e_prev = float(error_of(cam, X_dev))
+    def fit_distortion_streamed(cam_s, X_s):
+        """Closed-form (k1, k2) refit, normal terms streamed chunk-wise."""
+        terms = jnp.zeros((nf, 5), dtype)
+        for lo, hi, x_c, vis_c in feed:
+            terms = terms + _chunk_distortion_terms(
+                cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0
+            )
+        return _solve_distortion_lsq(terms, config.distortion_shared)
+
+    def lm_segment(cam, X_dev, c, max_iter, dist):
+        """The LM outer/retry protocol over streamed chunks (the chunked
+        core's exact schedule, driven host-side)."""
+        e_prev = float(error_of(cam, X_dev, dist))
+        n_iter = 0
+        n_retries = 0
+        for _ in range(max_iter):
+            accepted = False
+            tries = 0
+            e_new = e_prev
+            while not accepted and tries < config.max_inner_retries:
+                tries += 1
+                n_retries += 1
+                # pass 1: accumulate the damped reduced system over chunks
+                accs = zeros_accs()
+                c_dev = jnp.asarray(c, dtype)
+                for lo, hi, x_c, vis_c in feed:
+                    X_c = get_X_chunk(X_dev, lo, hi)
+                    accs = _accumulate_chunk(
+                        accs, cam, X_c, x_c, vis_c, free, c_dev, f0, dist
+                    )
+                delta_xi, _ = _assemble_and_solve(accs, free, c_dev, f0)
+                trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dtype))
+
+                # pass 2: back-substitute point updates + trial error
+                X_parts = []
+                e_trial = jnp.zeros((), dtype)
+                for lo, hi, x_c, vis_c in feed:
+                    X_c = get_X_chunk(X_dev, lo, hi)
+                    X_new_c, e_c = _backsub_chunk(
+                        cam, trial_cam, X_c, x_c, vis_c, free, c_dev,
+                        delta_xi, f0, dist,
+                    )
+                    X_parts.append(X_new_c[: hi - lo])
+                    e_trial = e_trial + e_c
+                e_trial = float(e_trial)
+
+                if e_trial <= e_prev and np.isfinite(e_trial):
+                    accepted = True
+                    cam = trial_cam
+                    X_dev = jnp.concatenate(X_parts, axis=0)
+                    e_new = e_trial
+                    c = c / config.divisor
+                else:
+                    c = c * config.scale_factor
+            n_iter += 1
+            delta = abs(e_new - e_prev)
+            e_prev = e_new
+            if not accepted or delta <= config.delta_tol:
+                break
+        return cam, X_dev, e_prev, c, n_iter, n_retries
+
+    dist = None if distortion is None else jnp.asarray(distortion, dtype)
+    if config.distortion_rounds > 0 and dist is None:
+        dist = jnp.zeros((nf, 2), dtype)
+
     c = float(config.init_damping if init_c is None else init_c)
-    n_iter = 0
-    n_retries = 0
+    n_total = 0
+    retries_total = 0
+    for _ in range(config.distortion_rounds):
+        # refit-first alternation, exactly as the dense core
+        dist = fit_distortion_streamed(cam, X_dev)
+        cam, X_dev, _, c, n_seg, r_seg = lm_segment(
+            cam, X_dev, c, config.max_iter, dist
+        )
+        n_total += n_seg
+        retries_total += r_seg
 
-    for _ in range(config.max_iter):
-        accepted = False
-        tries = 0
-        e_new = e_prev
-        while not accepted and tries < config.max_inner_retries:
-            tries += 1
-            n_retries += 1
-            # pass 1: accumulate the damped reduced system over streamed chunks
-            accs = zeros_accs()
-            c_dev = jnp.asarray(c, dtype)
-            for lo, hi, x_c, vis_c in feed:
-                X_c = get_X_chunk(X_dev, lo, hi)
-                accs = _accumulate_chunk(accs, cam, X_c, x_c, vis_c, free, c_dev, f0)
-            delta_xi, _ = _assemble_and_solve(accs, free, c_dev, f0)
-            trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dtype))
-
-            # pass 2: back-substitute point updates + trial error
-            X_parts = []
-            e_trial = jnp.zeros((), dtype)
-            for lo, hi, x_c, vis_c in feed:
-                X_c = get_X_chunk(X_dev, lo, hi)
-                X_new_c, e_c = _backsub_chunk(
-                    cam, trial_cam, X_c, x_c, vis_c, free, c_dev, delta_xi, f0
-                )
-                X_parts.append(X_new_c[: hi - lo])
-                e_trial = e_trial + e_c
-            e_trial = float(e_trial)
-
-            if e_trial <= e_prev and np.isfinite(e_trial):
-                accepted = True
-                cam = trial_cam
-                X_dev = jnp.concatenate(X_parts, axis=0)
-                e_new = e_trial
-                c = c / config.divisor
-            else:
-                c = c * config.scale_factor
-        n_iter += 1
-        delta = abs(e_new - e_prev)
-        e_prev = e_new
-        if not accepted or delta <= config.delta_tol:
-            break
+    cam, X_dev, e_prev, c, n_iter, n_retries = lm_segment(
+        cam, X_dev, c, config.max_iter, dist
+    )
 
     Xg, Rg, tg = restore_gauge(info, X_dev, cam.R, cam.t)
     return BAResult(
         X=Xg, K=build_K(cam.f, cam.u, f0), R=Rg, t=tg,
-        error=jnp.asarray(e_prev, dtype), n_iter=jnp.asarray(n_iter),
-        log={"n_solver_retries": jnp.asarray(n_retries), "c": c},
+        error=jnp.asarray(e_prev, dtype), n_iter=jnp.asarray(n_iter + n_total),
+        log={"n_solver_retries": jnp.asarray(n_retries + retries_total), "c": c},
+        distortion=dist,
     )

@@ -21,6 +21,7 @@ Implementation: the exact same LM core as single-device
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -31,8 +32,10 @@ from ..config import LMConfig
 from ..models.bundle_adjustment import (
     BAResult,
     BAState,
+    _huber_weights,
     build_K,
     bundle_adjust,  # noqa: F401 (re-exported convenience)
+    fit_distortion,
     gauge_mask,
     lm_optimize,
     lm_step,
@@ -57,14 +60,23 @@ def sharded_bundle_adjust_chunked(
     chunk_size: int = 4096,
     init_c: jax.Array | None = None,
     init_nu: jax.Array | None = None,
+    distortion: jax.Array | None = None,
 ) -> BAResult:
     """Sharding composed with chunk-streaming: points are split over the
     mesh's ``points`` axis AND each device scans its shard in chunks —
     the million-point / multi-chip regime. Per LM retry the only
     cross-device traffic is the psum of the (9F, 9F) camera system.
     ``init_c``/``init_nu`` resume a segmented run (final values are in
-    the returned ``log``)."""
-    from ..models.bundle_adjustment_chunked import lm_optimize_chunked
+    the returned ``log``).
+
+    ``distortion`` / ``config.distortion_rounds``: the BAL radial model,
+    with the same refit-first alternation as the single-device cores.
+    (k1, k2) is replicated; the refit's (F, 5) normal terms are per-point
+    sums, so each refit adds exactly one extra psum per round."""
+    from ..models.bundle_adjustment_chunked import (
+        fit_distortion_chunked,
+        lm_optimize_chunked,
+    )
 
     dt = x.dtype
     npts, nf, _ = x.shape
@@ -82,14 +94,39 @@ def sharded_bundle_adjust_chunked(
     c0 = jnp.asarray(config.init_damping if init_c is None else init_c, dt)
     nu0 = jnp.asarray(2.0 if init_nu is None else init_nu, dt)
 
-    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r, c_r, nu_r):
+    model_dist = distortion is not None or config.distortion_rounds > 0
+    dist0 = (
+        jnp.zeros((nf, 2), dt) if distortion is None
+        else jnp.asarray(distortion, dt)
+    )
+    huber_delta = config.huber_delta if config.robust == "huber" else None
+
+    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r, c_r, nu_r, dist_r):
         st0 = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)
+        dist = dist_r if model_dist else None
+        n_total = jnp.asarray(0)
+        for _ in range(config.distortion_rounds):
+            # refit-first alternation, exactly as bundle_adjust_chunked;
+            # the refit's per-point normal terms psum over the shards.
+            dist = fit_distortion_chunked(
+                st0, x_l, vis_l, f0, chunk_size,
+                shared=config.distortion_shared,
+                huber_delta=huber_delta, dist=dist,
+                axis_name=POINTS_AXIS,
+            )
+            seg_cfg = dataclasses.replace(config, record_log=False)
+            st0, _, c_r, nu_r, n_seg, _ = lm_optimize_chunked(
+                x_l, st0, vis_l, free_r, f0, seg_cfg, chunk_size,
+                axis_name=POINTS_AXIS, init_c=c_r, init_nu=nu_r, dist=dist,
+            )
+            n_total = n_total + n_seg
         final, e, c_f, nu_f, n_iter, n_retries = lm_optimize_chunked(
             x_l, st0, vis_l, free_r, f0, config, chunk_size,
-            axis_name=POINTS_AXIS, init_c=c_r, init_nu=nu_r,
+            axis_name=POINTS_AXIS, init_c=c_r, init_nu=nu_r, dist=dist,
         )
+        dist_out = dist if model_dist else dist_r
         return (final.X, final.f, final.u, final.t, final.R, e, c_f, nu_f,
-                n_iter, n_retries)
+                n_iter + n_total, n_retries, dist_out)
 
     pt = P(POINTS_AXIS)
     rep = P()
@@ -97,12 +134,13 @@ def sharded_bundle_adjust_chunked(
         jax.shard_map(
             run,
             mesh=mesh,
-            in_specs=(pt, pt, rep, rep, rep, rep, pt, rep, rep, rep),
-            out_specs=(pt,) + (rep,) * 9,
+            in_specs=(pt, pt, rep, rep, rep, rep, pt, rep, rep, rep, rep),
+            out_specs=(pt,) + (rep,) * 10,
         )
     )
-    Xf, ff, uf, tf, Rf, e, c_f, nu_f, n_iter, n_retries = sharded(
-        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free, c0, nu0
+    Xf, ff, uf, tf, Rf, e, c_f, nu_f, n_iter, n_retries, dist_f = sharded(
+        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free,
+        c0, nu0, dist0,
     )
 
     Xg, Rg, tg = restore_gauge(info, Xf, Rf, tf)
@@ -114,6 +152,7 @@ def sharded_bundle_adjust_chunked(
         error=e,
         n_iter=n_iter,
         log={"n_solver_retries": n_retries, "c": c_f, "nu": nu_f},
+        distortion=dist_f if model_dist else None,
     )
 
 
@@ -177,11 +216,13 @@ def sharded_bundle_adjust(
     visibility: jax.Array | None = None,
     axis: str = "x-right_z-forward",
     config: LMConfig = LMConfig(),
+    distortion: jax.Array | None = None,
 ) -> BAResult:
     """Full bundle adjustment with the points dimension sharded over
     ``mesh``'s ``points`` axis. Same semantics as
     ``models.bundle_adjustment.bundle_adjust`` (same LM core, axis-name
-    plumbed); P is padded to a multiple of the shard count."""
+    plumbed, same radial-distortion alternation); P is padded to a
+    multiple of the shard count."""
     dt = x.dtype
     npts, nf, _ = x.shape
     vis = (
@@ -195,23 +236,54 @@ def sharded_bundle_adjust(
     X0, R0, t0, info = normalize_gauge(X_p, init_R, init_t, axis)
     free = gauge_mask(nf, axis, dt)
 
-    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r):
+    model_dist = distortion is not None or config.distortion_rounds > 0
+    dist0 = (
+        jnp.zeros((nf, 2), dt) if distortion is None
+        else jnp.asarray(distortion, dt)
+    )
+
+    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r, dist_r):
         st0 = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)
+        dist = dist_r if model_dist else None
+        n_total = jnp.asarray(0)
+        c_seg = None
+        for _ in range(config.distortion_rounds):
+            # refit-first alternation, exactly as bundle_adjust; the
+            # refit's per-point normal terms psum over the shards.
+            if config.robust == "huber":
+                vis_fit = _huber_weights(
+                    st0, x_l, vis_l, f0, config.huber_delta, dist
+                )
+            else:
+                vis_fit = vis_l
+            dist = fit_distortion(
+                st0, x_l, vis_fit, f0, shared=config.distortion_shared,
+                axis_name=POINTS_AXIS,
+            )
+            seg_cfg = dataclasses.replace(config, record_log=False)
+            st0, _, c_seg, n_seg, _ = lm_optimize(
+                x_l, st0, vis_l, free_r, f0, seg_cfg,
+                axis_name=POINTS_AXIS, init_c=c_seg, dist=dist,
+            )
+            n_total = n_total + n_seg
         final, e, _, n_iter, _ = lm_optimize(
-            x_l, st0, vis_l, free_r, f0, config, axis_name=POINTS_AXIS
+            x_l, st0, vis_l, free_r, f0, config, axis_name=POINTS_AXIS,
+            init_c=c_seg, dist=dist,
         )
-        return final.X, final.f, final.u, final.t, final.R, e, n_iter
+        dist_out = dist if model_dist else dist_r
+        return (final.X, final.f, final.u, final.t, final.R, e,
+                n_iter + n_total, dist_out)
 
     pt = P(POINTS_AXIS)
     rep = P()
     sharded = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(pt, pt, rep, rep, rep, rep, pt, rep),
-        out_specs=(pt, rep, rep, rep, rep, rep, rep),
+        in_specs=(pt, pt, rep, rep, rep, rep, pt, rep, rep),
+        out_specs=(pt, rep, rep, rep, rep, rep, rep, rep),
     )
-    Xf, ff, uf, tf, Rf, e, n_iter = sharded(
-        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free
+    Xf, ff, uf, tf, Rf, e, n_iter, dist_f = sharded(
+        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free, dist0
     )
 
     Xg, Rg, tg = restore_gauge(info, Xf, Rf, tf)
@@ -223,4 +295,5 @@ def sharded_bundle_adjust(
         error=e,
         n_iter=n_iter,
         log=None,
+        distortion=dist_f if model_dist else None,
     )

@@ -390,6 +390,124 @@ def test_chunked_distortion_refit_matches_dense():
     )
 
 
+def test_sharded_distortion_matches_single_device():
+    """Point-sharded BA (dense and chunk-streamed cores) with the BAL
+    distortion model must match the single-device results: the
+    distortion chain is per-observation elementwise work, and the refit
+    alternation's (F, 5) normal terms complete with one psum — so the
+    only divergence allowed is fp reassociation of the sharded sums.
+    25 points per shard under chunk_size=50 also exercises the
+    chunk-padded tail."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import (
+        sharded_bundle_adjust,
+        sharded_bundle_adjust_chunked,
+    )
+
+    sc, dist, xd = _distorted_scene(n_images=8)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    mesh = make_mesh({"points": 4})
+    common = dict(f0=1.0, axis="x-up_z-forward")
+
+    # fixed distortion, dense core
+    cfg = LMConfig(max_iter=10, delta_tol=1e-10)
+    res_single = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                               distortion=dist, **common)
+    res_sh = sharded_bundle_adjust(mesh, xd, X0, sc.K, sc.R, t0,
+                                   config=cfg, distortion=dist, **common)
+    np.testing.assert_allclose(
+        float(res_sh.error), float(res_single.error), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.X), np.asarray(res_single.X), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.distortion), np.asarray(dist), atol=0
+    )
+
+    # refit alternation (distortion_rounds), dense and chunked cores
+    cfg_alt = LMConfig(max_iter=8, delta_tol=1e-10, distortion_rounds=2)
+    res_alt = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg_alt, **common)
+    res_alt_sh = sharded_bundle_adjust(mesh, xd, X0, sc.K, sc.R, t0,
+                                       config=cfg_alt, **common)
+    np.testing.assert_allclose(
+        np.asarray(res_alt_sh.distortion), np.asarray(res_alt.distortion),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        float(res_alt_sh.error), float(res_alt.error), rtol=1e-7
+    )
+
+    res_altc = bundle_adjust_chunked(
+        xd, X0, sc.K, sc.R, t0, config=cfg_alt, chunk_size=50, **common
+    )
+    res_altc_sh = sharded_bundle_adjust_chunked(
+        mesh, xd, X0, sc.K, sc.R, t0, config=cfg_alt, chunk_size=50,
+        **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_altc_sh.distortion), np.asarray(res_altc.distortion),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        float(res_altc_sh.error), float(res_altc.error), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_altc_sh.X), np.asarray(res_altc.X), atol=1e-6
+    )
+
+
+def test_streamed_distortion_matches_chunked():
+    """The host-streamed core with the distortion model must match the
+    chunk-streamed core (same protocol, observations fed from host RAM),
+    both with a fixed k and through the refit alternation."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.models.bundle_adjustment_streamed import (
+        bundle_adjust_streamed,
+    )
+
+    sc, dist, xd = _distorted_scene(n_images=8)
+    X0, t0 = _perturbed_state(sc, 0.005)
+
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=8)
+    res_c = bundle_adjust_chunked(
+        xd, X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg, chunk_size=32, distortion=dist,
+    )
+    res_s = bundle_adjust_streamed(
+        np.asarray(xd), X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg, chunk_size=32, distortion=dist,
+    )
+    np.testing.assert_allclose(
+        float(res_s.error), float(res_c.error), rtol=1e-9
+    )
+    assert int(res_s.n_iter) == int(res_c.n_iter)
+    np.testing.assert_allclose(np.asarray(res_s.X), np.asarray(res_c.X), atol=1e-9)
+
+    cfg_alt = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=6,
+                       distortion_rounds=2)
+    res_ca = bundle_adjust_chunked(
+        xd, X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg_alt, chunk_size=32,
+    )
+    res_sa = bundle_adjust_streamed(
+        np.asarray(xd), X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg_alt, chunk_size=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sa.distortion), np.asarray(res_ca.distortion),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        float(res_sa.error), float(res_ca.error), rtol=1e-7
+    )
+
+
 def test_cli_bal_chunked(tmp_path, capsys):
     """--chunk-size routes the BAL file through the O(chunk)-memory core
     with the same distortion support."""
