@@ -165,7 +165,7 @@ def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=Non
 
 
 def _build_system_fused(
-    state_cam, X_ch, x_ch, vis_ch, free, f0, c, huber_delta=None
+    state_cam, X_ch, x_ch, vis_ch, free, f0, c, huber_delta=None, dist=None
 ):
     """Fused generate-and-reduce variant of :func:`_build_system`
     (TPU f32 path; see ``ops/pallas_schur.py``): per chunk, one generation
@@ -183,7 +183,7 @@ def _build_system_fused(
         acc, g_acc, df_acc, e_acc, bp_acc = carry
         X_c, x_c, vis_c = inp
         acc, d_F, matG, e_chunk, b_p32 = fused_chunk_update(
-            acc, state_cam, X_c, x_c, vis_c, f0, c, huber_delta
+            acc, state_cam, X_c, x_c, vis_c, f0, c, huber_delta, dist
         )
         return (acc, g_acc + matG, df_acc + d_F, _kadd(e_acc, e_chunk),
                 bp_acc + b_p32), None
@@ -324,7 +324,7 @@ def _backsub_and_trial(
             X_c, x_c, vis_c = inp
             X_new, e_c, dDd_c, gd_c = fused_backsub_chunk(
                 state_cam, trial_cam, X_c, x_c, vis_c, f0, c,
-                delta_xi * free, huber_delta,
+                delta_xi * free, huber_delta, dist,
             )
             return (
                 _kadd(e_acc, e_c), _kadd(dDd_acc, dDd_c), _kadd(gd_acc, gd_c)
@@ -463,10 +463,7 @@ def lm_optimize_chunked(
     huber_delta = config.huber_delta if config.robust == "huber" else None
 
     nf = state0.f.shape[0]
-    # The fused Pallas generate-and-reduce path does not implement the
-    # distortion chain; with dist set the XLA chunked build (same math,
-    # same O(chunk) memory) runs instead.
-    fused = use_fused_schur(dt) and axis_name is None and dist is None
+    fused = use_fused_schur(dt) and axis_name is None
     f_pad_tm, _ = schur_acc_dim(nf)
 
     def inner(cam, X_ch_, e_prev, c, nu):
@@ -478,7 +475,8 @@ def lm_optimize_chunked(
             c_cur, nu_cur, _, _, _, _, _, tries = carry
             if fused:
                 a, b, e_w, (diag_g, d_f), free_tm = _build_system_fused(
-                    cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, huber_delta
+                    cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, huber_delta,
+                    dist,
                 )
                 delta_tm = jax.scipy.linalg.cho_solve(
                     jax.scipy.linalg.cho_factor(a), b

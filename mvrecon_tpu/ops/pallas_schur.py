@@ -193,58 +193,26 @@ def assemble_type_major(
     return a, b, free_tm
 
 
-def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
-                       huber_delta=None):
-    """One chunk of the fused build: gradient-side quantities + damped Y
-    (type-major) + SYRK accumulation, in a single generation pass.
+def _factor_planes(cam, X_c, x_c, pmat, p, q, r, f0: float, dist):
+    """Shared generation of the distortion-chained factor set: raw
+    residuals, a-factors (C, F, 3), and type-major b planes (9, C, F)
+    [param order f, u, v, t(3), omega(3) — matching the camera-major
+    column order of ``_chunk_factors``].
 
-    Returns (acc, d_F_cm (9F,) unmasked, matG (F, 9, 9), e_chunk). The
-    per-point grad pieces (d_P, matE) are consumed internally by the
-    damped L^-1 and yd.
-    """
-    from ..models.bundle_adjustment import build_K, calc_pqr
-    from .linalg import chol3x3, inv_lower3
+    With ``dist`` the same exact 2x2 chain as the camera-major
+    ``_apply_distortion_chain`` is applied in type-major layout: the u/v
+    column fixups index planes 1/2 and the f column plane 0."""
+    from ..models.bundle_adjustment import _distortion_terms
 
-    dt = x_c.dtype
-    c_pts, nf = x_c.shape[0], x_c.shape[1]
-    n_acc = acc.shape[0]
-    f_pad = n_acc // 9
-
-    K = build_K(cam.f, cam.u, f0)
-    pmat, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
-    vis_d = jnp.broadcast_to(vis_c, (c_pts, nf)).astype(dt)
-    r = jnp.where(vis_d > 0, r, jnp.ones_like(r))
+    inv_r2 = 1.0 / (r * r)
     res_p = p / r - x_c[..., 0] / f0
     res_q = q / r - x_c[..., 1] / f0
-    if huber_delta is not None:
-        mag = jnp.sqrt(res_p**2 + res_q**2)
-        vis_d = vis_d * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
-    e_chunk = jnp.sum(vis_d * (res_p**2 + res_q**2))
-    inv_r2 = 1.0 / (r * r)
-    w2 = 2.0 * vis_d
 
-    # a-factors (C, F, 3) -> d_P, matE, damped L^-1, yd
     a1 = (r[..., None] * pmat[None, :, 0, :3]
           - p[..., None] * pmat[None, :, 2, :3]) * inv_r2[..., None]
     a2 = (r[..., None] * pmat[None, :, 1, :3]
           - q[..., None] * pmat[None, :, 2, :3]) * inv_r2[..., None]
-    visf = vis_d[..., None]
-    d_P = 2.0 * jnp.sum(visf * (res_p[..., None] * a1 + res_q[..., None] * a2), axis=1)
-    vw = visf[..., None]
-    matE = 2.0 * jnp.sum(
-        vw * jnp.einsum("pfi,pfj->pfij", a1, a1, precision=HIGHEST)
-        + vw * jnp.einsum("pfi,pfj->pfij", a2, a2, precision=HIGHEST),
-        axis=1,
-    )
-    seen = (jnp.sum(vis_d, axis=1) > 0).astype(dt)
-    matE = matE + (1.0 - seen)[:, None, None] * jnp.eye(3, dtype=dt)
-    eye3 = jnp.eye(3, dtype=dt)
-    linv = inv_lower3(chol3x3(matE + c * matE * eye3[None]))
-    yd = jnp.einsum("pxy,py->px", linv, d_P, precision=HIGHEST)
-    al1 = jnp.einsum("pxw,pfw->xpf", linv, a1, precision=HIGHEST) * w2[None]
-    al2 = jnp.einsum("pxw,pfw->xpf", linv, a2, precision=HIGHEST) * w2[None]
 
-    # b-factor planes per param type (9, C, F) + camera-side gradients
     f, u, t, R = cam.f, cam.u, cam.t, cam.R
     dpdt = -(f[:, None] * R[:, :, 0] + u[:, :1] * R[:, :, 2])
     dqdt = -(f[:, None] * R[:, :, 1] + u[:, 1:2] * R[:, :, 2])
@@ -269,6 +237,82 @@ def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
         *[(r * dqdt[None, :, k] - q * drdt[None, :, k]) * inv_r2 for k in range(3)],
         *[(r * cross_k(dqdt, k) - q * cross_k(drdt, k)) * inv_r2 for k in range(3)],
     ])
+
+    if dist is not None:
+        g1, g2, s, d, w = _distortion_terms(cam, p, q, r, f0, dist)
+        res_p = res_p + (d - 1.0) * g1
+        res_q = res_q + (d - 1.0) * g2
+        cw = (2.0 * w) * (f0 / cam.f)[None] ** 2
+        d11 = d + cw * g1 * g1
+        d12 = cw * g1 * g2
+        d22 = d + cw * g2 * g2
+        a1, a2 = (
+            d11[..., None] * a1 + d12[..., None] * a2,
+            d12[..., None] * a1 + d22[..., None] * a2,
+        )
+        inv_f0 = jnp.asarray(1.0 / f0, b1.dtype)
+        b1 = b1.at[1].add(-inv_f0)  # b -> dg/dtheta (u/v planes only)
+        b2 = b2.at[2].add(-inv_f0)
+        b1, b2 = (
+            d11[None] * b1 + d12[None] * b2,
+            d12[None] * b1 + d22[None] * b2,
+        )
+        b1 = b1.at[1].add(inv_f0)  # + d(u/f0)/du
+        b2 = b2.at[2].add(inv_f0)
+        cf = 2.0 * w * s / cam.f[None]  # -(2 w s / f) g on the f plane
+        b1 = b1.at[0].add(-cf * g1)
+        b2 = b2.at[0].add(-cf * g2)
+
+    return res_p, res_q, a1, a2, b1, b2
+
+
+def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
+                       huber_delta=None, dist=None):
+    """One chunk of the fused build: gradient-side quantities + damped Y
+    (type-major) + SYRK accumulation, in a single generation pass.
+
+    Returns (acc, d_F_cm (9F,) unmasked, matG (F, 9, 9), e_chunk). The
+    per-point grad pieces (d_P, matE) are consumed internally by the
+    damped L^-1 and yd.
+    """
+    from ..models.bundle_adjustment import build_K, calc_pqr
+    from .linalg import chol3x3, inv_lower3
+
+    dt = x_c.dtype
+    c_pts, nf = x_c.shape[0], x_c.shape[1]
+    n_acc = acc.shape[0]
+    f_pad = n_acc // 9
+
+    K = build_K(cam.f, cam.u, f0)
+    pmat, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+    vis_d = jnp.broadcast_to(vis_c, (c_pts, nf)).astype(dt)
+    r = jnp.where(vis_d > 0, r, jnp.ones_like(r))
+    res_p, res_q, a1, a2, b1, b2 = _factor_planes(
+        cam, X_c, x_c, pmat, p, q, r, f0, dist
+    )
+    if huber_delta is not None:
+        # IRLS weights from the model's actual (distorted) residuals
+        mag = jnp.sqrt(res_p**2 + res_q**2)
+        vis_d = vis_d * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+    e_chunk = jnp.sum(vis_d * (res_p**2 + res_q**2))
+    w2 = 2.0 * vis_d
+
+    # a-factors -> d_P, matE, damped L^-1, yd
+    visf = vis_d[..., None]
+    d_P = 2.0 * jnp.sum(visf * (res_p[..., None] * a1 + res_q[..., None] * a2), axis=1)
+    vw = visf[..., None]
+    matE = 2.0 * jnp.sum(
+        vw * jnp.einsum("pfi,pfj->pfij", a1, a1, precision=HIGHEST)
+        + vw * jnp.einsum("pfi,pfj->pfij", a2, a2, precision=HIGHEST),
+        axis=1,
+    )
+    seen = (jnp.sum(vis_d, axis=1) > 0).astype(dt)
+    matE = matE + (1.0 - seen)[:, None, None] * jnp.eye(3, dtype=dt)
+    eye3 = jnp.eye(3, dtype=dt)
+    linv = inv_lower3(chol3x3(matE + c * matE * eye3[None]))
+    yd = jnp.einsum("pxy,py->px", linv, d_P, precision=HIGHEST)
+    al1 = jnp.einsum("pxw,pfw->xpf", linv, a1, precision=HIGHEST) * w2[None]
+    al2 = jnp.einsum("pxw,pfw->xpf", linv, a2, precision=HIGHEST) * w2[None]
 
     # d_F (type-major -> camera-major) and matG from the same planes
     wres1 = vis_d * res_p
@@ -301,7 +345,7 @@ def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
 
 def fused_backsub_chunk(
     cam, trial_cam, X_c, x_c, vis_c, f0: float, c, delta_xi_cm,
-    huber_delta=None,
+    huber_delta=None, dist=None,
 ):
     """Back-substitution for one chunk using type-major b planes — the
     (C, F, 9) camera-major factor tensors are never materialized.
@@ -309,7 +353,11 @@ def fused_backsub_chunk(
     Returns (X_new, e_trial_chunk, dDd_chunk, g_d_chunk) matching the
     camera-major ``_backsub_and_trial`` body exactly.
     """
-    from ..models.bundle_adjustment import build_K, calc_pqr
+    from ..models.bundle_adjustment import (
+        _distorted_residual,
+        build_K,
+        calc_pqr,
+    )
     from .linalg import chol3x3, inv_lower3
 
     dt = x_c.dtype
@@ -318,17 +366,13 @@ def fused_backsub_chunk(
     pmat, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
     vis_d = jnp.broadcast_to(vis_c, (c_pts, nf)).astype(dt)
     r = jnp.where(vis_d > 0, r, jnp.ones_like(r))
-    res_p = p / r - x_c[..., 0] / f0
-    res_q = q / r - x_c[..., 1] / f0
+    res_p, res_q, a1, a2, b1, b2 = _factor_planes(
+        cam, X_c, x_c, pmat, p, q, r, f0, dist
+    )
     if huber_delta is not None:
         mag = jnp.sqrt(res_p**2 + res_q**2)
         vis_d = vis_d * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
-    inv_r2 = 1.0 / (r * r)
 
-    a1 = (r[..., None] * pmat[None, :, 0, :3]
-          - p[..., None] * pmat[None, :, 2, :3]) * inv_r2[..., None]
-    a2 = (r[..., None] * pmat[None, :, 1, :3]
-          - q[..., None] * pmat[None, :, 2, :3]) * inv_r2[..., None]
     visf = vis_d[..., None]
     d_P = 2.0 * jnp.sum(visf * (res_p[..., None] * a1 + res_q[..., None] * a2), axis=1)
     vw = visf[..., None]
@@ -342,31 +386,6 @@ def fused_backsub_chunk(
     eye3 = jnp.eye(3, dtype=dt)
     linv = inv_lower3(chol3x3(matE + c * matE * eye3[None]))
 
-    # type-major b planes and <b, dxi> without the (C, F, 9) tensor
-    f, u, t, R = cam.f, cam.u, cam.t, cam.R
-    dpdt = -(f[:, None] * R[:, :, 0] + u[:, :1] * R[:, :, 2])
-    dqdt = -(f[:, None] * R[:, :, 1] + u[:, 1:2] * R[:, :, 2])
-    drdt = -f0 * R[:, :, 2]
-    xm = X_c[:, None, :] - t[None, :, :]
-
-    def cross_k(dfT, k):
-        k1, k2 = (k + 1) % 3, (k + 2) % 3
-        return -(dfT[None, :, k1] * xm[..., k2] - dfT[None, :, k2] * xm[..., k1])
-
-    zero = jnp.zeros_like(p)
-    dp0 = (p - (u[:, 0] / f0)[None] * r) / f[None]
-    dq0 = (q - (u[:, 1] / f0)[None] * r) / f[None]
-    rf0 = r / f0
-    b1 = jnp.stack([
-        r * dp0 * inv_r2, r * rf0 * inv_r2, zero,
-        *[(r * dpdt[None, :, k] - p * drdt[None, :, k]) * inv_r2 for k in range(3)],
-        *[(r * cross_k(dpdt, k) - p * cross_k(drdt, k)) * inv_r2 for k in range(3)],
-    ])
-    b2 = jnp.stack([
-        r * dq0 * inv_r2, zero, r * rf0 * inv_r2,
-        *[(r * dqdt[None, :, k] - q * drdt[None, :, k]) * inv_r2 for k in range(3)],
-        *[(r * cross_k(dqdt, k) - q * cross_k(drdt, k)) * inv_r2 for k in range(3)],
-    ])
     dxi_tm = delta_xi_cm.reshape(nf, 9).T  # (9, F)
     s1 = vis_d * jnp.einsum("jpf,jf->pf", b1, dxi_tm, precision=HIGHEST)
     s2 = vis_d * jnp.einsum("jpf,jf->pf", b2, dxi_tm, precision=HIGHEST)
@@ -388,8 +407,6 @@ def fused_backsub_chunk(
     K_trial = build_K(trial_cam.f, trial_cam.u, f0)
     _, pt_, qt_, rt_ = calc_pqr(X_new, K_trial, trial_cam.R, trial_cam.t)
     rt_ = jnp.where(vis_d > 0, rt_, jnp.ones_like(rt_))
-    e_c = jnp.sum(
-        vis_d * ((pt_ / rt_ - x_c[..., 0] / f0) ** 2
-                 + (qt_ / rt_ - x_c[..., 1] / f0) ** 2)
-    )
+    res_tp, res_tq = _distorted_residual(trial_cam, pt_, qt_, rt_, x_c, f0, dist)
+    e_c = jnp.sum(vis_d * (res_tp**2 + res_tq**2))
     return X_new, e_c, dDd_c, gd_c

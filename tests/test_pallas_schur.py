@@ -101,6 +101,43 @@ def test_type_major_roundtrip():
     )
 
 
+def test_factor_planes_distortion_matches_camera_major():
+    """_factor_planes with a distortion must equal the camera-major
+    ``_chunk_factors`` chain exactly (same formulas, type-major layout):
+    chained residuals, a-factors, and all 9 b planes."""
+    from mvrecon_tpu.models.bundle_adjustment import build_K, calc_pqr
+    from mvrecon_tpu.models.bundle_adjustment_chunked import _chunk_factors
+    from mvrecon_tpu.ops import pallas_schur as ps
+
+    cam, X_c, x_c, vis_c, nf = _problem(n_pts=64, nf=6)
+    rng = np.random.default_rng(2)
+    dist = jnp.asarray(
+        np.stack([-0.3 + 0.05 * rng.standard_normal(nf),
+                  0.05 + 0.02 * rng.standard_normal(nf)], -1), jnp.float32
+    )
+
+    a1o, a2o, b1o, b2o, rpo, rqo, _ = _chunk_factors(
+        cam, X_c, x_c, vis_c, 1.0, dist=dist
+    )
+
+    K = build_K(cam.f, cam.u, 1.0)
+    pmat, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+    r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+    rp, rq, a1, a2, b1, b2 = ps._factor_planes(
+        cam, X_c, x_c, pmat, p, q, r, 1.0, dist
+    )
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(rpo), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rq), np.asarray(rqo), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a1o), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a2o), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(b1.transpose(1, 2, 0)), np.asarray(b1o), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b2.transpose(1, 2, 0)), np.asarray(b2o), atol=1e-5
+    )
+
+
 _FUSED_E2E = r"""
 import os, json
 import numpy as np
@@ -117,7 +154,28 @@ k1, k2 = jax.random.split(jax.random.key(5))
 X0 = scene.X + 0.02 * jax.random.normal(k1, scene.X.shape, dtype=jnp.float32)
 t0 = scene.t + 0.02 * jax.random.normal(k2, scene.t.shape, dtype=jnp.float32)
 x = scene.x.transpose(1, 0, 2)
-if os.environ.get("MVRECON_TEST_ROBUST") == "1":
+dist = None
+if os.environ.get("MVRECON_TEST_DISTORT") == "1":
+    # re-render the observations through a radial distortion and hold k
+    # fixed in BA: the fused path must apply the same 2x2 chain
+    from mvrecon_tpu.models.bundle_adjustment import (
+        BAState, _distortion_terms, build_K, calc_pqr,
+    )
+    dist = jnp.asarray(np.stack([np.full(6, -0.3), np.full(6, 0.05)], -1),
+                       jnp.float32)
+    st = BAState(X=scene.X, f=scene.K[:, 0, 0], u=scene.K[:, :2, 2],
+                 t=scene.t, R=scene.R)
+    _, p, q, r = calc_pqr(st.X, build_K(st.f, st.u, 1.0), st.R, st.t)
+    g1, g2, _, d, _ = _distortion_terms(st, p, q, r, 1.0, dist)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        np.stack([np.asarray(d * g1) + np.asarray(st.u[:, 0])[None],
+                  np.asarray(d * g2) + np.asarray(st.u[:, 1])[None]], -1)
+        + 0.003 * rng.standard_normal((x.shape[0], 6, 2)),
+        jnp.float32,
+    )
+    cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=5)
+elif os.environ.get("MVRECON_TEST_ROBUST") == "1":
     # inject a gross outlier; Huber IRLS must absorb it on both paths
     x = np.asarray(x).copy()
     x[3, 2, 0] += 0.5
@@ -127,15 +185,17 @@ if os.environ.get("MVRECON_TEST_ROBUST") == "1":
 else:
     cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=5)
 res = bundle_adjust_chunked(x, X0, scene.K, scene.R, t0, f0=1.0,
-                            axis="x-up_z-forward", config=cfg, chunk_size=32)
+                            axis="x-up_z-forward", config=cfg, chunk_size=32,
+                            distortion=dist)
 print(json.dumps({"error": float(res.error), "n_iter": int(res.n_iter),
                   "X0": [float(v) for v in np.asarray(res.X[0])]}))
 """
 
 
-def _run_e2e(mode, robust=False):
+def _run_e2e(mode, robust=False, distort=False):
     env = dict(os.environ, MVRECON_FUSED_SCHUR=mode, JAX_PLATFORMS="cpu",
-               MVRECON_TEST_ROBUST="1" if robust else "0")
+               MVRECON_TEST_ROBUST="1" if robust else "0",
+               MVRECON_TEST_DISTORT="1" if distort else "0")
     out = subprocess.run(
         [sys.executable, "-c", _FUSED_E2E], capture_output=True, text=True,
         env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -153,6 +213,18 @@ def test_fused_core_matches_unfused_end_to_end():
     assert fused["n_iter"] == base["n_iter"]
     # the bf16 Hessian takes slightly different (still-accepted) steps;
     # mid-convergence states agree to ~1%, errors to <1%
+    assert abs(fused["error"] - base["error"]) < 2e-2 * max(base["error"], 1e-9)
+    np.testing.assert_allclose(fused["X0"], base["X0"], rtol=5e-2, atol=0.2)
+
+
+def test_fused_core_matches_unfused_distortion():
+    """The BAL radial model through the fused path (the 2x2 chain applied
+    to the type-major factor planes inside fused_chunk_update /
+    fused_backsub_chunk) must match the unfused distorted path like the
+    plain-LS test above."""
+    base = _run_e2e("0", distort=True)
+    fused = _run_e2e("interpret", distort=True)
+    assert fused["n_iter"] == base["n_iter"]
     assert abs(fused["error"] - base["error"]) < 2e-2 * max(base["error"], 1e-9)
     np.testing.assert_allclose(fused["X0"], base["X0"], rtol=5e-2, atol=0.2)
 
