@@ -9,7 +9,12 @@ and runs Huber-robust BA with the sparse visibility mask. This exercises
 the visibility path at realistic sparsity (the synthetic suite's masks
 are dense-ish) and the robust loss against real outliers.
 
-Usage: python scripts/bench_bal.py [n_points] [n_cams] [vis_frac] [outlier_frac] [iters]
+Usage: python scripts/bench_bal.py [n_points] [n_cams] [vis_frac]
+           [outlier_frac] [iters] [distort 0|1] [chunk_size]
+``distort 1`` renders through a shared BAL radial (k1, k2) = (-0.3,
+0.05) and recovers it from zero with the tied closed-form refit
+(distortion_rounds=2, full 9-parameter BAL camera). ``chunk_size > 0``
+runs the O(chunk)-memory core (the fused Pallas path on TPU f32).
 Writes/reads /tmp/mvrecon_bal_problem.txt; prints one JSON line.
 """
 
@@ -38,13 +43,35 @@ from mvrecon_tpu.runtime.io import load_bal, save_bal
 PATH = "/tmp/mvrecon_bal_problem.txt"
 
 
-def make_problem(n_points, n_cams, vis_frac, outlier_frac, seed=0):
-    """Sequential-capture scene: window visibility + noise + outliers."""
+K_TRUE = (-0.3, 0.05)  # shared radial distortion of the distorted variant
+
+
+def make_problem(n_points, n_cams, vis_frac, outlier_frac, seed=0,
+                 distort=False):
+    """Sequential-capture scene: window visibility + noise + outliers;
+    with ``distort`` the observations render through a shared BAL radial
+    (k1, k2) (one physical camera), saved in the BAL file."""
     sc = make_synthetic_scene(
         jax.random.key(seed), n_images=n_cams, n_slices=n_points // 20,
         n_angles=20, noise=0.0, dtype=jnp.float64,
     )
     x = np.asarray(sc.x)  # (F, P, 2) noise-free
+    dist = None
+    if distort:
+        from mvrecon_tpu.models.bundle_adjustment import (
+            BAState, _distortion_terms, build_K, calc_pqr,
+        )
+
+        dist = np.broadcast_to(np.asarray(K_TRUE), (n_cams, 2))
+        st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2],
+                     t=sc.t, R=sc.R)
+        _, p, q, r = calc_pqr(st.X, build_K(st.f, st.u, 1.0), st.R, st.t)
+        g1, g2, _, d, _ = _distortion_terms(st, p, q, r, 1.0,
+                                            jnp.asarray(dist))
+        x = np.stack(
+            [np.asarray(d * g1) + np.asarray(st.u[:, 0])[None],
+             np.asarray(d * g2) + np.asarray(st.u[:, 1])[None]], -1,
+        ).transpose(1, 0, 2)  # (F, P, 2)
     rng = np.random.default_rng(seed)
 
     # sliding window: point p is visible in a window of ~vis_frac * F
@@ -64,7 +91,7 @@ def make_problem(n_points, n_cams, vis_frac, outlier_frac, seed=0):
 
     save_bal(
         PATH, x, vis, np.asarray(sc.X), np.asarray(sc.R), np.asarray(sc.t),
-        np.asarray(sc.K[:, 0, 0]),
+        np.asarray(sc.K[:, 0, 0]), distortion=dist,
     )
     return np.asarray(sc.X)
 
@@ -75,8 +102,11 @@ def main():
     vis_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.2
     outlier_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.02
     iters = int(sys.argv[5]) if len(sys.argv) > 5 else 30
+    distort = len(sys.argv) > 6 and sys.argv[6] == "1"
+    chunk = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 
-    X_gt = make_problem(n_points, n_cams, vis_frac, outlier_frac)
+    X_gt = make_problem(n_points, n_cams, vis_frac, outlier_frac,
+                        distort=distort)
     d = load_bal(PATH)
     n_obs = int(d["visibility"].sum())
     print(
@@ -98,10 +128,24 @@ def main():
         scale_factor=4.0, delta_tol=1e-4, max_iter=iters,
         accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
         robust="huber", huber_delta=0.02,
+        # distorted variant: recover the shared k from zero with the
+        # closed-form tied refit (full 9-parameter BAL camera)
+        distortion_rounds=2 if distort else 0,
+        distortion_shared=True,
     )
+    if chunk > 0:
+        import functools
+
+        from mvrecon_tpu.models.bundle_adjustment_chunked import (
+            bundle_adjust_chunked,
+        )
+
+        ba_fn = functools.partial(bundle_adjust_chunked, chunk_size=chunk)
+    else:
+        ba_fn = bundle_adjust
 
     def run():
-        res = bundle_adjust(
+        res = ba_fn(
             x, X0, K0, R0, t0, f0=1.0, axis="x-up_z-forward",
             config=config, visibility=vis,
         )
@@ -128,6 +172,14 @@ def main():
         "E_vs_inlier_floor": round(err / floor, 3),
         "aligned_rmse_vs_gt": rmse,
     }
+    if chunk > 0:
+        out["chunk_size"] = chunk
+    if distort:
+        k = np.asarray(res.distortion)
+        out.update(
+            k1_recovered=round(float(k[0, 0]), 4), k1_true=K_TRUE[0],
+            k2_recovered=round(float(k[0, 1]), 4), k2_true=K_TRUE[1],
+        )
     print(json.dumps(out))
 
 
