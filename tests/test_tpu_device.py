@@ -134,6 +134,35 @@ out["camside_max_err_rel"] = float(
     max(np.abs(np.asarray(dxi) - ref_dxi).max(),
         np.abs(np.asarray(dx) - ref_dx).max()) / scale3
 )
+
+# --- 4. fused vs non-fused with the radial distortion chain ----------
+from mvrecon_tpu.models.bundle_adjustment import (
+    _distortion_terms, build_K, calc_pqr,
+)
+
+dist4 = jnp.asarray(np.stack([np.full(10, -0.3), np.full(10, 0.05)], -1),
+                    jnp.float32)
+st4 = BAState(X=scene.X, f=scene.K[:, 0, 0], u=scene.K[:, :2, 2],
+              t=scene.t, R=scene.R)
+_, p4, q4, r4 = calc_pqr(st4.X, build_K(st4.f, st4.u, 1.0), st4.R, st4.t)
+g1, g2, _, dd, _ = _distortion_terms(st4, p4, q4, r4, 1.0, dist4)
+rng4 = np.random.default_rng(4)
+xd4 = jnp.asarray(
+    np.stack([np.asarray(dd * g1) + np.asarray(st4.u[:, 0])[None],
+              np.asarray(dd * g2) + np.asarray(st4.u[:, 1])[None]], -1)
+    + 0.003 * rng4.standard_normal((scene.X.shape[0], 10, 2)), jnp.float32,
+)
+errs_d = {}
+for mode in ("1", "0"):
+    ps._MODE = mode
+    jax.clear_caches()
+    res = bundle_adjust_chunked(
+        xd4, X0, scene.K, scene.R, scene.t, f0=1.0, axis="x-up_z-forward",
+        config=cfg, chunk_size=256, distortion=dist4,
+    )
+    errs_d[mode] = float(res.error)
+out["e_fused_dist"] = errs_d["1"]
+out["e_xla_dist"] = errs_d["0"]
 print(json.dumps(out))
 """
 
@@ -171,3 +200,7 @@ def test_fused_schur_numerics_on_device():
     # test. This bound catches layout/masking/closed-form-inverse bugs,
     # which produce O(1) garbage.
     assert out["camside_max_err_rel"] < 3e-2, out
+    # the distortion chain through the fused type-major planes must
+    # converge with the XLA chunked build on device too
+    assert np.isfinite(out["e_fused_dist"]) and np.isfinite(out["e_xla_dist"]), out
+    assert abs(out["e_fused_dist"] - out["e_xla_dist"]) <= 1e-3 * out["e_xla_dist"], out
