@@ -85,6 +85,36 @@ def main() -> None:
     np.testing.assert_allclose(gather_array(Xn), ref_X, atol=1e-9)
     print(f"proc {pid}: cross-process points-mesh step OK", flush=True)
 
+    # --- 1b. the same step through the radial distortion chain (the
+    # BAL camera model is per-observation elementwise work, so the only
+    # cross-process traffic is still the Schur psum) ---
+    dist = jnp.asarray(np.broadcast_to([-0.3, 0.05], (6, 2)), dtype)
+    ref_state_d, _, ref_e1_d = lm_step(x, state, vis, free, 1.0, c, dist=dist)
+
+    def local_step_d(x_l, X_l, f_r_, u_r_, t_r_, R_l, vis_l, free_, c_, d_):
+        st = BAState(X=X_l, f=f_r_, u=u_r_, t=t_r_, R=R_l)
+        new, _, e1 = lm_step(
+            x_l, st, vis_l, free_, 1.0, c_, axis_name="points", dist=d_
+        )
+        return new.X, e1
+
+    step_d = jax.jit(
+        jax.shard_map(
+            local_step_d, mesh=mesh,
+            in_specs=(pt, pt, P(), P(), P(), P(), pt, P(), P(), P()),
+            out_specs=(pt, P()),
+        )
+    )
+    Xn_d, e1_d = step_d(
+        xg, Xg, f_r, u_r, t_r, R_r, visg, free_r, c_r,
+        replicate_array(mesh, dist),
+    )
+    np.testing.assert_allclose(float(e1_d), float(ref_e1_d), rtol=1e-10)
+    np.testing.assert_allclose(
+        gather_array(Xn_d), np.asarray(ref_state_d.X), atol=1e-9
+    )
+    print(f"proc {pid}: cross-process distorted step OK", flush=True)
+
     # --- 2. hybrid mesh: scenes axis == process axis (DCN analog) ---
     hmesh = process_scene_point_mesh()
     assert hmesh.shape == {"scenes": nproc, "points": n_local}
