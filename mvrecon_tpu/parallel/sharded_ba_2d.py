@@ -30,6 +30,7 @@ scales where F-sharding matters.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -40,7 +41,9 @@ from ..config import HIGHEST, LMConfig
 from ..models.bundle_adjustment import (
     BAResult,
     BAState,
+    _huber_weights,
     build_K,
+    fit_distortion,
     gauge_mask,
     lm_optimize,
     normalize_gauge,
@@ -273,12 +276,20 @@ def sharded_bundle_adjust_2d(
     cg_tol: float = 1e-10,
     cg_max_iter: int = 200,
     matvec_mode: str = "all_gather",
+    distortion: jax.Array | None = None,
 ) -> BAResult:
     """Bundle adjustment over a 2D (points, cameras) mesh: P sharded over
     ``points``, the reduced camera system row-sharded over ``cameras``
     with a CG solve (``matvec_mode="ring"`` keeps the CG state sharded
     and rotates vector shards with ppermute — see the solver docstring).
-    F must be divisible by the cameras-axis size."""
+    F must be divisible by the cameras-axis size.
+
+    ``distortion`` / ``config.distortion_rounds``: the BAL radial model
+    with the same refit-first alternation as the other cores. The
+    distortion chain lives inside the derivative generation, so the
+    row-sharded solver is untouched; the refit's (F, 5) normal terms
+    psum over the points axis only (cameras-axis replicated inputs make
+    the refit cameras-invariant by construction)."""
     dt = x.dtype
     npts, nf, _ = x.shape
     if nf % mesh.shape[CAMERAS_AXIS] != 0:
@@ -300,24 +311,56 @@ def sharded_bundle_adjust_2d(
         cg_tol=cg_tol, cg_max_iter=cg_max_iter, matvec_mode=matvec_mode
     )
 
-    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r):
+    model_dist = distortion is not None or config.distortion_rounds > 0
+    dist0 = (
+        jnp.zeros((nf, 2), dt) if distortion is None
+        else jnp.asarray(distortion, dt)
+    )
+
+    def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r, dist_r):
         st0 = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)
+        dist = dist_r if model_dist else None
+        n_total = jnp.asarray(0)
+        c_seg = None
+        for _ in range(config.distortion_rounds):
+            # refit-first alternation, exactly as the 1D sharded core;
+            # the refit psums its normal terms over the points axis.
+            if config.robust == "huber":
+                vis_fit = _huber_weights(
+                    st0, x_l, vis_l, f0, config.huber_delta, dist
+                )
+            else:
+                vis_fit = vis_l
+            dist = fit_distortion(
+                st0, x_l, vis_fit, f0, shared=config.distortion_shared,
+                axis_name=POINTS_AXIS,
+            )
+            seg_cfg = dataclasses.replace(config, record_log=False)
+            st0, _, c_seg, n_seg, _ = lm_optimize(
+                x_l, st0, vis_l, free_r, f0, seg_cfg,
+                axis_name=POINTS_AXIS, init_c=c_seg, solver=solver,
+                dist=dist,
+            )
+            n_total = n_total + n_seg
         final, e, _, n_iter, _ = lm_optimize(
             x_l, st0, vis_l, free_r, f0, config,
-            axis_name=POINTS_AXIS, solver=solver,
+            axis_name=POINTS_AXIS, init_c=c_seg, solver=solver, dist=dist,
         )
-        return final.X, final.f, final.u, final.t, final.R, e, n_iter
+        dist_out = dist if model_dist else dist_r
+        return (final.X, final.f, final.u, final.t, final.R, e,
+                n_iter + n_total, dist_out)
 
     pt = P(POINTS_AXIS)  # cameras axis unused in data specs -> replicated
     rep = P()
     sharded = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(pt, pt, rep, rep, rep, rep, pt, rep),
-        out_specs=(pt, rep, rep, rep, rep, rep, rep),
+        in_specs=(pt, pt, rep, rep, rep, rep, pt, rep, rep),
+        out_specs=(pt, rep, rep, rep, rep, rep, rep, rep),
     )
-    Xf, ff, uf, tf, Rf, e, n_iter = sharded(
-        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free
+    Xf, ff, uf, tf, Rf, e, n_iter, dist_f = sharded(
+        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free,
+        dist0,
     )
 
     Xg, Rg, tg = restore_gauge(info, Xf, Rf, tf)
@@ -329,4 +372,5 @@ def sharded_bundle_adjust_2d(
         error=e,
         n_iter=n_iter,
         log=None,
+        distortion=dist_f if model_dist else None,
     )

@@ -460,6 +460,69 @@ def test_sharded_distortion_matches_single_device():
     )
 
 
+def test_2d_mesh_distortion_matches_1d_sharded():
+    """(points x cameras) 2D-mesh BA with the BAL distortion model —
+    fixed distortion and the refit alternation — must match the 1D
+    point-sharded result: the distortion chain lives inside the
+    derivative generation, so the row-sharded CG solver consumes already
+    -distorted Jacobian factors and needs no changes of its own.
+
+    Parity is asserted on gauge-invariant quantities (final error,
+    similarity-aligned geometry): the CG and Cholesky solvers take fp-
+    different paths through the distorted objective's sloppy gauge/f-vs-k
+    directions, so raw coordinates drift by a tiny similarity transform
+    while the geometry agrees to ~1e-6."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
+    from mvrecon_tpu.parallel.sharded_ba_2d import sharded_bundle_adjust_2d
+
+    sc, dist, xd = _distorted_scene(n_images=8)  # F = 8 divides cameras 2
+    X0, t0 = _perturbed_state(sc, 0.005)
+    mesh1 = make_mesh({"points": 4})
+    mesh2 = make_mesh({"points": 4, "cameras": 2})
+    common = dict(f0=1.0, axis="x-up_z-forward")
+
+    # fixed distortion
+    cfg = LMConfig(max_iter=8, delta_tol=1e-10)
+    res_1d = sharded_bundle_adjust(mesh1, xd, X0, sc.K, sc.R, t0,
+                                   config=cfg, distortion=dist, **common)
+    res_2d = sharded_bundle_adjust_2d(mesh2, xd, X0, sc.K, sc.R, t0,
+                                      config=cfg, distortion=dist,
+                                      cg_tol=1e-12, **common)
+    np.testing.assert_allclose(
+        float(res_2d.error), float(res_1d.error), rtol=1e-5
+    )
+    assert float(
+        aligned_rmse(jnp.asarray(np.asarray(res_2d.X)),
+                     jnp.asarray(np.asarray(res_1d.X)))
+    ) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(res_2d.distortion), np.asarray(dist), atol=0
+    )
+
+    # refit alternation, ring matvec (sharded CG state)
+    cfg_alt = LMConfig(max_iter=6, delta_tol=1e-10, distortion_rounds=2)
+    res_alt_1d = sharded_bundle_adjust(mesh1, xd, X0, sc.K, sc.R, t0,
+                                       config=cfg_alt, **common)
+    res_alt_2d = sharded_bundle_adjust_2d(mesh2, xd, X0, sc.K, sc.R, t0,
+                                          config=cfg_alt, cg_tol=1e-12,
+                                          matvec_mode="ring", **common)
+    assert int(res_alt_2d.n_iter) == int(res_alt_1d.n_iter)
+    # k1/k2 sit in a near-degenerate trade-off with f — loose atol here,
+    # tight parity on the gauge-invariant error/geometry.
+    np.testing.assert_allclose(
+        np.asarray(res_alt_2d.distortion), np.asarray(res_alt_1d.distortion),
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        float(res_alt_2d.error), float(res_alt_1d.error), rtol=1e-6
+    )
+    assert float(
+        aligned_rmse(jnp.asarray(np.asarray(res_alt_2d.X)),
+                     jnp.asarray(np.asarray(res_alt_1d.X)))
+    ) < 1e-5
+
+
 def test_streamed_distortion_matches_chunked():
     """The host-streamed core with the distortion model must match the
     chunk-streamed core (same protocol, observations fed from host RAM),
