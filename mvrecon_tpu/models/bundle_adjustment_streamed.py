@@ -55,12 +55,14 @@ from .bundle_adjustment_chunked import _chunk_blocks, _chunk_factors, _point_gra
 
 @partial(jax.jit, static_argnames=("f0",), donate_argnums=(0,))
 def _accumulate_chunk(accs, cam: BAState, X_c, x_c, vis_c, free, c, f0: float,
-                      dist=None):
+                      dist=None, huber_delta=None):
     """Fold one chunk's damped Schur/gradient contributions into the
-    device-resident accumulators (schur, b, G, d_F, E)."""
+    device-resident accumulators (schur, b, G, d_F, E). With
+    ``huber_delta`` the blocks and the accumulated error are IRLS
+    Huber-weighted at the current state (the chunked core's protocol)."""
     schur_acc, b_acc, g_acc, df_acc, e_acc = accs
     d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
-        cam, X_c, x_c, vis_c, free, f0, dist=dist
+        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist
     )
     dt = x_c.dtype
     eye3 = jnp.eye(3, dtype=dt)
@@ -96,10 +98,12 @@ def _assemble_and_solve(accs, free, c, f0: float):
 
 @partial(jax.jit, static_argnames=("f0",))
 def _backsub_chunk(cam: BAState, trial_cam: BAState, X_c, x_c, vis_c, free, c,
-                   delta_xi, f0: float, dist=None):
-    """Back-substitute one chunk's point update and its trial error."""
+                   delta_xi, f0: float, dist=None, huber_delta=None):
+    """Back-substitute one chunk's point update and its trial error (the
+    trial error is weighted by the *current*-state Huber weights, exactly
+    as the chunked core's scan 2)."""
     a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-        cam, X_c, x_c, vis_c, f0, dist=dist
+        cam, X_c, x_c, vis_c, f0, huber_delta, dist
     )
     d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
     dt = x_c.dtype
@@ -135,12 +139,19 @@ def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float, dist=None):
 
 
 @partial(jax.jit, static_argnames=("f0",))
-def _chunk_distortion_terms(cam: BAState, X_c, x_c, vis_c, f0: float):
+def _chunk_distortion_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
+                            dist=None, huber_delta=None):
     """One chunk's (F, 5) normal-equation contribution to the closed-form
-    (k1, k2) refit (a per-point sum — see ``fit_distortion``)."""
+    (k1, k2) refit (a per-point sum — see ``fit_distortion``). With
+    ``huber_delta`` the terms are IRLS-weighted by the current model's
+    (``dist``) distorted residuals, as in ``fit_distortion_chunked``."""
     K = build_K(cam.f, cam.u, f0)
     _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
     r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+    if huber_delta is not None:
+        res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
+        mag = jnp.sqrt(res_p**2 + res_q**2)
+        vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
     return _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0)
 
 
@@ -259,6 +270,11 @@ def bundle_adjust_streamed(
     the same refit-first alternation as the other cores; the refit's
     (F, 5) normal terms accumulate over the streamed chunks, so it adds
     one streaming pass per round and no dense residency.
+
+    ``config.robust="huber"``: IRLS Huber weights computed per chunk at
+    the current state weight the blocks, the accept/stopping baseline
+    (``e_w``), the trial error, and the distortion refit — the chunked
+    core's exact protocol, no dense (P, F) weight array.
     """
     dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
     npts, nf = x_host.shape[0], x_host.shape[1]
@@ -305,24 +321,31 @@ def bundle_adjust_streamed(
             )
         return e
 
-    def fit_distortion_streamed(cam_s, X_s):
-        """Closed-form (k1, k2) refit, normal terms streamed chunk-wise."""
+    huber_delta = config.huber_delta if config.robust == "huber" else None
+
+    def fit_distortion_streamed(cam_s, X_s, dist):
+        """Closed-form (k1, k2) refit, normal terms streamed chunk-wise
+        (Huber-weighted under the robust loss, as in the other cores)."""
         terms = jnp.zeros((nf, 5), dtype)
         for lo, hi, x_c, vis_c in feed:
             terms = terms + _chunk_distortion_terms(
-                cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0
+                cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0, dist,
+                huber_delta,
             )
         return _solve_distortion_lsq(terms, config.distortion_shared)
 
     def lm_segment(cam, X_dev, c, max_iter, dist):
         """The LM outer/retry protocol over streamed chunks (the chunked
-        core's exact schedule, driven host-side)."""
+        core's exact schedule, driven host-side). In Huber mode the
+        accept/stopping baseline is the IRLS-weighted current error from
+        pass 1 (``e_w``), exactly as ``lm_optimize_chunked``."""
         e_prev = float(error_of(cam, X_dev, dist))
         n_iter = 0
         n_retries = 0
         for _ in range(max_iter):
             accepted = False
             tries = 0
+            e_base = e_prev
             e_new = e_prev
             while not accepted and tries < config.max_inner_retries:
                 tries += 1
@@ -333,9 +356,12 @@ def bundle_adjust_streamed(
                 for lo, hi, x_c, vis_c in feed:
                     X_c = get_X_chunk(X_dev, lo, hi)
                     accs = _accumulate_chunk(
-                        accs, cam, X_c, x_c, vis_c, free, c_dev, f0, dist
+                        accs, cam, X_c, x_c, vis_c, free, c_dev, f0, dist,
+                        huber_delta,
                     )
-                delta_xi, _ = _assemble_and_solve(accs, free, c_dev, f0)
+                delta_xi, e_w = _assemble_and_solve(accs, free, c_dev, f0)
+                if huber_delta is not None:
+                    e_base = float(e_w)
                 trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dtype))
 
                 # pass 2: back-substitute point updates + trial error
@@ -345,22 +371,23 @@ def bundle_adjust_streamed(
                     X_c = get_X_chunk(X_dev, lo, hi)
                     X_new_c, e_c = _backsub_chunk(
                         cam, trial_cam, X_c, x_c, vis_c, free, c_dev,
-                        delta_xi, f0, dist,
+                        delta_xi, f0, dist, huber_delta,
                     )
                     X_parts.append(X_new_c[: hi - lo])
                     e_trial = e_trial + e_c
                 e_trial = float(e_trial)
 
-                if e_trial <= e_prev and np.isfinite(e_trial):
+                if e_trial <= e_base and np.isfinite(e_trial):
                     accepted = True
                     cam = trial_cam
                     X_dev = jnp.concatenate(X_parts, axis=0)
                     e_new = e_trial
                     c = c / config.divisor
                 else:
+                    e_new = e_base
                     c = c * config.scale_factor
             n_iter += 1
-            delta = abs(e_new - e_prev)
+            delta = abs(e_new - e_base)
             e_prev = e_new
             if not accepted or delta <= config.delta_tol:
                 break
@@ -375,7 +402,7 @@ def bundle_adjust_streamed(
     retries_total = 0
     for _ in range(config.distortion_rounds):
         # refit-first alternation, exactly as the dense core
-        dist = fit_distortion_streamed(cam, X_dev)
+        dist = fit_distortion_streamed(cam, X_dev, dist)
         cam, X_dev, _, c, n_seg, r_seg = lm_segment(
             cam, X_dev, c, config.max_iter, dist
         )

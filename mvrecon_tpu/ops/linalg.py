@@ -102,15 +102,53 @@ def polar_orthogonal3(a: jax.Array) -> jax.Array:
     inputs (rotation recovery), where a batched 3x3 SVD is a pure
     latency-bound custom call (~28 ms in-graph at (64, 100, 3, 3) on
     v5e vs ~nothing for this path).
+
+    (Near-)singular input — where A (A^T A)^{-1/2} is 0/0 along the null
+    direction(s) while the SVD polar factor stays well-defined — takes a
+    per-element orthogonal-completion branch instead: left vectors of the
+    healthy singular directions, the rest completed by cross products
+    (the polar factor of rank-deficient A is non-unique; any orthogonal
+    completion is a nearest orthogonal matrix). Healthy matrices are
+    untouched (bit-identical to the original formula).
     """
-    g = jnp.einsum("...ji,...jk->...ik", a, a, precision=jax.lax.Precision.HIGHEST)
-    w, v = jacobi_eigh(g)
-    w = jnp.maximum(w, jnp.finfo(a.dtype).tiny)
+    dt = a.dtype
+    eps = jnp.finfo(dt).eps
+    tiny = jnp.finfo(dt).tiny
+    hp = jax.lax.Precision.HIGHEST
+    g = jnp.einsum("...ji,...jk->...ik", a, a, precision=hp)
+    w, v = jacobi_eigh(g)  # ascending
+    wc = jnp.maximum(w, tiny)
     inv_sqrt = jnp.einsum(
-        "...ik,...k,...jk->...ij", v, 1.0 / jnp.sqrt(w), v,
-        precision=jax.lax.Precision.HIGHEST,
+        "...ik,...k,...jk->...ij", v, 1.0 / jnp.sqrt(wc), v, precision=hp
     )
-    return a @ inv_sqrt
+    direct = a @ inv_sqrt
+
+    # Gram-eigenvalue cutoff: forming A^T A leaves absolute noise of
+    # order eps * w_max in every entry, so an exactly-zero singular
+    # value shows up as w_0 ~ eps * w_max (NOT eps^2) — the cutoff is
+    # linear in eps, i.e. s_0 <~ sqrt(32 eps) s_max is numerically null
+    # (below that the direct formula's null direction is noise anyway).
+    healthy = w[..., 0] > 32.0 * eps * w[..., 2]
+
+    def _unit(x, fallback):
+        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        ok = n > tiny**0.5
+        return jnp.where(ok, x / jnp.where(ok, n, 1.0), fallback)
+
+    av = jnp.einsum("...ij,...jk->...ik", a, v, precision=hp)  # A v_k cols
+    e_z = jnp.zeros_like(av[..., 2]).at[..., 2].set(1.0)
+    u2 = _unit(av[..., 2], e_z)  # largest direction (zero A -> e_z)
+    # least-aligned basis vector as the rank-1 fallback seed for u1
+    idx = jnp.argmin(jnp.abs(u2), axis=-1)
+    e_min = jax.nn.one_hot(idx, 3, dtype=dt)
+    alt1 = e_min - jnp.sum(e_min * u2, axis=-1, keepdims=True) * u2
+    cand1 = av[..., 1] - jnp.sum(av[..., 1] * u2, axis=-1, keepdims=True) * u2
+    u1 = _unit(cand1, _unit(alt1, e_min))
+    u0 = jnp.cross(u2, u1)
+    u_cols = jnp.stack([u0, u1, u2], axis=-1)
+    completed = jnp.einsum("...ik,...jk->...ij", u_cols, v, precision=hp)
+
+    return jnp.where(healthy[..., None, None], direct, completed)
 
 
 def chol3x3(m: jax.Array) -> jax.Array:

@@ -149,14 +149,15 @@ def batched_euclidean_to_convergence(
 
         return jax.vmap(one)(x_b, X_b, K_b, R_b, t_b)
 
+    # A phase that stops before exhausting its budget converged (the
+    # per-lane while_loop only exits early on |dE| <= delta_tol or a
+    # graceful never-accepted stop). Tracking this explicitly avoids the
+    # n_iter-modulo aliasing of treating "landed on a budget multiple"
+    # as unconverged; a scene that converges on exactly its last
+    # budgeted iteration costs at most one short confirmation phase.
+    active = (n_iter == config.max_iter) & np.isfinite(err)
     for _ in range(max_phases):
-        # budget-capped scenes have n_iter == their phase budget
-        unconverged = np.nonzero(
-            (n_iter == config.max_iter)
-            | ((n_iter > config.max_iter)
-               & ((n_iter - config.max_iter) % continuation_budget == 0))
-        )[0]
-        unconverged = unconverged[np.isfinite(err[unconverged])]
+        unconverged = np.nonzero(active)[0]
         if len(unconverged) == 0:
             break
         m = _bucket(len(unconverged))
@@ -175,6 +176,9 @@ def batched_euclidean_to_convergence(
         t[unconverged] = tn[:k]
         err[unconverged] = en[:k]
         n_iter[unconverged] += nin[:k]
+        active[unconverged] = (
+            (nin[:k] == continuation_budget) & np.isfinite(en[:k])
+        )
 
     return ReconstructionResult(
         X=jnp.asarray(X), K=jnp.asarray(K), R=jnp.asarray(R), t=jnp.asarray(t),

@@ -16,6 +16,7 @@ production runs:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Callable
@@ -65,6 +66,7 @@ def resumable_bundle_adjust(
     config: LMConfig = LMConfig(),
     chunk_size: int = 768,
     backend: str = "npz",
+    distortion=None,
 ):
     """Chunked BA in checkpointed segments; safe to kill and re-invoke.
 
@@ -73,8 +75,23 @@ def resumable_bundle_adjust(
     BAResult plus the number of iterations actually run in this process.
     ``backend`` selects the persistence format: "npz" (single file) or
     "orbax" (checkpoint directory; see ``runtime/checkpoint.py``).
+
+    ``distortion``: a *fixed* (F, 2) BAL radial model, applied in every
+    segment (the caller passes the same value on re-invocation, so it is
+    not checkpointed). The refit alternation (``distortion_rounds > 0``)
+    is schedule-dependent — its refit points would shift with the
+    segment boundaries, breaking the segmented == continuous contract —
+    so it is rejected here: run ``fit_distortion`` beforehand or use the
+    continuous cores for alternated runs.
     """
     from ..models.bundle_adjustment_chunked import bundle_adjust_chunked
+
+    if config.distortion_rounds > 0:
+        raise ValueError(
+            "resumable_bundle_adjust does not support the distortion refit "
+            "alternation (distortion_rounds > 0): refits would move with "
+            "the segment boundaries. Pass a fixed `distortion` instead."
+        )
 
     save_ckpt, load_ckpt, ckpt_exists = checkpoint_backend(backend)
     state = {
@@ -95,23 +112,16 @@ def resumable_bundle_adjust(
     res = None
     while done < total_iters:
         seg = min(segment_iters, total_iters - done)
-        seg_cfg = LMConfig(
-            scale_factor=config.scale_factor,
-            delta_tol=config.delta_tol,
-            max_iter=seg,
-            init_damping=config.init_damping,
-            max_inner_retries=config.max_inner_retries,
-            accept_divisor=config.accept_divisor,
-            damping=config.damping,
-            robust=config.robust,
-            huber_delta=config.huber_delta,
-        )
+        # replace() keeps every other LMConfig field — a field-by-field
+        # copy here silently dropped new fields as they were added.
+        seg_cfg = dataclasses.replace(config, max_iter=seg)
         res = bundle_adjust_chunked(
             x, jnp.asarray(state["X"]), jnp.asarray(state["K"]),
             jnp.asarray(state["R"]), jnp.asarray(state["t"]),
             f0=f0, visibility=visibility, axis=axis, config=seg_cfg,
             chunk_size=chunk_size,
             init_c=jnp.asarray(state["c"]), init_nu=jnp.asarray(state["nu"]),
+            distortion=distortion,
         )
         n = int(res.n_iter)
         ran_here += n

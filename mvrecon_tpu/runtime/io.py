@@ -145,17 +145,27 @@ def save_bal(path: str, x, visibility, X, R, t, f, distortion=None) -> None:
         # rotation matrix -> Rodrigues vector
         cos_t = np.clip((np.trace(r_bal) - 1.0) / 2.0, -1.0, 1.0)
         theta = np.arccos(cos_t)
+        skew = np.array([
+            r_bal[2, 1] - r_bal[1, 2],
+            r_bal[0, 2] - r_bal[2, 0],
+            r_bal[1, 0] - r_bal[0, 1],
+        ])
         if theta < 1e-12:
             w = np.zeros(3)
+        elif np.pi - theta < 1e-3:
+            # theta ~ pi: skew/(2 sin) is 0/0 — recover the axis from the
+            # well-conditioned symmetric part aa^T = (R + R^T)/2 - cos I,
+            # scaled by 1/(1 - cos); sign from the residual skew part
+            # (at exactly pi, +a and -a encode the same rotation).
+            aat = ((r_bal + r_bal.T) / 2.0 - cos_t * np.eye(3)) / (1.0 - cos_t)
+            k = int(np.argmax(np.diag(aat)))
+            axis = aat[:, k] / np.sqrt(max(aat[k, k], 1e-30))
+            axis /= np.linalg.norm(axis)
+            if np.dot(skew, axis) < 0:
+                axis = -axis
+            w = theta * axis
         else:
-            w = (
-                theta / (2.0 * np.sin(theta))
-                * np.array([
-                    r_bal[2, 1] - r_bal[1, 2],
-                    r_bal[0, 2] - r_bal[2, 0],
-                    r_bal[1, 0] - r_bal[0, 1],
-                ])
-            )
+            w = theta / (2.0 * np.sin(theta)) * skew
         t_bal = -r_bal @ t[i]
         for val in (*w, *t_bal, f[i], *dist[i]):
             lines.append(repr(float(val)))

@@ -54,6 +54,16 @@ def kruskal(edges_i: np.ndarray, edges_j: np.ndarray, n_nodes: int) -> np.ndarra
     lib = _load()
     ei = np.ascontiguousarray(edges_i, dtype=np.int64)
     ej = np.ascontiguousarray(edges_j, dtype=np.int64)
+    # The C++ kernel indexes union-find arrays by endpoint with no bounds
+    # check (native code: an OOB write is silent heap corruption, not an
+    # exception) — validate here, where it is one vectorized pass.
+    if len(ei) and (
+        min(ei.min(), ej.min()) < 0 or max(ei.max(), ej.max()) >= n_nodes
+    ):
+        raise ValueError(
+            f"edge endpoints must lie in [0, {n_nodes}); got range "
+            f"[{min(ei.min(), ej.min())}, {max(ei.max(), ej.max())}]"
+        )
     keep = np.zeros(len(ei), dtype=np.uint8)
     lib.mvrecon_kruskal(ei, ej, len(ei), int(n_nodes), keep)
     return keep

@@ -10,6 +10,7 @@
 
 import os
 import sys
+import tempfile
 
 # Tests must run on the virtual 8-device CPU mesh in float64. NOTE: this
 # image preloads jax at interpreter startup (sitecustomize registers a TPU
@@ -17,6 +18,15 @@ import sys
 # late — jax.config.update is the authoritative override.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+# CLI tests run the CLI main in-process, which enables the persistent
+# compilation cache — point it at a throwaway dir so the suite neither
+# reads stale cross-machine XLA:CPU AOT entries (a real-machine-code
+# compatibility hazard; see runtime/cache.py) nor pollutes the real cache
+# with test-shaped entries. Must be set before mvrecon_tpu imports.
+os.environ.setdefault(
+    "MVRECON_JAX_CACHE", tempfile.mkdtemp(prefix="mvrecon_test_cache_")
 )
 
 import jax

@@ -571,6 +571,70 @@ def test_streamed_distortion_matches_chunked():
     )
 
 
+def test_streamed_huber_matches_chunked():
+    """The host-streamed core must honor ``config.robust="huber"`` with
+    the chunked core's exact IRLS protocol: weighted blocks, weighted
+    accept/stopping baseline (e_w), weighted trial error, and a weighted
+    distortion refit — previously the streamed core silently ran the
+    plain loss."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.models.bundle_adjustment_streamed import (
+        bundle_adjust_streamed,
+    )
+
+    sc, dist, xd = _distorted_scene(n_images=8)
+    # gross outliers on a handful of observations
+    rng = np.random.default_rng(7)
+    xd = np.array(xd)
+    idx = rng.choice(xd.shape[0], size=6, replace=False)
+    xd[idx, 2, :] += 0.5
+    xd = jnp.asarray(xd)
+    X0, t0 = _perturbed_state(sc, 0.005)
+
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=8,
+                   robust="huber", huber_delta=0.02)
+    res_c = bundle_adjust_chunked(
+        xd, X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg, chunk_size=32, distortion=dist,
+    )
+    res_s = bundle_adjust_streamed(
+        np.asarray(xd), X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg, chunk_size=32, distortion=dist,
+    )
+    np.testing.assert_allclose(
+        float(res_s.error), float(res_c.error), rtol=1e-9
+    )
+    assert int(res_s.n_iter) == int(res_c.n_iter)
+    np.testing.assert_allclose(
+        np.asarray(res_s.X), np.asarray(res_c.X), atol=1e-9
+    )
+
+    # Huber-weighted refit alternation
+    cfg_alt = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=6,
+                       robust="huber", huber_delta=0.02,
+                       distortion_rounds=2)
+    res_ca = bundle_adjust_chunked(
+        xd, X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg_alt, chunk_size=32,
+    )
+    res_sa = bundle_adjust_streamed(
+        np.asarray(xd), X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg_alt, chunk_size=32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sa.distortion), np.asarray(res_ca.distortion),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        float(res_sa.error), float(res_ca.error), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sa.X), np.asarray(res_ca.X), atol=1e-7
+    )
+
+
 def test_cli_bal_chunked(tmp_path, capsys):
     """--chunk-size routes the BAL file through the O(chunk)-memory core
     with the same distortion support."""

@@ -30,28 +30,42 @@ def _free_port() -> int:
 def test_multiprocess_sharded_lm_step(nproc, n_local):
     """2 processes x 2 virtual devices: cross-process points-mesh psum
     and hybrid scenes-over-processes LM steps must match single-device
-    numerics (checked inside each worker; see distributed_worker.py)."""
-    port = _free_port()
+    numerics (checked inside each worker; see distributed_worker.py).
+
+    The coordinator port comes from a probe socket that is closed before
+    the workers bind (TOCTOU), so a rare collision with another process
+    is retried with a fresh port rather than failing the test."""
     env = dict(os.environ)
     env.pop("PYTEST_CURRENT_TEST", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "tests", "distributed_worker.py"),
-             str(port), str(pid), str(nproc), str(n_local)],
-            cwd=REPO, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(nproc)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=300)
-            outs.append(out)
-    except subprocess.TimeoutExpired:
-        for p in procs:
-            p.kill()
-        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+    for attempt in range(3):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable,
+                 os.path.join(REPO, "tests", "distributed_worker.py"),
+                 str(port), str(pid), str(nproc), str(n_local)],
+                cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for pid in range(nproc)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=300)
+                outs.append(out)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+        if all(p.returncode == 0 for p in procs):
+            break
+        # port collision shows up as a coordinator bind/connect failure
+        if attempt < 2 and any(
+            "bind" in out.lower() or "address" in out.lower() for out in outs
+        ):
+            continue
+        break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "WORKER-OK" in out, f"worker {pid} did not finish:\n{out}"

@@ -151,6 +151,52 @@ def test_resumable_bundle_adjust_survives_crash(tmp_path):
     np.testing.assert_allclose(np.asarray(resumed.X), np.asarray(full.X), atol=1e-9)
 
 
+def test_resumable_preserves_config_and_distortion(tmp_path):
+    """Segment configs are built with dataclasses.replace, so every
+    LMConfig field (here: huber robust + nielsen damping) survives into
+    the segments; a fixed BAL distortion passes through; and the
+    schedule-dependent refit alternation is rejected with a clear error
+    (a field-by-field copy previously dropped new fields silently)."""
+    import pytest
+
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.runtime.elastic import resumable_bundle_adjust
+
+    scene = make_synthetic_scene(jax.random.key(2), n_images=8)
+    X_ = scene.X + 0.02 * jax.random.normal(jax.random.key(3), scene.X.shape,
+                                            scene.X.dtype)
+    xj = scene.x.transpose(1, 0, 2)
+    nf = scene.x.shape[0]
+    dist = jnp.full((nf, 2), jnp.asarray([-0.1, 0.02]), scene.X.dtype)
+    cfg = LMConfig(delta_tol=0.0, max_iter=99, damping="nielsen",
+                   robust="huber", huber_delta=0.05)
+
+    direct = bundle_adjust_chunked(
+        xj, X_, scene.K, scene.R, scene.t, axis="x-up_z-forward",
+        config=LMConfig(delta_tol=0.0, max_iter=4, damping="nielsen",
+                        robust="huber", huber_delta=0.05),
+        chunk_size=64, distortion=dist,
+    )
+    seg, n = resumable_bundle_adjust(
+        xj, X_, scene.K, scene.R, scene.t, str(tmp_path / "d.npz"),
+        total_iters=4, segment_iters=2, axis="x-up_z-forward", config=cfg,
+        chunk_size=64, distortion=dist,
+    )
+    assert n == 4
+    np.testing.assert_allclose(float(seg.error), float(direct.error), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(seg.X), np.asarray(direct.X),
+                               atol=1e-9)
+
+    with pytest.raises(ValueError, match="distortion_rounds"):
+        resumable_bundle_adjust(
+            xj, X_, scene.K, scene.R, scene.t, str(tmp_path / "e.npz"),
+            total_iters=4, config=LMConfig(distortion_rounds=1),
+        )
+
+
 def test_run_with_retries():
     from mvrecon_tpu.runtime.elastic import run_with_retries
 

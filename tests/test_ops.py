@@ -74,6 +74,38 @@ def test_orthonormalize():
     r = np.asarray(orthonormalize(jnp.asarray(m)))
     eye = np.einsum("fij,fkj->fik", r, r)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (5, 3, 3)), atol=1e-10)
+    # healthy input also agrees with the SVD polar factor U Vt
+    u, _, vt = np.linalg.svd(m)
+    np.testing.assert_allclose(r, u @ vt, atol=1e-8)
+
+
+def test_orthonormalize_rank_deficient():
+    """(Near-)singular input takes the orthogonal-completion branch:
+    the Gram inverse-square-root formula is 0/0 along null directions
+    (previously Inf/garbage), but the SVD polar factor is well-defined
+    for rank-deficient matrices and the output must stay orthogonal."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(3, 3))
+    b = rng.normal(size=(3, 3))
+    cases = np.stack([
+        a - np.outer(a @ np.linalg.svd(a)[2][2], np.linalg.svd(a)[2][2]),
+        np.outer(b[0], b[1]),          # rank 1
+        np.zeros((3, 3)),              # rank 0
+        a * 1e-200,                    # tiny but full rank (f64 underflow zone)
+    ])
+    # exact rank-2: zero out the smallest singular value of `a`
+    u, s, vt = np.linalg.svd(a)
+    cases[0] = (u * np.array([s[0], s[1], 0.0])) @ vt
+    r = np.asarray(orthonormalize(jnp.asarray(cases)))
+    assert np.isfinite(r).all()
+    eye = np.einsum("fij,fkj->fik", r, r)
+    np.testing.assert_allclose(
+        eye, np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-8
+    )
+    # the rank-2 case must keep the two healthy singular directions:
+    # R v_i = u_i for i with s_i > 0
+    for i in range(2):
+        np.testing.assert_allclose(r[0] @ vt[i], u[:, i], atol=1e-8)
 
 
 def test_blockdiag_scatter():

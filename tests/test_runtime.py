@@ -234,6 +234,38 @@ def test_bal_roundtrip():
     np.testing.assert_allclose(d["x"][m], np.asarray(sc.x)[m], atol=1e-12)
 
 
+def test_bal_roundtrip_near_pi_rotations():
+    """Rotations with angle at/near 180 degrees round-trip exactly: the
+    generic Rodrigues extraction divides by 2 sin(theta) (0/0 at pi);
+    save_bal's theta~pi branch recovers the axis from the symmetric
+    part instead."""
+    from scipy.spatial.transform import Rotation
+
+    from mvrecon_tpu.runtime.io import load_bal, save_bal
+
+    rng = np.random.default_rng(3)
+    axes = rng.standard_normal((6, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    angles = np.array([np.pi, np.pi - 1e-9, np.pi - 1e-5, np.pi - 1e-4,
+                       np.pi - 5e-4, 1e-9])
+    R_bal = Rotation.from_rotvec(axes * angles[:, None]).as_matrix()
+    R = R_bal.transpose(0, 2, 1)  # save_bal converts back via R.T
+    nf = len(angles)
+    npts = 4
+    x = rng.standard_normal((nf, npts, 2))
+    vis = np.ones((npts, nf))
+    X = rng.standard_normal((npts, 3))
+    t = rng.standard_normal((nf, 3))
+    f = np.full(nf, 2.0)
+    path = os.path.join(tempfile.mkdtemp(), "near_pi.bal")
+    save_bal(path, x, vis, X, R, t, f)
+    d = load_bal(path)
+    # compare as rotations (at exactly pi, +axis and -axis are the same
+    # rotation, so compare matrices, not rotvecs)
+    np.testing.assert_allclose(d["R"], R, atol=1e-8)
+    np.testing.assert_allclose(d["t"], t, atol=1e-7)
+
+
 def test_bal_sparse_visibility_huber_ba():
     """Sliding-window sparse visibility (realistic sequential-capture
     sparsity ~25%) + gross outliers through Huber BA: converges to the
