@@ -104,12 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     p_bal = sub.add_parser(
-        "bal", help="bundle-adjust a BAL-format problem file"
+        "bal", help="bundle-adjust a BAL problem file or COLMAP text model"
     )
     _common(p_bal)
     p_bal.add_argument(
         "input", type=str,
-        help="BAL text file (Agarwal et al. ECCV 2010 format)",
+        help="BAL text file (Agarwal et al. ECCV 2010 format), or a "
+             "directory holding a COLMAP text model "
+             "(cameras.txt/images.txt/points3D.txt)",
     )
     p_bal.add_argument("--output", type=str, default=None,
                        help="write result .npz here")
@@ -348,8 +350,9 @@ def main(argv=None) -> None:
 
     elif args.command == "bal":
         import functools
+        import os
 
-        from .runtime.io import load_bal
+        from .runtime.io import load_bal, load_colmap
 
         if args.shard_points > 0:
             from .parallel.mesh import make_mesh
@@ -376,7 +379,11 @@ def main(argv=None) -> None:
         else:
             from .models.bundle_adjustment import bundle_adjust
 
-        d = load_bal(args.input)
+        if os.path.isdir(args.input):
+            d = load_colmap(args.input)
+            out["format"] = "colmap"
+        else:
+            d = load_bal(args.input)
         x = jnp.asarray(d["x"].transpose(1, 0, 2), dtype)  # (P, F, 2)
         vis = jnp.asarray(d["visibility"], dtype)
         cfg = LMConfig(

@@ -174,3 +174,256 @@ def save_bal(path: str, x, visibility, X, R, t, f, distortion=None) -> None:
             lines.append(repr(float(val)))
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def _quat_to_rotmat(q: np.ndarray) -> np.ndarray:
+    """(..., 4) unit quaternions (w, x, y, z) -> (..., 3, 3) rotations."""
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = (q[..., i] for i in range(4))
+    m = np.empty(q.shape[:-1] + (3, 3))
+    m[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    m[..., 0, 1] = 2 * (x * y - w * z)
+    m[..., 0, 2] = 2 * (x * z + w * y)
+    m[..., 1, 0] = 2 * (x * y + w * z)
+    m[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    m[..., 1, 2] = 2 * (y * z - w * x)
+    m[..., 2, 0] = 2 * (x * z - w * y)
+    m[..., 2, 1] = 2 * (y * z + w * x)
+    m[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return m
+
+
+def _rotmat_to_quat(m: np.ndarray) -> np.ndarray:
+    """(3, 3) rotation -> (w, x, y, z) unit quaternion via the
+    largest-component (Shepperd) method — numerically stable at every
+    angle (no sin(theta) division, unlike the Rodrigues extraction)."""
+    tr = np.trace(m)
+    cands = np.array([
+        1.0 + tr,
+        1.0 + m[0, 0] - m[1, 1] - m[2, 2],
+        1.0 - m[0, 0] + m[1, 1] - m[2, 2],
+        1.0 - m[0, 0] - m[1, 1] + m[2, 2],
+    ])
+    k = int(np.argmax(cands))
+    s = 2.0 * np.sqrt(max(cands[k], 0.0))
+    if k == 0:
+        q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                      (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    elif k == 1:
+        q = np.array([(m[2, 1] - m[1, 2]) / s, 0.25 * s,
+                      (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s])
+    elif k == 2:
+        q = np.array([(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s,
+                      0.25 * s, (m[1, 2] + m[2, 1]) / s])
+    else:
+        q = np.array([(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s,
+                      (m[1, 2] + m[2, 1]) / s, 0.25 * s])
+    return q / np.linalg.norm(q)
+
+
+def _colmap_tokens(path: str):
+    """Token lists of a COLMAP text file's non-comment lines."""
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line.split()
+
+
+def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
+    """Parse a COLMAP text model (``cameras.txt`` / ``images.txt`` /
+    ``points3D.txt`` — the most common real-SfM interchange export,
+    ``colmap model_converter --output_type TXT``) into the framework's
+    dense layout (same keys as :func:`load_bal`).
+
+    Conventions: COLMAP stores world->camera as a (w, x, y, z)
+    quaternion + translation with cameras looking down **+z**
+    (x_cam = R_cw X + t_cw; pixel = f * x_cam.xy / x_cam.z + c). This
+    framework's ``calc_pqr`` uses x_cam = R^T (X - t)
+    (``models/bundle_adjustment.py:145``), so R = R_cw^T and
+    t = -R_cw^T t_cw; pixels pass through unchanged (+z matches the
+    positive-depth convention, unlike BAL's -z), the principal point
+    lands in K (the BA state's ``u``), and f0 = 1 (pixel units).
+
+    Camera models: SIMPLE_PINHOLE (f, cx, cy), PINHOLE (fx, fy, cx, cy;
+    fx must equal fy — the BA state has one focal per camera),
+    SIMPLE_RADIAL (+k -> k1), RADIAL (+k1, k2). The radial model is
+    *exactly* this framework's BAL-style distortion: COLMAP distorts the
+    normalized ray as x_n (1 + k1 |x_n|^2 + k2 |x_n|^4) before K, which
+    is ``d(s) g`` with s = |x_n|^2 (``models/bundle_adjustment.py::
+    _distortion_terms``), so ``distortion`` feeds
+    ``bundle_adjust(distortion=...)`` directly.
+
+    Observations come from the images' 2D-point lines (entries with a
+    point3D id of -1 — untriangulated features — are skipped); 3D points
+    come from ``points3D.txt`` with ids remapped to a dense 0..P-1 range
+    (the mapping is returned as ``point3d_ids``). Image order follows
+    ascending IMAGE_ID (returned as ``image_ids``/``image_names``).
+    """
+    import os
+
+    cam_params: dict[int, tuple[float, float, float, float, float]] = {}
+    for toks in _colmap_tokens(os.path.join(model_dir, "cameras.txt")):
+        cam_id, model = int(toks[0]), toks[1]
+        p = [float(v) for v in toks[4:]]
+        if model == "SIMPLE_PINHOLE":
+            f, cx, cy, k1, k2 = p[0], p[1], p[2], 0.0, 0.0
+        elif model == "PINHOLE":
+            fx, fy, cx, cy = p
+            if abs(fx - fy) > 1e-6 * max(abs(fx), abs(fy)):
+                raise ValueError(
+                    f"camera {cam_id}: PINHOLE fx={fx} != fy={fy}; this "
+                    "framework's BA state has one focal per camera"
+                )
+            f, k1, k2 = 0.5 * (fx + fy), 0.0, 0.0
+        elif model == "SIMPLE_RADIAL":
+            f, cx, cy, k1, k2 = p[0], p[1], p[2], p[3], 0.0
+        elif model == "RADIAL":
+            f, cx, cy, k1, k2 = p
+        else:
+            raise ValueError(
+                f"camera {cam_id}: unsupported COLMAP model {model!r} "
+                "(supported: SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL)"
+            )
+        cam_params[cam_id] = (f, cx, cy, k1, k2)
+
+    # images.txt alternates a pose line and a 2D-point line.
+    images = []  # (image_id, q, t_cw, cam_id, name, [(x, y, pt3d_id)])
+    toks_iter = _colmap_tokens(os.path.join(model_dir, "images.txt"))
+    for toks in toks_iter:
+        image_id = int(toks[0])
+        q = np.array([float(v) for v in toks[1:5]])
+        t_cw = np.array([float(v) for v in toks[5:8]])
+        cam_id = int(toks[8])
+        name = toks[9] if len(toks) > 9 else ""
+        try:
+            pts_toks = next(toks_iter)
+        except StopIteration:
+            pts_toks = []
+        obs = []
+        for j in range(0, len(pts_toks) - 2, 3):
+            pid = int(pts_toks[j + 2])
+            if pid >= 0:
+                obs.append((float(pts_toks[j]), float(pts_toks[j + 1]), pid))
+        images.append((image_id, q, t_cw, cam_id, name, obs))
+    images.sort(key=lambda im: im[0])
+
+    pt_ids = []
+    pts = []
+    for toks in _colmap_tokens(os.path.join(model_dir, "points3D.txt")):
+        pt_ids.append(int(toks[0]))
+        pts.append([float(v) for v in toks[1:4]])
+    order = np.argsort(pt_ids)
+    pt_ids = [pt_ids[i] for i in order]
+    pts = np.asarray(pts, np.float64)[order]
+    id_to_dense = {pid: i for i, pid in enumerate(pt_ids)}
+
+    nf, npts = len(images), len(pt_ids)
+    x = np.zeros((nf, npts, 2))
+    vis = np.zeros((npts, nf))
+    r_all = np.empty((nf, 3, 3))
+    t_all = np.empty((nf, 3))
+    k_mats = np.zeros((nf, 3, 3))
+    f_all = np.empty(nf)
+    dist = np.zeros((nf, 2))
+    names = []
+    for i, (_, q, t_cw, cam_id, name, obs) in enumerate(images):
+        r_cw = _quat_to_rotmat(q)
+        r_all[i] = r_cw.T
+        t_all[i] = -r_cw.T @ t_cw
+        f, cx, cy, k1, k2 = cam_params[cam_id]
+        f_all[i] = f
+        k_mats[i] = [[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]]
+        dist[i] = (k1, k2)
+        names.append(name)
+        for px, py, pid in obs:
+            if pid in id_to_dense:
+                j = id_to_dense[pid]
+                x[i, j] = (px, py)
+                vis[j, i] = 1.0
+
+    return {
+        "x": x, "visibility": vis, "X": pts, "R": r_all, "t": t_all,
+        "K": k_mats, "f": f_all, "distortion": dist,
+        "f0": np.asarray(1.0),
+        "image_ids": np.array([im[0] for im in images], np.int64),
+        "image_names": np.array(names),
+        "point3d_ids": np.array(pt_ids, np.int64),
+    }
+
+
+def save_colmap(model_dir: str, x, visibility, X, R, t, f,
+                principal_point=None, distortion=None,
+                image_size=None) -> None:
+    """Write a COLMAP text model (inverse of :func:`load_colmap`'s
+    conventions; quaternions via the angle-stable largest-component
+    extraction). One camera entry per image; RADIAL when ``distortion``
+    is given, SIMPLE_PINHOLE otherwise. ``image_size`` defaults to a
+    bound derived from the observations."""
+    import os
+
+    os.makedirs(model_dir, exist_ok=True)
+    x = np.asarray(x)
+    vis = np.asarray(visibility)
+    X = np.asarray(X)
+    R = np.asarray(R)
+    t = np.asarray(t)
+    f = np.asarray(f)
+    nf, npts = x.shape[0], x.shape[1]
+    pp = (
+        np.zeros((nf, 2)) if principal_point is None
+        else np.asarray(principal_point)
+    )
+    dist = None if distortion is None else np.asarray(distortion)
+    if image_size is None:
+        seen = vis.T > 0  # (F, P)
+        bound = int(np.ceil(2.0 * np.abs(x[seen]).max())) + 1 if seen.any() else 1
+        image_size = (bound, bound)
+    w_px, h_px = int(image_size[0]), int(image_size[1])
+
+    lines = ["# Camera list: CAMERA_ID MODEL WIDTH HEIGHT PARAMS[]"]
+    for i in range(nf):
+        if dist is None:
+            lines.append(
+                f"{i + 1} SIMPLE_PINHOLE {w_px} {h_px} {float(f[i])!r} "
+                f"{float(pp[i, 0])!r} {float(pp[i, 1])!r}"
+            )
+        else:
+            lines.append(
+                f"{i + 1} RADIAL {w_px} {h_px} {float(f[i])!r} "
+                f"{float(pp[i, 0])!r} {float(pp[i, 1])!r} "
+                f"{float(dist[i, 0])!r} {float(dist[i, 1])!r}"
+            )
+    with open(os.path.join(model_dir, "cameras.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    lines = ["# Image list: IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME",
+             "#   POINTS2D[] as (X, Y, POINT3D_ID)"]
+    for i in range(nf):
+        r_cw = R[i].T
+        q = _rotmat_to_quat(r_cw)
+        t_cw = -r_cw @ t[i]
+        lines.append(
+            f"{i + 1} " + " ".join(repr(float(v)) for v in q) + " "
+            + " ".join(repr(float(v)) for v in t_cw)
+            + f" {i + 1} image{i:05d}.png"
+        )
+        obs = [
+            f"{float(x[i, j, 0])!r} {float(x[i, j, 1])!r} {j + 1}"
+            for j in np.nonzero(vis[:, i] > 0)[0]
+        ]
+        lines.append(" ".join(obs))
+    with open(os.path.join(model_dir, "images.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    lines = ["# 3D point list: POINT3D_ID X Y Z R G B ERROR TRACK[]"]
+    for j in range(npts):
+        track = " ".join(
+            f"{i + 1} 0" for i in np.nonzero(vis[j] > 0)[0]
+        )
+        lines.append(
+            f"{j + 1} " + " ".join(repr(float(v)) for v in X[j])
+            + " 128 128 128 0.0 " + track
+        )
+    with open(os.path.join(model_dir, "points3D.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
