@@ -116,6 +116,15 @@ def build_parser() -> argparse.ArgumentParser:
     p_bal.add_argument("--output", type=str, default=None,
                        help="write result .npz here")
     p_bal.add_argument(
+        "--output-colmap", type=str, default=None, metavar="DIR",
+        help="write the refined model back as a COLMAP text model "
+             "(positive-depth models, e.g. COLMAP input)",
+    )
+    p_bal.add_argument(
+        "--output-bal", type=str, default=None, metavar="FILE",
+        help="write the refined problem back in BAL format",
+    )
+    p_bal.add_argument(
         "--huber", type=float, default=None, metavar="DELTA",
         help="Huber-robust IRLS with this delta (f0-normalized residual)",
     )
@@ -431,6 +440,31 @@ def main(argv=None) -> None:
                 ),
             )
             out["output"] = args.output
+        dist_out = (
+            np.asarray(res.distortion) if res.distortion is not None
+            else (None if args.ignore_distortion else d["distortion"])
+        )
+        if args.output_colmap:
+            from .runtime.io import save_colmap
+
+            save_colmap(
+                args.output_colmap, d["x"], d["visibility"],
+                np.asarray(res.X), np.asarray(res.R), np.asarray(res.t),
+                np.asarray(res.K)[:, 0, 0],
+                principal_point=np.asarray(res.K)[:, :2, 2],
+                distortion=dist_out,
+            )
+            out["output_colmap"] = args.output_colmap
+        if args.output_bal:
+            from .runtime.io import save_bal
+
+            save_bal(
+                args.output_bal, d["x"], d["visibility"],
+                np.asarray(res.X), np.asarray(res.R), np.asarray(res.t),
+                np.asarray(res.K)[:, 0, 0],
+                distortion=dist_out,
+            )
+            out["output_bal"] = args.output_bal
 
     elif args.command == "bench-ba":
         scene = make_synthetic_scene(

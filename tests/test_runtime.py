@@ -443,24 +443,47 @@ def test_colmap_convention_matches_projection_model():
 
 
 def test_cli_bal_accepts_colmap_dir(capsys):
-    """`python -m mvrecon_tpu bal <dir>` auto-detects a COLMAP model."""
+    """`python -m mvrecon_tpu bal <dir>` auto-detects a COLMAP model and
+    --output-colmap writes the refined model back; reloading it and
+    evaluating the error at the refined state reproduces the reported
+    reprojection error (full refine -> write-back -> reload loop)."""
     import json
 
     from mvrecon_tpu.cli import main
     from mvrecon_tpu.geometry.scenes import make_synthetic_scene
-    from mvrecon_tpu.runtime.io import save_colmap
+    from mvrecon_tpu.models.bundle_adjustment import (
+        _state_error,
+        build_K,
+    )
+    from mvrecon_tpu.runtime.io import load_colmap, save_colmap
 
     sc = make_synthetic_scene(jax.random.key(3), n_images=6, dtype=jnp.float64)
     nf, npts = sc.x.shape[0], sc.x.shape[1]
     mdir = tempfile.mkdtemp()
+    odir = os.path.join(tempfile.mkdtemp(), "refined")
     save_colmap(mdir, np.asarray(sc.x), np.ones((npts, nf)),
                 np.asarray(sc.X), np.asarray(sc.R), np.asarray(sc.t),
                 np.asarray(sc.K[:, 0, 0]))
     main([
         "bal", mdir, "--max-iter", "4", "--float64",
-        "--platform", "cpu",
+        "--platform", "cpu", "--output-colmap", odir,
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["format"] == "colmap"
     assert out["cams"] == nf and out["points"] == npts
     assert np.isfinite(out["reprojection_error"])
+
+    r = load_colmap(odir)
+    st = BAState(
+        X=jnp.asarray(r["X"]), f=jnp.asarray(r["f"]),
+        u=jnp.asarray(r["K"][:, :2, 2]), t=jnp.asarray(r["t"]),
+        R=jnp.asarray(r["R"]),
+    )
+    e = _state_error(
+        st, jnp.asarray(r["x"].transpose(1, 0, 2)),
+        jnp.asarray(r["visibility"]), 1.0, None,
+        jnp.asarray(r["distortion"]),
+    )
+    np.testing.assert_allclose(
+        float(e), out["reprojection_error"], rtol=1e-9
+    )
