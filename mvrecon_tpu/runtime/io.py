@@ -230,62 +230,44 @@ def _colmap_tokens(path: str):
                 yield line.split()
 
 
-def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
-    """Parse a COLMAP text model (``cameras.txt`` / ``images.txt`` /
-    ``points3D.txt`` — the most common real-SfM interchange export,
-    ``colmap model_converter --output_type TXT``) into the framework's
-    dense layout (same keys as :func:`load_bal`).
+_COLMAP_MODEL_NAMES = {0: "SIMPLE_PINHOLE", 1: "PINHOLE",
+                       2: "SIMPLE_RADIAL", 3: "RADIAL"}
+_COLMAP_NUM_PARAMS = {"SIMPLE_PINHOLE": 3, "PINHOLE": 4,
+                      "SIMPLE_RADIAL": 4, "RADIAL": 5}
+_COLMAP_MODEL_IDS = {v: k for k, v in _COLMAP_MODEL_NAMES.items()}
 
-    Conventions: COLMAP stores world->camera as a (w, x, y, z)
-    quaternion + translation with cameras looking down **+z**
-    (x_cam = R_cw X + t_cw; pixel = f * x_cam.xy / x_cam.z + c). This
-    framework's ``calc_pqr`` uses x_cam = R^T (X - t)
-    (``models/bundle_adjustment.py:145``), so R = R_cw^T and
-    t = -R_cw^T t_cw; pixels pass through unchanged (+z matches the
-    positive-depth convention, unlike BAL's -z), the principal point
-    lands in K (the BA state's ``u``), and f0 = 1 (pixel units).
 
-    Camera models: SIMPLE_PINHOLE (f, cx, cy), PINHOLE (fx, fy, cx, cy;
-    fx must equal fy — the BA state has one focal per camera),
-    SIMPLE_RADIAL (+k -> k1), RADIAL (+k1, k2). The radial model is
-    *exactly* this framework's BAL-style distortion: COLMAP distorts the
-    normalized ray as x_n (1 + k1 |x_n|^2 + k2 |x_n|^4) before K, which
-    is ``d(s) g`` with s = |x_n|^2 (``models/bundle_adjustment.py::
-    _distortion_terms``), so ``distortion`` feeds
-    ``bundle_adjust(distortion=...)`` directly.
+def _colmap_camera_fk(cam_id: int, model: str, p: list):
+    """(f, cx, cy, k1, k2) from a COLMAP camera's (model, params)."""
+    if model == "SIMPLE_PINHOLE":
+        return p[0], p[1], p[2], 0.0, 0.0
+    if model == "PINHOLE":
+        fx, fy, cx, cy = p
+        if abs(fx - fy) > 1e-6 * max(abs(fx), abs(fy)):
+            raise ValueError(
+                f"camera {cam_id}: PINHOLE fx={fx} != fy={fy}; this "
+                "framework's BA state has one focal per camera"
+            )
+        return 0.5 * (fx + fy), cx, cy, 0.0, 0.0
+    if model == "SIMPLE_RADIAL":
+        return p[0], p[1], p[2], p[3], 0.0
+    if model == "RADIAL":
+        return tuple(p)
+    raise ValueError(
+        f"camera {cam_id}: unsupported COLMAP model {model!r} "
+        "(supported: SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL)"
+    )
 
-    Observations come from the images' 2D-point lines (entries with a
-    point3D id of -1 — untriangulated features — are skipped); 3D points
-    come from ``points3D.txt`` with ids remapped to a dense 0..P-1 range
-    (the mapping is returned as ``point3d_ids``). Image order follows
-    ascending IMAGE_ID (returned as ``image_ids``/``image_names``).
-    """
+
+def _parse_colmap_text(model_dir: str):
+    """(cam_params, images, pt_ids, pts) from a COLMAP text model."""
     import os
 
-    cam_params: dict[int, tuple[float, float, float, float, float]] = {}
+    cam_params: dict[int, tuple] = {}
     for toks in _colmap_tokens(os.path.join(model_dir, "cameras.txt")):
         cam_id, model = int(toks[0]), toks[1]
         p = [float(v) for v in toks[4:]]
-        if model == "SIMPLE_PINHOLE":
-            f, cx, cy, k1, k2 = p[0], p[1], p[2], 0.0, 0.0
-        elif model == "PINHOLE":
-            fx, fy, cx, cy = p
-            if abs(fx - fy) > 1e-6 * max(abs(fx), abs(fy)):
-                raise ValueError(
-                    f"camera {cam_id}: PINHOLE fx={fx} != fy={fy}; this "
-                    "framework's BA state has one focal per camera"
-                )
-            f, k1, k2 = 0.5 * (fx + fy), 0.0, 0.0
-        elif model == "SIMPLE_RADIAL":
-            f, cx, cy, k1, k2 = p[0], p[1], p[2], p[3], 0.0
-        elif model == "RADIAL":
-            f, cx, cy, k1, k2 = p
-        else:
-            raise ValueError(
-                f"camera {cam_id}: unsupported COLMAP model {model!r} "
-                "(supported: SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL)"
-            )
-        cam_params[cam_id] = (f, cx, cy, k1, k2)
+        cam_params[cam_id] = _colmap_camera_fk(cam_id, model, p)
 
     # images.txt alternates a pose line and a 2D-point line.
     images = []  # (image_id, q, t_cw, cam_id, name, [(x, y, pt3d_id)])
@@ -306,13 +288,115 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
             if pid >= 0:
                 obs.append((float(pts_toks[j]), float(pts_toks[j + 1]), pid))
         images.append((image_id, q, t_cw, cam_id, name, obs))
-    images.sort(key=lambda im: im[0])
 
     pt_ids = []
     pts = []
     for toks in _colmap_tokens(os.path.join(model_dir, "points3D.txt")):
         pt_ids.append(int(toks[0]))
         pts.append([float(v) for v in toks[1:4]])
+    return cam_params, images, pt_ids, pts
+
+
+def _parse_colmap_bin(model_dir: str):
+    """(cam_params, images, pt_ids, pts) from a COLMAP binary model
+    (cameras.bin / images.bin / points3D.bin — ``colmap mapper``'s
+    native output; layout per COLMAP's reconstruction_io)."""
+    import os
+    import struct
+
+    def read(fh, fmt):
+        return struct.unpack(fmt, fh.read(struct.calcsize(fmt)))
+
+    cam_params: dict[int, tuple] = {}
+    with open(os.path.join(model_dir, "cameras.bin"), "rb") as fh:
+        (n_cams,) = read(fh, "<Q")
+        for _ in range(n_cams):
+            cam_id, model_id, _w, _h = read(fh, "<IiQQ")
+            model = _COLMAP_MODEL_NAMES.get(model_id)
+            if model is None:
+                raise ValueError(
+                    f"camera {cam_id}: unsupported COLMAP model id "
+                    f"{model_id} (supported: {sorted(_COLMAP_MODEL_NAMES)})"
+                )
+            p = list(read(fh, f"<{_COLMAP_NUM_PARAMS[model]}d"))
+            cam_params[cam_id] = _colmap_camera_fk(cam_id, model, p)
+
+    images = []
+    with open(os.path.join(model_dir, "images.bin"), "rb") as fh:
+        (n_imgs,) = read(fh, "<Q")
+        for _ in range(n_imgs):
+            (image_id,) = read(fh, "<I")
+            q = np.array(read(fh, "<4d"))
+            t_cw = np.array(read(fh, "<3d"))
+            (cam_id,) = read(fh, "<I")
+            name_bytes = bytearray()
+            while (ch := fh.read(1)) != b"\x00":
+                name_bytes += ch
+            (n2d,) = read(fh, "<Q")
+            data = np.frombuffer(fh.read(24 * n2d), dtype=np.uint8)
+            xy = data.view(np.float64).reshape(n2d, 3)[:, :2]
+            pid = data.view(np.int64).reshape(n2d, 3)[:, 2]  # invalid = -1
+            obs = [
+                (float(xy[j, 0]), float(xy[j, 1]), int(pid[j]))
+                for j in range(n2d) if pid[j] >= 0
+            ]
+            images.append(
+                (image_id, q, t_cw, cam_id, name_bytes.decode(), obs)
+            )
+
+    pt_ids = []
+    pts = []
+    with open(os.path.join(model_dir, "points3D.bin"), "rb") as fh:
+        (n_pts,) = read(fh, "<Q")
+        for _ in range(n_pts):
+            pid, px, py, pz = read(fh, "<Q3d")
+            _rgb = fh.read(3)
+            (_err,) = read(fh, "<d")
+            (track_len,) = read(fh, "<Q")
+            fh.read(8 * track_len)
+            pt_ids.append(int(pid))
+            pts.append([px, py, pz])
+    return cam_params, images, pt_ids, pts
+
+
+def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
+    """Parse a COLMAP model — binary (``cameras.bin``/``images.bin``/
+    ``points3D.bin``, ``colmap mapper``'s native output) or text
+    (``cameras.txt``/..., ``colmap model_converter --output_type TXT``),
+    auto-detected with binary preferred like COLMAP itself — into the
+    framework's dense layout (same keys as :func:`load_bal`).
+
+    Conventions: COLMAP stores world->camera as a (w, x, y, z)
+    quaternion + translation with cameras looking down **+z**
+    (x_cam = R_cw X + t_cw; pixel = f * x_cam.xy / x_cam.z + c). This
+    framework's ``calc_pqr`` uses x_cam = R^T (X - t)
+    (``models/bundle_adjustment.py:145``), so R = R_cw^T and
+    t = -R_cw^T t_cw; pixels pass through unchanged (+z matches the
+    positive-depth convention, unlike BAL's -z), the principal point
+    lands in K (the BA state's ``u``), and f0 = 1 (pixel units).
+
+    Camera models: SIMPLE_PINHOLE (f, cx, cy), PINHOLE (fx, fy, cx, cy;
+    fx must equal fy — the BA state has one focal per camera),
+    SIMPLE_RADIAL (+k -> k1), RADIAL (+k1, k2). The radial model is
+    *exactly* this framework's BAL-style distortion: COLMAP distorts the
+    normalized ray as x_n (1 + k1 |x_n|^2 + k2 |x_n|^4) before K, which
+    is ``d(s) g`` with s = |x_n|^2 (``models/bundle_adjustment.py::
+    _distortion_terms``), so ``distortion`` feeds
+    ``bundle_adjust(distortion=...)`` directly.
+
+    Observations come from the images' 2D points (entries with a
+    point3D id of -1 — untriangulated features — are skipped); 3D points
+    have their ids remapped to a dense 0..P-1 range (the mapping is
+    returned as ``point3d_ids``). Image order follows ascending IMAGE_ID
+    (returned as ``image_ids``/``image_names``).
+    """
+    import os
+
+    if os.path.exists(os.path.join(model_dir, "cameras.bin")):
+        cam_params, images, pt_ids, pts = _parse_colmap_bin(model_dir)
+    else:
+        cam_params, images, pt_ids, pts = _parse_colmap_text(model_dir)
+    images.sort(key=lambda im: im[0])
     order = np.argsort(pt_ids)
     pt_ids = [pt_ids[i] for i in order]
     pts = np.asarray(pts, np.float64)[order]
@@ -354,13 +438,16 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
 
 def save_colmap(model_dir: str, x, visibility, X, R, t, f,
                 principal_point=None, distortion=None,
-                image_size=None) -> None:
-    """Write a COLMAP text model (inverse of :func:`load_colmap`'s
-    conventions; quaternions via the angle-stable largest-component
-    extraction). One camera entry per image; RADIAL when ``distortion``
-    is given, SIMPLE_PINHOLE otherwise. ``image_size`` defaults to a
-    bound derived from the observations."""
+                image_size=None, binary: bool = False) -> None:
+    """Write a COLMAP model — text, or binary with ``binary=True``
+    (COLMAP's native layout, loadable by ``colmap`` directly) — the
+    inverse of :func:`load_colmap`'s conventions; quaternions via the
+    angle-stable largest-component extraction. One camera entry per
+    image; RADIAL when ``distortion`` is given, SIMPLE_PINHOLE
+    otherwise. ``image_size`` defaults to a bound derived from the
+    observations."""
     import os
+    import struct
 
     os.makedirs(model_dir, exist_ok=True)
     x = np.asarray(x)
@@ -381,28 +468,68 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
         image_size = (bound, bound)
     w_px, h_px = int(image_size[0]), int(image_size[1])
 
+    model = "SIMPLE_PINHOLE" if dist is None else "RADIAL"
+    cam_param_rows = [
+        ([float(f[i]), float(pp[i, 0]), float(pp[i, 1])] if dist is None
+         else [float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
+               float(dist[i, 0]), float(dist[i, 1])])
+        for i in range(nf)
+    ]
+    poses = []
+    for i in range(nf):
+        r_cw = R[i].T
+        poses.append((_rotmat_to_quat(r_cw), -r_cw @ t[i]))
+
+    if binary:
+        with open(os.path.join(model_dir, "cameras.bin"), "wb") as fh:
+            fh.write(struct.pack("<Q", nf))
+            for i in range(nf):
+                fh.write(struct.pack(
+                    "<IiQQ", i + 1, _COLMAP_MODEL_IDS[model], w_px, h_px
+                ))
+                fh.write(struct.pack(
+                    f"<{len(cam_param_rows[i])}d", *cam_param_rows[i]
+                ))
+        with open(os.path.join(model_dir, "images.bin"), "wb") as fh:
+            fh.write(struct.pack("<Q", nf))
+            for i in range(nf):
+                q, t_cw = poses[i]
+                fh.write(struct.pack("<I", i + 1))
+                fh.write(struct.pack("<4d", *q))
+                fh.write(struct.pack("<3d", *t_cw))
+                fh.write(struct.pack("<I", i + 1))
+                fh.write(f"image{i:05d}.png".encode() + b"\x00")
+                js = np.nonzero(vis[:, i] > 0)[0]
+                fh.write(struct.pack("<Q", len(js)))
+                for j in js:
+                    fh.write(struct.pack(
+                        "<2dq", float(x[i, j, 0]), float(x[i, j, 1]), j + 1
+                    ))
+        with open(os.path.join(model_dir, "points3D.bin"), "wb") as fh:
+            fh.write(struct.pack("<Q", npts))
+            for j in range(npts):
+                fh.write(struct.pack("<Q3d", j + 1, *(float(v) for v in X[j])))
+                fh.write(bytes((128, 128, 128)))
+                fh.write(struct.pack("<d", 0.0))
+                is_ = np.nonzero(vis[j] > 0)[0]
+                fh.write(struct.pack("<Q", len(is_)))
+                for i in is_:
+                    fh.write(struct.pack("<II", i + 1, 0))
+        return
+
     lines = ["# Camera list: CAMERA_ID MODEL WIDTH HEIGHT PARAMS[]"]
     for i in range(nf):
-        if dist is None:
-            lines.append(
-                f"{i + 1} SIMPLE_PINHOLE {w_px} {h_px} {float(f[i])!r} "
-                f"{float(pp[i, 0])!r} {float(pp[i, 1])!r}"
-            )
-        else:
-            lines.append(
-                f"{i + 1} RADIAL {w_px} {h_px} {float(f[i])!r} "
-                f"{float(pp[i, 0])!r} {float(pp[i, 1])!r} "
-                f"{float(dist[i, 0])!r} {float(dist[i, 1])!r}"
-            )
+        lines.append(
+            f"{i + 1} {model} {w_px} {h_px} "
+            + " ".join(repr(v) for v in cam_param_rows[i])
+        )
     with open(os.path.join(model_dir, "cameras.txt"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
     lines = ["# Image list: IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME",
              "#   POINTS2D[] as (X, Y, POINT3D_ID)"]
     for i in range(nf):
-        r_cw = R[i].T
-        q = _rotmat_to_quat(r_cw)
-        t_cw = -r_cw @ t[i]
+        q, t_cw = poses[i]
         lines.append(
             f"{i + 1} " + " ".join(repr(float(v)) for v in q) + " "
             + " ".join(repr(float(v)) for v in t_cw)

@@ -384,6 +384,19 @@ def test_colmap_roundtrip():
     m = vis.T > 0
     np.testing.assert_allclose(d["x"][m], x[m], atol=1e-12)
 
+    # binary model (COLMAP's native layout): bit-exact doubles, so the
+    # reload must equal the text reload EXACTLY
+    bdir = tempfile.mkdtemp()
+    save_colmap(bdir, x, vis, np.asarray(sc.X), R, np.asarray(sc.t), f,
+                principal_point=pp, distortion=dist, binary=True)
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(bdir, "cameras.bin"))
+    b = load_colmap(bdir)
+    for key in ("x", "visibility", "X", "R", "t", "K", "f", "distortion"):
+        np.testing.assert_array_equal(b[key], d[key])
+    np.testing.assert_array_equal(b["image_names"], d["image_names"])
+
 
 def test_colmap_convention_matches_projection_model():
     """Decisive convention check: pixels rendered by the framework's own
