@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help=shard_help + " (euclidean pipeline only)")
     p_rec.add_argument("--output", type=str, default=None, help="write result .npz here")
     p_rec.add_argument(
+        "--output-ply", type=str, default=None, metavar="FILE",
+        help="write the reconstructed point cloud (+ camera centers) as PLY",
+    )
+    p_rec.add_argument(
         "--pipeline", choices=["euclidean", "affine"], default="euclidean"
     )
     p_rec.add_argument("--method", choices=["primary", "dual"], default="dual")
@@ -123,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_bal.add_argument(
         "--output-bal", type=str, default=None, metavar="FILE",
         help="write the refined problem back in BAL format",
+    )
+    p_bal.add_argument(
+        "--output-ply", type=str, default=None, metavar="FILE",
+        help="write the refined point cloud (+ camera centers) as PLY",
     )
     p_bal.add_argument(
         "--huber", type=float, default=None, metavar="DELTA",
@@ -335,6 +343,12 @@ def main(argv=None) -> None:
                 R=np.asarray(res.R), t=np.asarray(res.t),
             )
             out["output"] = args.output
+        if args.output_ply:
+            from .runtime.io import save_ply
+
+            save_ply(args.output_ply, np.asarray(res.X),
+                     cameras=np.asarray(res.t))
+            out["output_ply"] = args.output_ply
 
     elif args.command == "batch":
         from .parallel.batched import batched_euclidean_reconstruction
@@ -465,6 +479,12 @@ def main(argv=None) -> None:
                 distortion=dist_out,
             )
             out["output_bal"] = args.output_bal
+        if args.output_ply:
+            from .runtime.io import save_ply
+
+            save_ply(args.output_ply, np.asarray(res.X),
+                     cameras=np.asarray(res.t))
+            out["output_ply"] = args.output_ply
 
     elif args.command == "bench-ba":
         scene = make_synthetic_scene(

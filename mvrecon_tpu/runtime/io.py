@@ -554,3 +554,43 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
         )
     with open(os.path.join(model_dir, "points3D.txt"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def save_ply(path: str, X, colors=None, cameras=None) -> None:
+    """Write a reconstruction as an ASCII PLY point cloud — the standard
+    interchange viewable in MeshLab / CloudCompare / Open3D.
+
+    ``X`` (P, 3) points; ``colors`` optional (P, 3) uint8 (default mid
+    gray); ``cameras`` optional (F, 3) camera centers appended as red
+    points so pose geometry is visible alongside the cloud.
+    """
+    X = np.asarray(X, np.float64)
+    npts = X.shape[0]
+    if colors is None:
+        cols = np.full((npts, 3), 200, np.uint8)
+    else:
+        cols = np.asarray(colors, np.uint8)
+    rows = [X]
+    crows = [cols]
+    if cameras is not None:
+        cams = np.asarray(cameras, np.float64)
+        rows.append(cams)
+        crows.append(
+            np.tile(np.array([[255, 40, 40]], np.uint8), (cams.shape[0], 1))
+        )
+    pts = np.concatenate(rows)
+    cols = np.concatenate(crows)
+    lines = [
+        "ply", "format ascii 1.0",
+        f"element vertex {pts.shape[0]}",
+        "property double x", "property double y", "property double z",
+        "property uchar red", "property uchar green", "property uchar blue",
+        "end_header",
+    ]
+    for p, c in zip(pts, cols):
+        lines.append(
+            f"{float(p[0])!r} {float(p[1])!r} {float(p[2])!r} "
+            f"{int(c[0])} {int(c[1])} {int(c[2])}"
+        )
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")

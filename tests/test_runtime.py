@@ -477,9 +477,10 @@ def test_cli_bal_accepts_colmap_dir(capsys):
     save_colmap(mdir, np.asarray(sc.x), np.ones((npts, nf)),
                 np.asarray(sc.X), np.asarray(sc.R), np.asarray(sc.t),
                 np.asarray(sc.K[:, 0, 0]))
+    ply = os.path.join(tempfile.mkdtemp(), "cloud.ply")
     main([
         "bal", mdir, "--max-iter", "4", "--float64",
-        "--platform", "cpu", "--output-colmap", odir,
+        "--platform", "cpu", "--output-colmap", odir, "--output-ply", ply,
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["format"] == "colmap"
@@ -500,3 +501,17 @@ def test_cli_bal_accepts_colmap_dir(capsys):
     np.testing.assert_allclose(
         float(e), out["reprojection_error"], rtol=1e-9
     )
+
+    # PLY export: points + camera centers, parsable vertex block
+    with open(ply) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == "ply" and "end_header" in lines
+    n_vert = int(next(
+        ln for ln in lines if ln.startswith("element vertex")
+    ).split()[-1])
+    assert n_vert == npts + nf
+    body = lines[lines.index("end_header") + 1:]
+    assert len(body) == n_vert
+    pts = np.array([[float(v) for v in ln.split()[:3]] for ln in body])
+    np.testing.assert_allclose(pts[:npts], np.asarray(r["X"]), atol=1e-12)
+    np.testing.assert_allclose(pts[npts:], np.asarray(r["t"]), atol=1e-12)
