@@ -146,6 +146,11 @@ def build_parser() -> argparse.ArgumentParser:
              "(single physical camera)",
     )
     p_bal.add_argument(
+        "--tangential", action="store_true",
+        help="fit the 4-parameter OPENCV model (k1, k2, p1, p2) during "
+             "--optimize-distortion even if the input is radial-only",
+    )
+    p_bal.add_argument(
         "--ignore-distortion", action="store_true",
         help="pinhole model: drop the file's k1/k2",
     )
@@ -423,6 +428,13 @@ def main(argv=None) -> None:
             None if args.ignore_distortion
             else jnp.asarray(d["distortion"], dtype)
         )
+        if args.tangential and not args.ignore_distortion:
+            if dist is None or dist.shape[-1] == 2:
+                base = (
+                    jnp.zeros((int(vis.shape[1]), 2), dtype)
+                    if dist is None else dist
+                )
+                dist = jnp.concatenate([base, jnp.zeros_like(base)], axis=-1)
         res = bundle_adjust(
             x, jnp.asarray(d["X"], dtype), jnp.asarray(d["K"], dtype),
             jnp.asarray(d["R"], dtype), jnp.asarray(d["t"], dtype),
@@ -439,6 +451,9 @@ def main(argv=None) -> None:
         if res.distortion is not None:
             out["k1_mean"] = float(np.asarray(res.distortion)[:, 0].mean())
             out["k2_mean"] = float(np.asarray(res.distortion)[:, 1].mean())
+            if res.distortion.shape[-1] == 4:
+                out["p1_mean"] = float(np.asarray(res.distortion)[:, 2].mean())
+                out["p2_mean"] = float(np.asarray(res.distortion)[:, 3].mean())
         if args.output:
             from .runtime.io import save_observations
 

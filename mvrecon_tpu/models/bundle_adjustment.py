@@ -197,6 +197,29 @@ def _distortion_terms(
     return g1, g2, s, d, w
 
 
+def _tangential_terms(state: BAState, g1, g2, f0: float, dist):
+    """Per-observation tangential-distortion quantities (the OPENCV
+    (p1, p2) model; ``dist`` is (F, 4) = (k1, k2, p1, p2)).
+
+    In normalized-ray coords x_n = (f0/f) g the OPENCV tangential shift
+    is (2 p1 XY + p2 (r^2 + 2X^2), p1 (r^2 + 2Y^2) + 2 p2 XY); mapped to
+    f0-normalized image coordinates (pi~ adds (f/f0) * shift) it becomes
+    c * h(g) with c = f0/f. Returns the shift (t1, t2) and its symmetric
+    Jacobian wrt g (T11, T12, T22), which adds onto the radial 2x2
+    chain; the only extra explicit camera dependence is c's 1/f (handled
+    by the -t/f term in the f column)."""
+    c = (f0 / state.f)[None]
+    p1 = dist[:, 2][None]
+    p2 = dist[:, 3][None]
+    g11, g22, g12 = g1 * g1, g2 * g2, g1 * g2
+    t1 = c * (2.0 * p1 * g12 + p2 * (3.0 * g11 + g22))
+    t2 = c * (p1 * (g11 + 3.0 * g22) + 2.0 * p2 * g12)
+    t11 = 2.0 * c * (p1 * g2 + 3.0 * p2 * g1)
+    t12 = 2.0 * c * (p1 * g1 + p2 * g2)
+    t22 = 2.0 * c * (3.0 * p1 * g2 + p2 * g1)
+    return t1, t2, t11, t12, t22
+
+
 def _apply_distortion_chain(
     state: BAState, p, q, r, f0: float, dist, res_p, res_q, a1, a2, b1, b2
 ):
@@ -204,20 +227,29 @@ def _apply_distortion_chain(
     factors (shared by the dense and chunked derivative builds; leading
     axis is P or a chunk C).
 
-    Distorted prediction pi~ = d(s) g + u/f0. The residual gains
-    (d - 1) g; the factor rows chain through the 2x2 Jacobian
-    D = d I + 2 w (f0/f)^2 g g^T, which applies verbatim to the point
-    rows (a). The camera rows (b) differ from dg/dtheta in exactly two
-    places: the u columns (dg/du = dpi/du - 1/f0, and pi~ adds its own
-    +1/f0 back) and the f column (s depends on f directly: dpi~/df
-    gains -(2 w s / f) g)."""
+    Distorted prediction pi~ = d(s) g + u/f0 (+ the tangential shift
+    t(g) when ``dist`` is the 4-column OPENCV model). The residual gains
+    (d - 1) g (+ t); the factor rows chain through the 2x2 Jacobian
+    D = d I + 2 w (f0/f)^2 g g^T (+ dt/dg, also symmetric), which
+    applies verbatim to the point rows (a). The camera rows (b) differ
+    from dg/dtheta in exactly two places: the u columns (dg/du =
+    dpi/du - 1/f0, and pi~ adds its own +1/f0 back) and the f column
+    (s and c depend on f directly: dpi~/df gains -(2 w s / f) g - t/f)."""
     g1, g2, s, d, w = _distortion_terms(state, p, q, r, f0, dist)
+    tangential = dist.shape[-1] == 4
     res_p = res_p + (d - 1.0) * g1
     res_q = res_q + (d - 1.0) * g2
     cw = (2.0 * w) * (f0 / state.f)[None] ** 2
     d11 = d + cw * g1 * g1
     d12 = cw * g1 * g2
     d22 = d + cw * g2 * g2
+    if tangential:
+        t1, t2, t11, t12, t22 = _tangential_terms(state, g1, g2, f0, dist)
+        res_p = res_p + t1
+        res_q = res_q + t2
+        d11 = d11 + t11
+        d12 = d12 + t12
+        d22 = d22 + t22
     a1, a2 = (
         d11[..., None] * a1 + d12[..., None] * a2,
         d12[..., None] * a1 + d22[..., None] * a2,
@@ -234,6 +266,10 @@ def _apply_distortion_chain(
     cf = 2.0 * w * s / state.f[None]  # -(2 w s / f) g on the f column
     b1 = b1.at[..., 0].add(-cf * g1)
     b2 = b2.at[..., 0].add(-cf * g2)
+    if tangential:
+        inv_f = (1.0 / state.f)[None]  # -t/f: c = f0/f explicit in t
+        b1 = b1.at[..., 0].add(-t1 * inv_f)
+        b2 = b2.at[..., 0].add(-t2 * inv_f)
     return res_p, res_q, a1, a2, b1, b2
 
 
@@ -247,6 +283,10 @@ def _distorted_residual(state: BAState, p, q, r, x, f0: float, dist):
         g1, g2, _, d, _ = _distortion_terms(state, p, q, r, f0, dist)
         res_p = res_p + (d - 1.0) * g1
         res_q = res_q + (d - 1.0) * g2
+        if dist.shape[-1] == 4:
+            t1, t2, _, _, _ = _tangential_terms(state, g1, g2, f0, dist)
+            res_p = res_p + t1
+            res_q = res_q + t2
     return res_p, res_q
 
 
@@ -579,6 +619,7 @@ def _huber_weights(
 def fit_distortion(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float,
     shared: bool = False, axis_name: str | None = None,
+    tangential: bool = False,
 ) -> jax.Array:
     """Closed-form per-camera radial-distortion refit.
 
@@ -599,38 +640,64 @@ def fit_distortion(
     rays to identify its own distortion.
 
     The (F, 5) normal terms are per-point sums, so under point sharding
-    (``axis_name``) one psum completes them."""
+    (``axis_name``) one psum completes them.
+
+    ``tangential=True`` fits the 4-parameter OPENCV model
+    (k1, k2, p1, p2) instead — the prediction is linear in all four, so
+    the refit stays an exact closed-form solve, now per-camera 4x4
+    ((F, 20) normal terms, still a per-point sum)."""
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
-    terms = _distortion_lsq_terms(state, p, q, r, x, vis, f0)
+    terms = _distortion_lsq_terms(state, p, q, r, x, vis, f0, tangential)
     return _solve_distortion_lsq(_psum(terms, axis_name), shared)
 
 
-def _distortion_lsq_terms(state: BAState, p, q, r, x, vis, f0: float):
-    """Per-camera (F, 5) normal-equation accumulands (a11, a12, a22,
-    b1, b2) of the linear-in-(k1, k2) distortion fit — a per-point sum,
-    so the chunked core accumulates them over point chunks."""
+def _distortion_lsq_terms(state: BAState, p, q, r, x, vis, f0: float,
+                          tangential: bool = False):
+    """Per-camera normal-equation accumulands of the linear-in-k
+    distortion fit — a per-point sum, so the chunked core accumulates
+    them over point chunks. (F, 5) = (a11, a12, a22, b1, b2) for the
+    radial model; (F, 20) = (4x4 normal matrix rows, 4 rhs) for the
+    OPENCV (k1, k2, p1, p2) model."""
     r = jnp.where(vis > 0, r, jnp.ones_like(r))
     g1 = p / r - (state.u[:, 0] / f0)[None]
     g2 = q / r - (state.u[:, 1] / f0)[None]
     s = ((f0 / state.f) ** 2)[None] * (g1 * g1 + g2 * g2)
-    # target: (x/f0 - u/f0) - g = what (k1 s + k2 s^2) g must explain
+    # target: (x/f0 - u/f0) - g = what the distortion shift must explain
     t1 = x[..., 0] / f0 - (state.u[:, 0] / f0)[None] - g1
     t2 = x[..., 1] / f0 - (state.u[:, 1] / f0)[None] - g2
-    gg = g1 * g1 + g2 * g2
-    gt = g1 * t1 + g2 * t2
-    s2 = s * s
-    return jnp.stack([
-        jnp.sum(vis * s2 * gg, axis=0),
-        jnp.sum(vis * s2 * s * gg, axis=0),
-        jnp.sum(vis * s2 * s2 * gg, axis=0),
-        jnp.sum(vis * s * gt, axis=0),
-        jnp.sum(vis * s2 * gt, axis=0),
-    ], axis=-1)  # (F, 5)
+    if not tangential:
+        gg = g1 * g1 + g2 * g2
+        gt = g1 * t1 + g2 * t2
+        s2 = s * s
+        return jnp.stack([
+            jnp.sum(vis * s2 * gg, axis=0),
+            jnp.sum(vis * s2 * s * gg, axis=0),
+            jnp.sum(vis * s2 * s2 * gg, axis=0),
+            jnp.sum(vis * s * gt, axis=0),
+            jnp.sum(vis * s2 * gt, axis=0),
+        ], axis=-1)  # (F, 5)
+    # OPENCV regressors (each a 2-vector per observation): the shift is
+    # k1 A1 + k2 A2 + p1 A3 + p2 A4 (see _tangential_terms for A3/A4).
+    c = (f0 / state.f)[None]
+    g11, g22, g12 = g1 * g1, g2 * g2, g1 * g2
+    A = jnp.stack([
+        jnp.stack([s * g1, s * g2], axis=-1),
+        jnp.stack([s * s * g1, s * s * g2], axis=-1),
+        jnp.stack([2.0 * c * g12, c * (g11 + 3.0 * g22)], axis=-1),
+        jnp.stack([c * (3.0 * g11 + g22), 2.0 * c * g12], axis=-1),
+    ], axis=-2)  # (P, F, 4, 2)
+    T = jnp.stack([t1, t2], axis=-1)  # (P, F, 2)
+    m = jnp.einsum("pfai,pfbi,pf->fab", A, A, vis, precision=HIGHEST)
+    rhs = jnp.einsum("pfai,pfi,pf->fa", A, T, vis, precision=HIGHEST)
+    return jnp.concatenate([m.reshape(-1, 16), rhs], axis=-1)  # (F, 20)
 
 
 def _solve_distortion_lsq(terms: jax.Array, shared: bool) -> jax.Array:
-    """(F, 2) distortion from the accumulated (F, 5) normal terms."""
+    """Distortion from the accumulated normal terms: (F, 5) -> radial
+    (F, 2); (F, 20) -> OPENCV (F, 4)."""
+    if terms.shape[-1] == 20:
+        return _solve_distortion_lsq4(terms, shared)
     nf = terms.shape[0]
     if shared:
         terms = jnp.broadcast_to(jnp.sum(terms, axis=0, keepdims=True), (nf, 5))
@@ -642,6 +709,23 @@ def _solve_distortion_lsq(terms: jax.Array, shared: bool) -> jax.Array:
     k1 = jnp.where(safe, (b1 * a22 - b2 * a12) / det_s, 0.0)
     k2 = jnp.where(safe, (b2 * a11 - b1 * a12) / det_s, 0.0)
     return jnp.stack([k1, k2], axis=-1)
+
+
+def _solve_distortion_lsq4(terms: jax.Array, shared: bool) -> jax.Array:
+    """(F, 4) OPENCV distortion from the accumulated (F, 20) normal
+    terms (4x4 SPD solve per camera; degenerate cameras keep zeros)."""
+    nf = terms.shape[0]
+    if shared:
+        terms = jnp.broadcast_to(jnp.sum(terms, axis=0, keepdims=True), (nf, 20))
+    m = terms[:, :16].reshape(nf, 4, 4)
+    rhs = terms[:, 16:]
+    tiny = jnp.asarray(np.finfo(np.dtype(terms.dtype)).tiny, terms.dtype)
+    tr = jnp.trace(m, axis1=-2, axis2=-1)
+    safe = tr > tiny
+    m_s = jnp.where(safe[:, None, None], m, jnp.eye(4, dtype=m.dtype)[None])
+    sol = jnp.linalg.solve(m_s, rhs[..., None])[..., 0]
+    ok = safe & jnp.isfinite(sol).all(axis=-1)
+    return jnp.where(ok[:, None], sol, 0.0)
 
 
 def lm_step(
@@ -863,7 +947,8 @@ def bundle_adjust(
         else:
             vis_fit = vis
         dist = fit_distortion(state0, x, vis_fit, f0,
-                              shared=config.distortion_shared)
+                              shared=config.distortion_shared,
+                              tangential=dist.shape[-1] == 4)
         seg_cfg = dataclasses.replace(config, record_log=False)
         state0, _, c_seg, n_seg, _ = lm_optimize(
             x, state0, vis, free, f0, seg_cfg, init_c=c_seg, dist=dist

@@ -463,7 +463,13 @@ def lm_optimize_chunked(
     huber_delta = config.huber_delta if config.robust == "huber" else None
 
     nf = state0.f.shape[0]
-    fused = use_fused_schur(dt) and axis_name is None
+    # The fused Pallas build implements the radial chain only; the
+    # 4-column OPENCV (tangential) model routes through the shared
+    # non-fused chain.
+    fused = (
+        use_fused_schur(dt) and axis_name is None
+        and (dist is None or dist.shape[-1] == 2)
+    )
     f_pad_tm, _ = schur_acc_dim(nf)
 
     def inner(cam, X_ch_, e_prev, c, nu):
@@ -556,7 +562,7 @@ def fit_distortion_chunked(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float,
     chunk_size: int, shared: bool = False,
     huber_delta: float | None = None, dist=None,
-    axis_name: str | None = None,
+    axis_name: str | None = None, tangential: bool | None = None,
 ) -> jax.Array:
     """Chunk-streamed closed-form radial-distortion refit: the (F, 5)
     normal-equation terms of the linear-in-(k1, k2) fit are per-point
@@ -566,7 +572,12 @@ def fit_distortion_chunked(
 
     With ``huber_delta`` the fit is IRLS-weighted by the *current*
     model's (``dist``) distorted residuals, computed per chunk — no
-    dense (P, F) weight array is ever materialized."""
+    dense (P, F) weight array is ever materialized.
+
+    ``tangential`` selects the 4-parameter OPENCV fit ((F, 20) normal
+    terms); by default it follows the current ``dist``'s model."""
+    if tangential is None:
+        tangential = dist is not None and dist.shape[-1] == 4
     npts = x.shape[0]
     dt = x.dtype
     pad = (-npts) % chunk_size
@@ -591,9 +602,11 @@ def fit_distortion_chunked(
             vis_c = vis_c * jnp.minimum(
                 1.0, huber_delta / jnp.maximum(mag, 1e-12)
             )
-        return acc + _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0), None
+        return acc + _distortion_lsq_terms(
+            cam, p, q, r, x_c, vis_c, f0, tangential
+        ), None
 
-    acc0 = jnp.zeros((cam.f.shape[0], 5), dt)
+    acc0 = jnp.zeros((cam.f.shape[0], 20 if tangential else 5), dt)
     if axis_name is not None:
         acc0 = _vary(acc0, axis_name)  # match the shard-varying body output
     terms, _ = jax.lax.scan(

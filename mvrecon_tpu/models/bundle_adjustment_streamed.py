@@ -152,7 +152,8 @@ def _chunk_distortion_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
         res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
         mag = jnp.sqrt(res_p**2 + res_q**2)
         vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
-    return _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0)
+    tangential = dist is not None and dist.shape[-1] == 4
+    return _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0, tangential)
 
 
 class _ChunkFeed:
@@ -324,9 +325,11 @@ def bundle_adjust_streamed(
     huber_delta = config.huber_delta if config.robust == "huber" else None
 
     def fit_distortion_streamed(cam_s, X_s, dist):
-        """Closed-form (k1, k2) refit, normal terms streamed chunk-wise
-        (Huber-weighted under the robust loss, as in the other cores)."""
-        terms = jnp.zeros((nf, 5), dtype)
+        """Closed-form distortion refit, normal terms streamed chunk-wise
+        (Huber-weighted under the robust loss, as in the other cores;
+        (F, 20) terms for the 4-parameter OPENCV model)."""
+        n_terms = 20 if dist is not None and dist.shape[-1] == 4 else 5
+        terms = jnp.zeros((nf, n_terms), dtype)
         for lo, hi, x_c, vis_c in feed:
             terms = terms + _chunk_distortion_terms(
                 cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0, dist,

@@ -333,7 +333,7 @@ def sharded_bundle_adjust_2d(
                 vis_fit = vis_l
             dist = fit_distortion(
                 st0, x_l, vis_fit, f0, shared=config.distortion_shared,
-                axis_name=POINTS_AXIS,
+                axis_name=POINTS_AXIS, tangential=dist.shape[-1] == 4,
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
             st0, _, c_seg, n_seg, _ = lm_optimize(

@@ -231,31 +231,38 @@ def _colmap_tokens(path: str):
 
 
 _COLMAP_MODEL_NAMES = {0: "SIMPLE_PINHOLE", 1: "PINHOLE",
-                       2: "SIMPLE_RADIAL", 3: "RADIAL"}
+                       2: "SIMPLE_RADIAL", 3: "RADIAL", 4: "OPENCV"}
 _COLMAP_NUM_PARAMS = {"SIMPLE_PINHOLE": 3, "PINHOLE": 4,
-                      "SIMPLE_RADIAL": 4, "RADIAL": 5}
+                      "SIMPLE_RADIAL": 4, "RADIAL": 5, "OPENCV": 8}
 _COLMAP_MODEL_IDS = {v: k for k, v in _COLMAP_MODEL_NAMES.items()}
 
 
 def _colmap_camera_fk(cam_id: int, model: str, p: list):
-    """(f, cx, cy, k1, k2) from a COLMAP camera's (model, params)."""
-    if model == "SIMPLE_PINHOLE":
-        return p[0], p[1], p[2], 0.0, 0.0
-    if model == "PINHOLE":
-        fx, fy, cx, cy = p
+    """(f, cx, cy, k1, k2, p1, p2) from a COLMAP camera's (model,
+    params)."""
+
+    def _one_focal(fx, fy):
         if abs(fx - fy) > 1e-6 * max(abs(fx), abs(fy)):
             raise ValueError(
-                f"camera {cam_id}: PINHOLE fx={fx} != fy={fy}; this "
-                "framework's BA state has one focal per camera"
+                f"camera {cam_id}: fx={fx} != fy={fy}; this framework's "
+                "BA state has one focal per camera"
             )
-        return 0.5 * (fx + fy), cx, cy, 0.0, 0.0
+        return 0.5 * (fx + fy)
+
+    if model == "SIMPLE_PINHOLE":
+        return p[0], p[1], p[2], 0.0, 0.0, 0.0, 0.0
+    if model == "PINHOLE":
+        return _one_focal(p[0], p[1]), p[2], p[3], 0.0, 0.0, 0.0, 0.0
     if model == "SIMPLE_RADIAL":
-        return p[0], p[1], p[2], p[3], 0.0
+        return p[0], p[1], p[2], p[3], 0.0, 0.0, 0.0
     if model == "RADIAL":
-        return tuple(p)
+        return (*p, 0.0, 0.0)
+    if model == "OPENCV":
+        fx, fy, cx, cy, k1, k2, p1, p2 = p
+        return _one_focal(fx, fy), cx, cy, k1, k2, p1, p2
     raise ValueError(
-        f"camera {cam_id}: unsupported COLMAP model {model!r} "
-        "(supported: SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL)"
+        f"camera {cam_id}: unsupported COLMAP model {model!r} (supported: "
+        "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV)"
     )
 
 
@@ -377,12 +384,15 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
 
     Camera models: SIMPLE_PINHOLE (f, cx, cy), PINHOLE (fx, fy, cx, cy;
     fx must equal fy — the BA state has one focal per camera),
-    SIMPLE_RADIAL (+k -> k1), RADIAL (+k1, k2). The radial model is
-    *exactly* this framework's BAL-style distortion: COLMAP distorts the
-    normalized ray as x_n (1 + k1 |x_n|^2 + k2 |x_n|^4) before K, which
-    is ``d(s) g`` with s = |x_n|^2 (``models/bundle_adjustment.py::
-    _distortion_terms``), so ``distortion`` feeds
-    ``bundle_adjust(distortion=...)`` directly.
+    SIMPLE_RADIAL (+k -> k1), RADIAL (+k1, k2), and OPENCV (fx, fy, cx,
+    cy, k1, k2, p1, p2). The radial model is *exactly* this framework's
+    BAL-style distortion: COLMAP distorts the normalized ray as
+    x_n (1 + k1 |x_n|^2 + k2 |x_n|^4) before K, which is ``d(s) g`` with
+    s = |x_n|^2 (``models/bundle_adjustment.py::_distortion_terms``);
+    OPENCV's tangential (p1, p2) terms map to the 4-column model
+    (``_tangential_terms``). ``distortion`` comes back (F, 2) for
+    radial-only models and (F, 4) when any camera carries tangential
+    terms — both feed ``bundle_adjust(distortion=...)`` directly.
 
     Observations come from the images' 2D points (entries with a
     point3D id of -1 — untriangulated features — are skipped); 3D points
@@ -409,22 +419,27 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
     t_all = np.empty((nf, 3))
     k_mats = np.zeros((nf, 3, 3))
     f_all = np.empty(nf)
-    dist = np.zeros((nf, 2))
+    dist = np.zeros((nf, 4))
     names = []
     for i, (_, q, t_cw, cam_id, name, obs) in enumerate(images):
         r_cw = _quat_to_rotmat(q)
         r_all[i] = r_cw.T
         t_all[i] = -r_cw.T @ t_cw
-        f, cx, cy, k1, k2 = cam_params[cam_id]
+        f, cx, cy, k1, k2, p1, p2 = cam_params[cam_id]
         f_all[i] = f
         k_mats[i] = [[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]]
-        dist[i] = (k1, k2)
+        dist[i] = (k1, k2, p1, p2)
         names.append(name)
         for px, py, pid in obs:
             if pid in id_to_dense:
                 j = id_to_dense[pid]
                 x[i, j] = (px, py)
                 vis[j, i] = 1.0
+
+    # radial-only models keep the (F, 2) layout (the BA cores select the
+    # OPENCV tangential path from the 4-column shape)
+    if not dist[:, 2:].any():
+        dist = dist[:, :2]
 
     return {
         "x": x, "visibility": vis, "X": pts, "R": r_all, "t": t_all,
@@ -468,13 +483,27 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
         image_size = (bound, bound)
     w_px, h_px = int(image_size[0]), int(image_size[1])
 
-    model = "SIMPLE_PINHOLE" if dist is None else "RADIAL"
-    cam_param_rows = [
-        ([float(f[i]), float(pp[i, 0]), float(pp[i, 1])] if dist is None
-         else [float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
-               float(dist[i, 0]), float(dist[i, 1])])
-        for i in range(nf)
-    ]
+    if dist is None:
+        model = "SIMPLE_PINHOLE"
+        cam_param_rows = [
+            [float(f[i]), float(pp[i, 0]), float(pp[i, 1])]
+            for i in range(nf)
+        ]
+    elif dist.shape[-1] == 4:
+        model = "OPENCV"  # fx fy cx cy k1 k2 p1 p2 (fx = fy here)
+        cam_param_rows = [
+            [float(f[i]), float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
+             float(dist[i, 0]), float(dist[i, 1]),
+             float(dist[i, 2]), float(dist[i, 3])]
+            for i in range(nf)
+        ]
+    else:
+        model = "RADIAL"
+        cam_param_rows = [
+            [float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
+             float(dist[i, 0]), float(dist[i, 1])]
+            for i in range(nf)
+        ]
     poses = []
     for i in range(nf):
         r_cw = R[i].T

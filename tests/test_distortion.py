@@ -659,3 +659,245 @@ def test_cli_bal_chunked(tmp_path, capsys):
     assert rec["command"] == "bal"
     assert np.isfinite(rec["reprojection_error"])
     assert "k1_mean" in rec
+
+
+# ---------------- OPENCV tangential (p1, p2) model ----------------
+
+def _render_opencv(st, dist4, f0=1.0):
+    """(F, P, 2) pixels through the full OPENCV radial+tangential model
+    (framework's own terms)."""
+    from mvrecon_tpu.models.bundle_adjustment import (
+        _distortion_terms,
+        _tangential_terms,
+    )
+
+    K = build_K(st.f, st.u, f0)
+    _, p, q, r = calc_pqr(st.X, K, st.R, st.t)
+    g1, g2, _, d, _ = _distortion_terms(st, p, q, r, f0, dist4)
+    t1, t2, _, _, _ = _tangential_terms(st, g1, g2, f0, dist4)
+    return jnp.stack(
+        [d * g1 + t1 + st.u[:, 0][None], d * g2 + t2 + st.u[:, 1][None]],
+        axis=-1,
+    )  # (P, F, 2)
+
+
+def _opencv_scene(n_images=8, seed=0, noise=0.0):
+    sc = make_synthetic_scene(
+        jax.random.key(0), n_images=n_images, n_slices=4, n_angles=25,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(seed)
+    dist4 = jnp.asarray(np.stack([
+        -0.3 + 0.05 * rng.standard_normal(n_images),
+        0.04 + 0.02 * rng.standard_normal(n_images),
+        0.02 + 0.01 * rng.standard_normal(n_images),
+        -0.015 + 0.01 * rng.standard_normal(n_images),
+    ], axis=-1))
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    xd = _render_opencv(st, dist4)
+    if noise:
+        xd = xd + noise * rng.standard_normal(xd.shape)
+    return sc, dist4, xd
+
+
+def test_tangential_derivs_match_autodiff():
+    """The OPENCV (k1, k2, p1, p2) chain — tangential terms added to the
+    2x2 Jacobian and the f column — must equal jax autodiff of the
+    distorted error exactly."""
+    from mvrecon_tpu.models.bundle_adjustment import _compute_derivs
+
+    sc, dist4, xd = _opencv_scene(n_images=6)
+    nf = 6
+    X0, t0 = _perturbed_state(sc, 0.02)
+    Xn, Rn, tn, _ = normalize_gauge(X0, sc.R, t0, "x-up_z-forward")
+    st = BAState(X=Xn, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=tn, R=Rn)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    free = gauge_mask(nf, "x-up_z-forward", jnp.float64)
+
+    derivs, e0 = _compute_derivs(st, xd, vis, free, 1.0, None, dist4)
+
+    def energy(X, cam):
+        s2 = BAState(
+            X=X, f=cam[:, 0], u=cam[:, 1:3], t=cam[:, 3:6],
+            R=jnp.matmul(rodrigues(cam[:, 6:9]), st.R),
+        )
+        rp, rq = _residuals(s2, xd, vis, 1.0, dist4)
+        return jnp.sum(vis * (rp**2 + rq**2))
+
+    cam0 = jnp.concatenate(
+        [st.f[:, None], st.u, st.t, jnp.zeros((nf, 3))], axis=1
+    )
+    assert abs(float(e0) - float(energy(st.X, cam0))) < 1e-12
+    g_x = jax.grad(energy, 0)(st.X, cam0)
+    g_c = jax.grad(energy, 1)(st.X, cam0).reshape(-1) * free
+    np.testing.assert_allclose(np.asarray(derivs.d_P), np.asarray(g_x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(derivs.d_F), np.asarray(g_c),
+                               atol=1e-12)
+
+
+def test_fit_tangential_exact_recovery():
+    """The 4-parameter refit is an exact linear solve: given the
+    generating geometry it recovers (k1, k2, p1, p2) to fp precision,
+    per-camera and tied (shared)."""
+    sc, dist4, xd = _opencv_scene(n_images=6)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    k_fit = fit_distortion(st, xd, vis, 1.0, tangential=True)
+    np.testing.assert_allclose(np.asarray(k_fit), np.asarray(dist4),
+                               atol=1e-9)
+
+    # tied fit on a shared-k scene
+    sc2 = make_synthetic_scene(jax.random.key(0), n_images=6, n_slices=4,
+                               n_angles=25, dtype=jnp.float64)
+    shared_k = jnp.broadcast_to(
+        jnp.asarray([-0.25, 0.03, 0.015, -0.01]), (6, 4)
+    )
+    st2 = BAState(X=sc2.X, f=sc2.K[:, 0, 0], u=sc2.K[:, :2, 2], t=sc2.t,
+                  R=sc2.R)
+    xd2 = _render_opencv(st2, shared_k)
+    k_tied = fit_distortion(st2, xd2, jnp.ones(xd2.shape[:2], jnp.float64),
+                            1.0, shared=True, tangential=True)
+    np.testing.assert_allclose(np.asarray(k_tied), np.asarray(shared_k),
+                               atol=1e-10)
+
+
+def test_tangential_zero_p_matches_radial():
+    """A 4-column model with p1 = p2 = 0 must reproduce the radial
+    result exactly (chain terms are exact no-ops)."""
+    sc, dist, xd = _distorted_scene(n_images=6)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    dist4 = jnp.concatenate([dist, jnp.zeros_like(dist)], axis=-1)
+    cfg = LMConfig(max_iter=8, delta_tol=1e-12)
+    common = dict(f0=1.0, axis="x-up_z-forward", config=cfg)
+    res2 = bundle_adjust(xd, X0, sc.K, sc.R, t0, distortion=dist, **common)
+    res4 = bundle_adjust(xd, X0, sc.K, sc.R, t0, distortion=dist4, **common)
+    np.testing.assert_allclose(
+        float(res4.error), float(res2.error), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res4.X), np.asarray(res2.X), atol=1e-12
+    )
+    assert int(res4.n_iter) == int(res2.n_iter)
+
+
+def test_tangential_e2e_recovers_geometry_all_cores():
+    """BA with the true 4-parameter model fixed reaches the ground-truth
+    geometry on OPENCV-distorted observations; the refit alternation
+    recovers (k, p) from zeros; dense == chunked (the fused path gates
+    itself off for the 4-column model)."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+
+    sc, dist4, xd = _opencv_scene(n_images=8, noise=0.002)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    common = dict(f0=1.0, axis="x-up_z-forward")
+
+    cfg = LMConfig(max_iter=12, delta_tol=1e-12)
+    res_pin = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg, **common)
+    res = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                        distortion=dist4, **common)
+    rmse_pin = float(aligned_rmse(res_pin.X, sc.X))
+    rmse = float(aligned_rmse(res.X, sc.X))
+    # tangential terms correlate with the free principal points: the
+    # pinhole fit can absorb most of the *error* (u shifts mimic p1/p2)
+    # but converges to warped *geometry* — the decisive claim is the
+    # aligned-RMSE ratio, with the error merely not worse.
+    assert rmse < 0.5 * rmse_pin, (rmse, rmse_pin)
+    assert float(res.error) <= float(res_pin.error)
+
+    # Refit alternation from zeros. Per-camera 4-parameter fits are
+    # ill-conditioned on narrow-field scenes (k2 trades against p and
+    # the free principal point), so the identification claim uses the
+    # tied fit on a shared-k rendering; the per-camera path is covered
+    # by the exact-recovery test (given geometry, the solve is exact).
+    sc_s = make_synthetic_scene(jax.random.key(0), n_images=8, n_slices=4,
+                                n_angles=25, dtype=jnp.float64)
+    shared_k = jnp.broadcast_to(
+        jnp.asarray([-0.28, 0.035, 0.018, -0.012]), (8, 4)
+    )
+    st_s = BAState(X=sc_s.X, f=sc_s.K[:, 0, 0], u=sc_s.K[:, :2, 2],
+                   t=sc_s.t, R=sc_s.R)
+    xd_s = _render_opencv(st_s, shared_k)
+    xd_s = xd_s + 0.002 * np.random.default_rng(9).standard_normal(xd_s.shape)
+    X0s, t0s = _perturbed_state(sc_s, 0.005)
+    cfg_alt = LMConfig(max_iter=10, delta_tol=1e-12, distortion_rounds=2,
+                       distortion_shared=True)
+    res_alt = bundle_adjust(
+        xd_s, X0s, sc_s.K, sc_s.R, t0s, config=cfg_alt,
+        distortion=jnp.zeros((8, 4), jnp.float64), **common,
+    )
+    assert res_alt.distortion.shape == (8, 4)
+    # k1/k2 sit in the classic radial-vs-focal degeneracy (f absorbs a
+    # slice of the series), so parameters land in the right ballpark
+    # while the *model quality* claims are tight: error matches the
+    # fixed-true-k run and geometry decisively beats pinhole.
+    np.testing.assert_allclose(
+        np.asarray(res_alt.distortion), np.asarray(shared_k), atol=0.05
+    )
+    res_true_s = bundle_adjust(xd_s, X0s, sc_s.K, sc_s.R, t0s, config=cfg,
+                               distortion=shared_k, **common)
+    assert float(res_alt.error) < 1.05 * float(res_true_s.error)
+    res_pin_s = bundle_adjust(xd_s, X0s, sc_s.K, sc_s.R, t0s,
+                              config=cfg, **common)
+    assert (
+        float(aligned_rmse(res_alt.X, sc_s.X))
+        < 0.5 * float(aligned_rmse(res_pin_s.X, sc_s.X))
+    )
+
+    # chunked core parity (non-fused path)
+    res_c = bundle_adjust_chunked(
+        xd, X0, sc.K, sc.R, t0, config=cfg, chunk_size=32,
+        distortion=dist4, **common,
+    )
+    np.testing.assert_allclose(
+        float(res_c.error), float(res.error), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_c.X), np.asarray(res.X), atol=1e-7
+    )
+
+
+def test_colmap_opencv_roundtrip_and_convention():
+    """An OPENCV COLMAP model (binary and text) round-trips with the
+    4-column distortion, and pixels rendered by the framework's own
+    OPENCV terms evaluate to ~zero error at the loaded GT state — so
+    COLMAP's tangential convention maps exactly."""
+    import os
+    import tempfile
+
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+    from mvrecon_tpu.runtime.io import load_colmap, save_colmap
+
+    sc, dist4, _ = _opencv_scene(n_images=6)
+    nf = 6
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(np.asarray(sc.K[:, 0, 0]) * 110.0)
+    pp = jnp.asarray(rng.uniform(200, 300, (nf, 2)))
+    st = BAState(X=sc.X, f=f, u=pp, t=sc.t, R=sc.R)
+    x = _render_opencv(st, dist4)  # (P, F, 2)
+    x_fp = np.asarray(x).transpose(1, 0, 2)
+    vis = np.ones((x.shape[0], nf))
+
+    for binary in (False, True):
+        mdir = os.path.join(tempfile.mkdtemp(), "m")
+        save_colmap(mdir, x_fp, vis, np.asarray(sc.X), np.asarray(sc.R),
+                    np.asarray(sc.t), np.asarray(f),
+                    principal_point=np.asarray(pp),
+                    distortion=np.asarray(dist4), binary=binary)
+        d = load_colmap(mdir)
+        assert d["distortion"].shape == (nf, 4)
+        np.testing.assert_allclose(d["distortion"], np.asarray(dist4),
+                                   atol=1e-12)
+        st_l = BAState(
+            X=jnp.asarray(d["X"]), f=jnp.asarray(d["f"]),
+            u=jnp.asarray(d["K"][:, :2, 2]), t=jnp.asarray(d["t"]),
+            R=jnp.asarray(d["R"]),
+        )
+        e = _state_error(
+            st_l, jnp.asarray(d["x"].transpose(1, 0, 2)),
+            jnp.asarray(d["visibility"]), 1.0, None,
+            jnp.asarray(d["distortion"]),
+        )
+        assert float(e) < 1e-16, float(e)
