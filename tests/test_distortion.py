@@ -901,3 +901,33 @@ def test_colmap_opencv_roundtrip_and_convention():
             jnp.asarray(d["distortion"]),
         )
         assert float(e) < 1e-16, float(e)
+
+
+def test_sharded_tangential_matches_dense():
+    """Point-sharded BA with the 4-column OPENCV model (fixed and
+    refit-alternated) matches the dense result — the tangential refit's
+    (F, 20) normal terms complete with the same single psum."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
+
+    sc, dist4, xd = _opencv_scene(n_images=8, noise=0.002)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    mesh = make_mesh({"points": 4})
+    common = dict(f0=1.0, axis="x-up_z-forward")
+
+    cfg = LMConfig(max_iter=8, delta_tol=1e-10, distortion_rounds=1,
+                   distortion_shared=True)
+    res_d = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                          distortion=dist4, **common)
+    res_s = sharded_bundle_adjust(mesh, xd, X0, sc.K, sc.R, t0, config=cfg,
+                                  distortion=dist4, **common)
+    assert res_s.distortion.shape == (8, 4)
+    np.testing.assert_allclose(
+        np.asarray(res_s.distortion), np.asarray(res_d.distortion), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(res_s.error), float(res_d.error), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.X), np.asarray(res_d.X), atol=1e-6
+    )
