@@ -98,6 +98,12 @@ class LMConfig:
     # camera captured the sequence) — well-posed even when single frames
     # see too few rays to identify their own distortion.
     distortion_shared: bool = False
+    # how to interpret the ``distortion`` columns: "auto" maps (F, 2) to
+    # the BAL radial model and (F, 4) to OPENCV (k1, k2, p1, p2);
+    # "fisheye" reads (F, 4) as OPENCV_FISHEYE (k1..k4 polynomial in
+    # theta on the equidistant projection). "radial"/"opencv" pin the
+    # auto choices explicitly.
+    distortion_model: str = "auto"
 
     @property
     def divisor(self) -> float:

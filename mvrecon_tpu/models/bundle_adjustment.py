@@ -171,30 +171,118 @@ def reprojection_error(
     return jnp.sum(vis * e)
 
 
+DISTORTION_MODELS = ("radial", "opencv", "fisheye")
+_DISTORTION_NCOLS = {"radial": 2, "opencv": 4, "fisheye": 4}
+
+
+def resolve_distortion_model(
+    dist: jax.Array | None, model: str | None = "auto"
+) -> str:
+    """Concrete distortion-model name from (columns, requested model).
+
+    "auto" (the ``LMConfig.distortion_model`` default) keeps the
+    column-count convention: (F, 2) = BAL radial, (F, 4) = OPENCV.
+    OPENCV_FISHEYE also carries 4 parameters (k1..k4), so it must be
+    requested explicitly."""
+    if model in (None, "auto"):
+        if dist is None:
+            return "radial"
+        n = int(dist.shape[-1])
+        if n == 2:
+            return "radial"
+        if n == 4:
+            return "opencv"
+        raise ValueError(f"distortion must have 2 or 4 columns, got {n}")
+    if model not in DISTORTION_MODELS:
+        raise ValueError(f"unknown distortion model: {model!r}")
+    if dist is not None and int(dist.shape[-1]) != _DISTORTION_NCOLS[model]:
+        raise ValueError(
+            f"{model} distortion expects {_DISTORTION_NCOLS[model]} columns, "
+            f"got {dist.shape[-1]}"
+        )
+    return model
+
+
+def distortion_nterms(model: str) -> int:
+    """Columns of the per-camera normal-equation accumulands of the
+    closed-form refit (``_distortion_lsq_terms``)."""
+    return 5 if model == "radial" else 20
+
+
 def _distortion_terms(
     state: BAState, p: jax.Array, q: jax.Array, r: jax.Array, f0: float,
-    dist: jax.Array,
+    dist: jax.Array, model: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Per-observation radial-distortion quantities (BAL camera model:
-    pixel = f * d(rho) * rho with d = 1 + k1 |rho|^2 + k2 |rho|^4 on the
-    normalized ray rho = Xc_xy / Xc_z; see ``runtime/io.py::load_bal``).
+    """Per-observation distortion quantities shared by every chain-rule
+    consumer. Returns (g1, g2, s, d, wu) such that for the radial-family
+    part of any model the distorted prediction is ``pi~ = d g + u/f0``
+    and the exact 2x2 Jacobian chain is ``D = d I + cw g g^T`` with
+    ``cw = wu (f0/f)^2``; the explicit f-column correction is
+    ``-(wu s / f) g`` (both identities hold for each model below with
+    its own d and wu — the chain code is model-agnostic).
 
-    In this framework's f0-normalized image coordinates the undistorted
-    prediction is pi = (p/r, q/r) = (f/f0) rho + u/f0, so with
-    g = pi - u/f0 and s = |rho|^2 = (f0/f)^2 |g|^2 the distorted
-    prediction is ``pi~ = d(s) g + u/f0``. Returns (g1, g2, s, d, w)
-    with w = dd/ds = k1 + 2 k2 s — everything the residual and the
-    chain-rule Jacobian transform need. ``r`` must already be sanitized
-    (nonzero where masked)."""
+    radial (BAL camera model, ``runtime/io.py::load_bal``): pixel =
+    f * d(s) rho on the normalized ray rho = Xc_xy / Xc_z with
+    d = 1 + k1 s + k2 s^2, s = |rho|^2. In f0-normalized image
+    coordinates the undistorted prediction is pi = (p/r, q/r) =
+    (f/f0) rho + u/f0, so with g = pi - u/f0 it becomes d(s) g + u/f0
+    and wu = 2 dd/ds = 2 (k1 + 2 k2 s).
+
+    fisheye (COLMAP OPENCV_FISHEYE / OpenCV cv::fisheye): the
+    equidistant projection theta_d(theta) = theta (1 + k1 theta^2 +
+    k2 theta^4 + k3 theta^6 + k4 theta^8) with theta = atan(|rho|);
+    the prediction is m g + u/f0 with the radial scale m =
+    theta_d / |rho| and wu = (dm/d|rho|) / |rho| (Taylor-safe at the
+    principal point, where m -> 1 and wu -> 2 (k1 - 1/3)).
+
+    ``r`` must already be sanitized (nonzero where masked)."""
+    model = resolve_distortion_model(dist, model)
     g1 = p / r - (state.u[:, 0] / f0)[None]  # (P, F)
     g2 = q / r - (state.u[:, 1] / f0)[None]
     ratio2 = (f0 / state.f) ** 2  # (F,)
     s = ratio2[None] * (g1 * g1 + g2 * g2)
+    if model == "fisheye":
+        d, wu = _fisheye_scale(s, dist)
+        return g1, g2, s, d, wu
     k1 = dist[:, 0][None]
     k2 = dist[:, 1][None]
     d = 1.0 + s * (k1 + s * k2)
-    w = k1 + 2.0 * k2 * s
-    return g1, g2, s, d, w
+    wu = 2.0 * (k1 + 2.0 * k2 * s)
+    return g1, g2, s, d, wu
+
+
+def _fisheye_scale(s: jax.Array, dist: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(m, m'/rn) of the equidistant theta-polynomial at rn = sqrt(s)
+    (rn = |rho|, the normalized-ray radius).
+
+    With theta = atan(rn) and theta_d = theta P(theta^2),
+    P(y) = 1 + k1 y + k2 y^2 + k3 y^3 + k4 y^4:
+      m     = theta_d / rn
+      m'/rn = (theta_d'(theta) / (1 + rn^2) - m) / rn^2
+    Both are even in rn with finite limits m -> 1,
+    m'/rn -> 2 (k1 - 1/3) at rn -> 0; the small-s branch uses the
+    quadratic Taylor expansion and the exact branch clamps s away from
+    zero so reverse-mode autodiff through the unused branch stays
+    finite (the standard double-where guard)."""
+    k1 = dist[:, 0][None]
+    k2 = dist[:, 1][None]
+    k3 = dist[:, 2][None]
+    k4 = dist[:, 3][None]
+    small = s < 1e-12
+    s_safe = jnp.where(small, 1.0, s)
+    rn = jnp.sqrt(s_safe)
+    th = jnp.arctan(rn)
+    th2 = th * th
+    poly = 1.0 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4)))
+    dpoly = k1 + th2 * (2.0 * k2 + th2 * (3.0 * k3 + th2 * (4.0 * k4)))
+    thd = th * poly
+    dthd = poly + 2.0 * th2 * dpoly  # d theta_d / d theta
+    m_exact = thd / rn
+    wu_exact = (dthd / (1.0 + s_safe) - m_exact) / s_safe
+    c0 = k1 - (1.0 / 3.0)
+    m = jnp.where(small, 1.0 + c0 * s, m_exact)
+    wu = jnp.where(small, 2.0 * c0, wu_exact)
+    return m, wu
 
 
 def _tangential_terms(state: BAState, g1, g2, f0: float, dist):
@@ -221,25 +309,28 @@ def _tangential_terms(state: BAState, g1, g2, f0: float, dist):
 
 
 def _apply_distortion_chain(
-    state: BAState, p, q, r, f0: float, dist, res_p, res_q, a1, a2, b1, b2
+    state: BAState, p, q, r, f0: float, dist, res_p, res_q, a1, a2, b1, b2,
+    model: str | None = None,
 ):
     """Distortion transform of the residuals and the rank-2 Jacobian
     factors (shared by the dense and chunked derivative builds; leading
     axis is P or a chunk C).
 
-    Distorted prediction pi~ = d(s) g + u/f0 (+ the tangential shift
-    t(g) when ``dist`` is the 4-column OPENCV model). The residual gains
+    Distorted prediction pi~ = d g + u/f0 (+ the tangential shift
+    t(g) under the OPENCV model), with (d, wu) the model's radial scale
+    and chain weight (``_distortion_terms``). The residual gains
     (d - 1) g (+ t); the factor rows chain through the 2x2 Jacobian
-    D = d I + 2 w (f0/f)^2 g g^T (+ dt/dg, also symmetric), which
+    D = d I + wu (f0/f)^2 g g^T (+ dt/dg, also symmetric), which
     applies verbatim to the point rows (a). The camera rows (b) differ
     from dg/dtheta in exactly two places: the u columns (dg/du =
     dpi/du - 1/f0, and pi~ adds its own +1/f0 back) and the f column
-    (s and c depend on f directly: dpi~/df gains -(2 w s / f) g - t/f)."""
-    g1, g2, s, d, w = _distortion_terms(state, p, q, r, f0, dist)
-    tangential = dist.shape[-1] == 4
+    (s and c depend on f directly: dpi~/df gains -(wu s / f) g - t/f)."""
+    model = resolve_distortion_model(dist, model)
+    g1, g2, s, d, wu = _distortion_terms(state, p, q, r, f0, dist, model)
+    tangential = model == "opencv"
     res_p = res_p + (d - 1.0) * g1
     res_q = res_q + (d - 1.0) * g2
-    cw = (2.0 * w) * (f0 / state.f)[None] ** 2
+    cw = wu * (f0 / state.f)[None] ** 2
     d11 = d + cw * g1 * g1
     d12 = cw * g1 * g2
     d22 = d + cw * g2 * g2
@@ -263,7 +354,7 @@ def _apply_distortion_chain(
     )
     b1 = b1.at[..., 1].add(inv_f0)  # + d(u/f0)/du
     b2 = b2.at[..., 2].add(inv_f0)
-    cf = 2.0 * w * s / state.f[None]  # -(2 w s / f) g on the f column
+    cf = wu * s / state.f[None]  # -(wu s / f) g on the f column
     b1 = b1.at[..., 0].add(-cf * g1)
     b2 = b2.at[..., 0].add(-cf * g2)
     if tangential:
@@ -273,17 +364,19 @@ def _apply_distortion_chain(
     return res_p, res_q, a1, a2, b1, b2
 
 
-def _distorted_residual(state: BAState, p, q, r, x, f0: float, dist):
+def _distorted_residual(state: BAState, p, q, r, x, f0: float, dist,
+                        model: str | None = None):
     """(res_p, res_q) through the distortion model from sanitized
     (p, q, r) — the shared trial-error expression of the dense and
     chunked cores."""
     res_p = p / r - x[..., 0] / f0
     res_q = q / r - x[..., 1] / f0
     if dist is not None:
-        g1, g2, _, d, _ = _distortion_terms(state, p, q, r, f0, dist)
+        model = resolve_distortion_model(dist, model)
+        g1, g2, _, d, _ = _distortion_terms(state, p, q, r, f0, dist, model)
         res_p = res_p + (d - 1.0) * g1
         res_q = res_q + (d - 1.0) * g2
-        if dist.shape[-1] == 4:
+        if model == "opencv":
             t1, t2, _, _, _ = _tangential_terms(state, g1, g2, f0, dist)
             res_p = res_p + t1
             res_q = res_q + t2
@@ -362,6 +455,7 @@ def _compute_derivs(
     f0: float,
     axis_name: str | None = None,
     dist: jax.Array | None = None,
+    model: str | None = None,
 ) -> tuple[_Derivs, jax.Array]:
     """All first/second derivative blocks for one outer LM iteration
     (reference ``:102-116``). Returns (derivs, current E).
@@ -404,7 +498,7 @@ def _compute_derivs(
 
     if dist is not None:
         res_p, res_q, a1, a2, b1, b2 = _apply_distortion_chain(
-            state, p, q, r, f0, dist, res_p, res_q, a1, a2, b1, b2
+            state, p, q, r, f0, dist, res_p, res_q, a1, a2, b1, b2, model
         )
 
     e_now = _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
@@ -584,33 +678,34 @@ def _apply_update(state: BAState, delta_xi: jax.Array, delta_x: jax.Array) -> BA
 
 def _residuals(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float,
-    dist: jax.Array | None = None,
+    dist: jax.Array | None = None, model: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-observation (res_p, res_q), optionally through the radial
     distortion model (masked entries sanitized)."""
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
     r = jnp.where(vis > 0, r, jnp.ones_like(r))
-    return _distorted_residual(state, p, q, r, x, f0, dist)
+    return _distorted_residual(state, p, q, r, x, f0, dist, model)
 
 
 def _state_error(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float,
     axis_name: str | None = None, dist: jax.Array | None = None,
+    model: str | None = None,
 ) -> jax.Array:
-    res_p, res_q = _residuals(state, x, vis, f0, dist)
+    res_p, res_q = _residuals(state, x, vis, f0, dist, model)
     return _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
 
 
 def _huber_weights(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float, delta: float,
-    dist: jax.Array | None = None,
+    dist: jax.Array | None = None, model: str | None = None,
 ) -> jax.Array:
     """IRLS Huber weights from the current residuals: w = min(1, delta/|r|)
     per observation (|r| = normalized reprojection residual magnitude).
     Multiplied into the visibility mask, gross outliers contribute
     linearly instead of quadratically."""
-    res_p, res_q = _residuals(state, x, vis, f0, dist)
+    res_p, res_q = _residuals(state, x, vis, f0, dist, model)
     mag = jnp.sqrt(res_p**2 + res_q**2)
     w = jnp.minimum(1.0, delta / jnp.maximum(mag, 1e-12))
     return vis * w
@@ -619,9 +714,9 @@ def _huber_weights(
 def fit_distortion(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float,
     shared: bool = False, axis_name: str | None = None,
-    tangential: bool = False,
+    tangential: bool = False, model: str | None = None,
 ) -> jax.Array:
-    """Closed-form per-camera radial-distortion refit.
+    """Closed-form per-camera distortion refit.
 
     The BAL camera model's prediction ``pi~ = (1 + k1 s + k2 s^2) g +
     u/f0`` is *linear* in (k1, k2) given the geometry, so the
@@ -642,23 +737,35 @@ def fit_distortion(
     The (F, 5) normal terms are per-point sums, so under point sharding
     (``axis_name``) one psum completes them.
 
-    ``tangential=True`` fits the 4-parameter OPENCV model
-    (k1, k2, p1, p2) instead — the prediction is linear in all four, so
-    the refit stays an exact closed-form solve, now per-camera 4x4
-    ((F, 20) normal terms, still a per-point sum)."""
+    ``tangential=True`` (equivalently ``model="opencv"``) fits the
+    4-parameter OPENCV model (k1, k2, p1, p2) instead — the prediction
+    is linear in all four, so the refit stays an exact closed-form
+    solve, now per-camera 4x4 ((F, 20) normal terms, still a per-point
+    sum). ``model="fisheye"`` fits the OPENCV_FISHEYE theta-polynomial
+    (k1..k4): the prediction m0 (1 + sum k_i theta^(2i)) g + u/f0 is
+    linear in k too, with basis vectors m0 theta^(2i) g against the
+    target (x - u)/f0 - m0 g (m0 = theta/|rho|, the k = 0 equidistant
+    base)."""
+    if model is None:
+        model = "opencv" if tangential else "radial"
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
-    terms = _distortion_lsq_terms(state, p, q, r, x, vis, f0, tangential)
+    terms = _distortion_lsq_terms(state, p, q, r, x, vis, f0, model)
     return _solve_distortion_lsq(_psum(terms, axis_name), shared)
 
 
 def _distortion_lsq_terms(state: BAState, p, q, r, x, vis, f0: float,
-                          tangential: bool = False):
+                          model="radial"):
     """Per-camera normal-equation accumulands of the linear-in-k
     distortion fit — a per-point sum, so the chunked core accumulates
     them over point chunks. (F, 5) = (a11, a12, a22, b1, b2) for the
     radial model; (F, 20) = (4x4 normal matrix rows, 4 rhs) for the
-    OPENCV (k1, k2, p1, p2) model."""
+    4-parameter models (OPENCV (k1, k2, p1, p2) / OPENCV_FISHEYE
+    k1..k4). ``model`` also accepts the legacy bool (tangential)."""
+    if isinstance(model, bool):
+        model = "opencv" if model else "radial"
+    elif model is None:
+        model = "radial"
     r = jnp.where(vis > 0, r, jnp.ones_like(r))
     g1 = p / r - (state.u[:, 0] / f0)[None]
     g2 = q / r - (state.u[:, 1] / f0)[None]
@@ -666,7 +773,28 @@ def _distortion_lsq_terms(state: BAState, p, q, r, x, vis, f0: float,
     # target: (x/f0 - u/f0) - g = what the distortion shift must explain
     t1 = x[..., 0] / f0 - (state.u[:, 0] / f0)[None] - g1
     t2 = x[..., 1] / f0 - (state.u[:, 1] / f0)[None] - g2
-    if not tangential:
+    if model == "fisheye":
+        # basis m0 theta^(2i) g against target (x - u)/f0 - m0 g
+        small = s < 1e-12
+        s_safe = jnp.where(small, 1.0, s)
+        rn = jnp.sqrt(s_safe)
+        th = jnp.arctan(rn)
+        m0 = jnp.where(small, 1.0 - s / 3.0, th / rn)
+        t1 = t1 + (1.0 - m0) * g1  # target -= (m0 - 1) g
+        t2 = t2 + (1.0 - m0) * g2
+        th2 = jnp.where(small, s, th * th)
+        base1, base2 = m0 * g1, m0 * g2
+        A = jnp.stack([
+            jnp.stack([th2 * base1, th2 * base2], axis=-1),
+            jnp.stack([th2**2 * base1, th2**2 * base2], axis=-1),
+            jnp.stack([th2**3 * base1, th2**3 * base2], axis=-1),
+            jnp.stack([th2**4 * base1, th2**4 * base2], axis=-1),
+        ], axis=-2)  # (P, F, 4, 2)
+        T = jnp.stack([t1, t2], axis=-1)
+        m = jnp.einsum("pfai,pfbi,pf->fab", A, A, vis, precision=HIGHEST)
+        rhs = jnp.einsum("pfai,pfi,pf->fa", A, T, vis, precision=HIGHEST)
+        return jnp.concatenate([m.reshape(-1, 16), rhs], axis=-1)  # (F, 20)
+    if model == "radial":
         gg = g1 * g1 + g2 * g2
         gt = g1 * t1 + g2 * t2
         s2 = s * s
@@ -737,6 +865,7 @@ def lm_step(
     c: jax.Array,
     axis_name: str | None = None,
     dist: jax.Array | None = None,
+    distortion_model: str = "auto",
 ) -> tuple[BAState, jax.Array, jax.Array]:
     """One damped Gauss-Newton/LM step: derivatives -> Schur solve ->
     update -> new error. The framework's "train step" building block
@@ -744,10 +873,11 @@ def lm_step(
 
     Returns (new_state, error_before, error_after).
     """
-    derivs, e0 = _compute_derivs(state, x, vis, free, f0, axis_name, dist)
+    model = resolve_distortion_model(dist, distortion_model)
+    derivs, e0 = _compute_derivs(state, x, vis, free, f0, axis_name, dist, model)
     delta_xi, delta_x = _damped_solve(derivs, c, free, axis_name)
     new = _apply_update(state, delta_xi, delta_x)
-    e1 = _state_error(new, x, vis, f0, axis_name, dist)
+    e1 = _state_error(new, x, vis, f0, axis_name, dist, model)
     return new, e0, e1
 
 
@@ -783,7 +913,8 @@ def lm_optimize(
     record = config.record_log
     max_iter = config.max_iter
 
-    e0 = _state_error(state0, x, vis, f0, axis_name, dist)
+    model = resolve_distortion_model(dist, config.distortion_model)
+    e0 = _state_error(state0, x, vis, f0, axis_name, dist, model)
 
     if record:
         npts, nf = state0.X.shape[0], state0.f.shape[0]
@@ -813,7 +944,7 @@ def lm_optimize(
             c_cur, nu_cur, _, _, tries, _ = carry
             delta_xi, delta_x = solve(derivs, c_cur, free, axis_name)
             trial = _apply_update(state_c, delta_xi, delta_x)
-            e_trial = _state_error(trial, x, vis_it, f0, axis_name, dist)
+            e_trial = _state_error(trial, x, vis_it, f0, axis_name, dist, model)
             accepted = e_trial <= e_prev
             if nielsen:
                 pred = _predicted_reduction(derivs, delta_xi, delta_x, c_cur, axis_name)
@@ -853,10 +984,10 @@ def lm_optimize(
         if robust:
             # IRLS: reweight from the current residuals; the accept test
             # and the stopping delta both use this iteration's weights.
-            vis_it = _huber_weights(state_c, x, vis, f0, config.huber_delta, dist)
+            vis_it = _huber_weights(state_c, x, vis, f0, config.huber_delta, dist, model)
         else:
             vis_it = vis
-        derivs, e_prev_w = _compute_derivs(state_c, x, vis_it, free, f0, axis_name, dist)
+        derivs, e_prev_w = _compute_derivs(state_c, x, vis_it, free, f0, axis_name, dist, model)
         e_base = e_prev_w if robust else e_prev
         c_new, nu_new, e_new, trial = inner(state_c, derivs, e_base, c, nu, vis_it)
         delta = jnp.abs(e_new - e_base)
@@ -902,7 +1033,10 @@ def bundle_adjust(
 
     distortion: optional (F, 2) radial (k1, k2) in the BAL camera model
     (``runtime/io.py::load_bal``; /root/reference has no distortion
-    model). Held fixed unless ``config.distortion_rounds > 0``, which
+    model), (F, 4) OPENCV (k1, k2, p1, p2), or (F, 4) OPENCV_FISHEYE
+    k1..k4 with ``config.distortion_model="fisheye"``
+    (``resolve_distortion_model``). Held fixed unless
+    ``config.distortion_rounds > 0``, which
     alternates geometry LM with the exact closed-form per-camera refit
     (``fit_distortion``) — pass ``distortion_rounds > 0`` with
     ``distortion=None`` to start the refit from (0, 0). Distortion is
@@ -928,8 +1062,9 @@ def bundle_adjust(
     free = gauge_mask(nf, axis, dt)
 
     dist = None if distortion is None else jnp.asarray(distortion, dt)
+    model = resolve_distortion_model(dist, config.distortion_model)
     if config.distortion_rounds > 0 and dist is None:
-        dist = jnp.zeros((nf, 2), dt)
+        dist = jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt)
 
     n_total = jnp.asarray(0)
     c_seg = None
@@ -943,12 +1078,12 @@ def bundle_adjust(
         # 2-parameter per-camera LSQ otherwise latches onto the gross
         # outliers the robust geometry pass is busy rejecting.
         if config.robust == "huber":
-            vis_fit = _huber_weights(state0, x, vis, f0, config.huber_delta, dist)
+            vis_fit = _huber_weights(state0, x, vis, f0, config.huber_delta,
+                                     dist, model)
         else:
             vis_fit = vis
         dist = fit_distortion(state0, x, vis_fit, f0,
-                              shared=config.distortion_shared,
-                              tangential=dist.shape[-1] == 4)
+                              shared=config.distortion_shared, model=model)
         seg_cfg = dataclasses.replace(config, record_log=False)
         state0, _, c_seg, n_seg, _ = lm_optimize(
             x, state0, vis, free, f0, seg_cfg, init_c=c_seg, dist=dist

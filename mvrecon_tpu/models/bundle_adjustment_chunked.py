@@ -51,6 +51,7 @@ from ..ops.pallas_syrk import (
 from .bundle_adjustment import (
     BAResult,
     BAState,
+    _DISTORTION_NCOLS,
     _apply_distortion_chain,
     _apply_update,
     _camera_param_derivs,
@@ -60,14 +61,16 @@ from .bundle_adjustment import (
     _solve_distortion_lsq,
     build_K,
     calc_pqr,
+    distortion_nterms,
     gauge_mask,
     normalize_gauge,
+    resolve_distortion_model,
     restore_gauge,
 )
 
 
 def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None,
-                   dist=None):
+                   dist=None, model: str | None = None):
     """Rank-2 Jacobian factors for one point chunk: every second-derivative
     block is 2 * vis * (a1 (x) b1 + a2 (x) b2), so downstream stages work
     from (a1, a2 (C, F, 3); b1, b2 (C, F, 9); residuals) without
@@ -101,7 +104,7 @@ def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None,
 
     if dist is not None:
         res_p, res_q, a1, a2, b1, b2 = _apply_distortion_chain(
-            st, p, q, r, f0, dist, res_p, res_q, a1, a2, b1, b2
+            st, p, q, r, f0, dist, res_p, res_q, a1, a2, b1, b2, model
         )
 
     if huber_delta is not None:
@@ -129,12 +132,12 @@ def _point_grad_and_block(a1, a2, res_p, res_q, vis_c):
 
 
 def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=None,
-                  dist=None):
+                  dist=None, model: str | None = None):
     """Derivative blocks for one point chunk (C points): the chunk-local
     analog of ``_compute_derivs`` (same math, same reference citations)."""
     nf = state_cam.f.shape[0]
     a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-        state_cam, X_c, x_c, vis_c, f0, huber_delta, dist
+        state_cam, X_c, x_c, vis_c, f0, huber_delta, dist, model
     )
     e_chunk = jnp.sum(vis_c * (res_p**2 + res_q**2))
 
@@ -242,7 +245,7 @@ def _vary(v, axis_name):
 
 def _build_system(
     state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None, huber_delta=None,
-    dist=None,
+    dist=None, model: str | None = None,
 ):
     """Scan 1: accumulate the damped reduced camera system over chunks
     (then over devices when ``axis_name`` is set — sharding composes with
@@ -258,7 +261,7 @@ def _build_system(
         schur_acc, b_acc, g_acc, df_acc, e_acc = carry
         X_c, x_c, vis_c = inp
         d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
-            state_cam, X_c, x_c, vis_c, free, f0, huber_delta, dist
+            state_cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
         )
         # Cholesky-split the damped point blocks: F^T Einv F = (L^-1 F)^T
         # (L^-1 F) — a *symmetric* rank-k product, computed by the Pallas
@@ -313,6 +316,7 @@ def _build_system(
 def _backsub_and_trial(
     state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, delta_xi,
     axis_name=None, huber_delta=None, fused=False, dist=None,
+    model: str | None = None,
 ):
     """Scan 2: per chunk, recompute blocks at the *current* state, back-
     substitute the point update, and accumulate the trial error under the
@@ -352,7 +356,7 @@ def _backsub_and_trial(
         #                             + a2[p,f,x] <b2[p,f], dxi_f>)
         # so the (C, 3, 9F) coupling block is never materialized here.
         a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-            state_cam, X_c, x_c, vis_c, f0, huber_delta, dist
+            state_cam, X_c, x_c, vis_c, f0, huber_delta, dist, model
         )
         d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
         matEc = matE + c * matE * eye3[None]
@@ -375,7 +379,7 @@ def _backsub_and_trial(
         _, p, q, r = calc_pqr(X_new, K_trial, trial_cam.R, trial_cam.t)
         r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
         res_tp, res_tq = _distorted_residual(
-            trial_cam, p, q, r, x_c, f0, dist
+            trial_cam, p, q, r, x_c, f0, dist, model
         )
         e_c = jnp.sum(vis_c * (res_tp**2 + res_tq**2))
         return (
@@ -432,6 +436,7 @@ def lm_optimize_chunked(
         state0 = state0._replace(
             X=jnp.concatenate([state0.X, jnp.broadcast_to(center, (pad, 3))], axis=0)
         )
+    model = resolve_distortion_model(dist, config.distortion_model)
     n_chunks = x.shape[0] // chunk_size
     x_ch = _chunked(x, n_chunks)
     vis_ch = _chunked(vis, n_chunks)
@@ -447,7 +452,8 @@ def lm_optimize_chunked(
             X_c, x_c, vis_c = inp
             _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
             r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
-            res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
+            res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist,
+                                               model)
             e = jnp.sum(vis_c * (res_p**2 + res_q**2))
             return acc + e, None
 
@@ -491,7 +497,7 @@ def lm_optimize_chunked(
             else:
                 a, b, e_w, (diag_g, d_f) = _build_system(
                     cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name,
-                    huber_delta, dist,
+                    huber_delta, dist, model,
                 )
                 delta_xi = jax.scipy.linalg.cho_solve(
                     jax.scipy.linalg.cho_factor(a), b
@@ -499,7 +505,7 @@ def lm_optimize_chunked(
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             X_new_ch, e_trial, dDd_pts, gd_pts = _backsub_and_trial(
                 cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi,
-                axis_name, huber_delta, fused=fused, dist=dist,
+                axis_name, huber_delta, fused=fused, dist=dist, model=model,
             )
             e_base = e_w if huber_delta is not None else e_prev
             accepted = e_trial <= e_base
@@ -563,6 +569,7 @@ def fit_distortion_chunked(
     chunk_size: int, shared: bool = False,
     huber_delta: float | None = None, dist=None,
     axis_name: str | None = None, tangential: bool | None = None,
+    model: str | None = None,
 ) -> jax.Array:
     """Chunk-streamed closed-form radial-distortion refit: the (F, 5)
     normal-equation terms of the linear-in-(k1, k2) fit are per-point
@@ -574,10 +581,15 @@ def fit_distortion_chunked(
     model's (``dist``) distorted residuals, computed per chunk — no
     dense (P, F) weight array is ever materialized.
 
-    ``tangential`` selects the 4-parameter OPENCV fit ((F, 20) normal
-    terms); by default it follows the current ``dist``'s model."""
-    if tangential is None:
-        tangential = dist is not None and dist.shape[-1] == 4
+    ``tangential``/``model`` select the 4-parameter fits ((F, 20)
+    normal terms); by default the model follows the current ``dist``'s
+    column count (``resolve_distortion_model``)."""
+    if model is None:
+        if tangential is None:
+            model = resolve_distortion_model(dist, "auto")
+        else:
+            model = "opencv" if tangential else "radial"
+    
     npts = x.shape[0]
     dt = x.dtype
     pad = (-npts) % chunk_size
@@ -597,16 +609,17 @@ def fit_distortion_chunked(
         _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
         r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
         if huber_delta is not None:
-            res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
+            res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist,
+                                               model)
             mag = jnp.sqrt(res_p**2 + res_q**2)
             vis_c = vis_c * jnp.minimum(
                 1.0, huber_delta / jnp.maximum(mag, 1e-12)
             )
         return acc + _distortion_lsq_terms(
-            cam, p, q, r, x_c, vis_c, f0, tangential
+            cam, p, q, r, x_c, vis_c, f0, model
         ), None
 
-    acc0 = jnp.zeros((cam.f.shape[0], 20 if tangential else 5), dt)
+    acc0 = jnp.zeros((cam.f.shape[0], distortion_nterms(model)), dt)
     if axis_name is not None:
         acc0 = _vary(acc0, axis_name)  # match the shard-varying body output
     terms, _ = jax.lax.scan(
@@ -658,8 +671,9 @@ def bundle_adjust_chunked(
     free = gauge_mask(nf, axis, dt)
 
     dist = None if distortion is None else jnp.asarray(distortion, dt)
+    model = resolve_distortion_model(dist, config.distortion_model)
     if config.distortion_rounds > 0 and dist is None:
-        dist = jnp.zeros((nf, 2), dt)
+        dist = jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt)
 
     n_total = jnp.asarray(0)
     c_seg, nu_seg = init_c, init_nu
@@ -672,7 +686,7 @@ def bundle_adjust_chunked(
             shared=config.distortion_shared,
             huber_delta=(config.huber_delta if config.robust == "huber"
                          else None),
-            dist=dist,
+            dist=dist, model=model,
         )
         seg_cfg = dataclasses.replace(config, record_log=False)
         state0, _, c_seg, nu_seg, n_seg, _ = lm_optimize_chunked(

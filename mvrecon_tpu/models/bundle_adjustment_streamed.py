@@ -40,29 +40,32 @@ from ..config import HIGHEST
 from .bundle_adjustment import (
     BAResult,
     BAState,
+    _DISTORTION_NCOLS,
     _apply_update,
     _distorted_residual,
     _distortion_lsq_terms,
     _solve_distortion_lsq,
     build_K,
     calc_pqr,
+    distortion_nterms,
     gauge_mask,
     normalize_gauge,
+    resolve_distortion_model,
     restore_gauge,
 )
 from .bundle_adjustment_chunked import _chunk_blocks, _chunk_factors, _point_grad_and_block
 
 
-@partial(jax.jit, static_argnames=("f0",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("f0", "model"), donate_argnums=(0,))
 def _accumulate_chunk(accs, cam: BAState, X_c, x_c, vis_c, free, c, f0: float,
-                      dist=None, huber_delta=None):
+                      dist=None, huber_delta=None, model: str | None = None):
     """Fold one chunk's damped Schur/gradient contributions into the
     device-resident accumulators (schur, b, G, d_F, E). With
     ``huber_delta`` the blocks and the accumulated error are IRLS
     Huber-weighted at the current state (the chunked core's protocol)."""
     schur_acc, b_acc, g_acc, df_acc, e_acc = accs
     d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
-        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist
+        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
     )
     dt = x_c.dtype
     eye3 = jnp.eye(3, dtype=dt)
@@ -96,14 +99,15 @@ def _assemble_and_solve(accs, free, c, f0: float):
     return delta_xi, e_now
 
 
-@partial(jax.jit, static_argnames=("f0",))
+@partial(jax.jit, static_argnames=("f0", "model"))
 def _backsub_chunk(cam: BAState, trial_cam: BAState, X_c, x_c, vis_c, free, c,
-                   delta_xi, f0: float, dist=None, huber_delta=None):
+                   delta_xi, f0: float, dist=None, huber_delta=None,
+                   model: str | None = None):
     """Back-substitute one chunk's point update and its trial error (the
     trial error is weighted by the *current*-state Huber weights, exactly
     as the chunked core's scan 2)."""
     a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-        cam, X_c, x_c, vis_c, f0, huber_delta, dist
+        cam, X_c, x_c, vis_c, f0, huber_delta, dist, model
     )
     d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
     dt = x_c.dtype
@@ -124,36 +128,39 @@ def _backsub_chunk(cam: BAState, trial_cam: BAState, X_c, x_c, vis_c, free, c,
     K_trial = build_K(trial_cam.f, trial_cam.u, f0)
     _, p, q, r = calc_pqr(X_new, K_trial, trial_cam.R, trial_cam.t)
     r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
-    res_tp, res_tq = _distorted_residual(trial_cam, p, q, r, x_c, f0, dist)
+    res_tp, res_tq = _distorted_residual(trial_cam, p, q, r, x_c, f0, dist,
+                                         model)
     e_c = jnp.sum(vis_c * (res_tp**2 + res_tq**2))
     return X_new, e_c
 
 
-@partial(jax.jit, static_argnames=("f0",))
-def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float, dist=None):
+@partial(jax.jit, static_argnames=("f0", "model"))
+def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float, dist=None,
+                 model: str | None = None):
     K = build_K(cam.f, cam.u, f0)
     _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
     r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
-    res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
+    res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist, model)
     return jnp.sum(vis_c * (res_p**2 + res_q**2))
 
 
-@partial(jax.jit, static_argnames=("f0",))
+@partial(jax.jit, static_argnames=("f0", "model"))
 def _chunk_distortion_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
-                            dist=None, huber_delta=None):
+                            dist=None, huber_delta=None,
+                            model: str | None = None):
     """One chunk's (F, 5) normal-equation contribution to the closed-form
     (k1, k2) refit (a per-point sum — see ``fit_distortion``). With
     ``huber_delta`` the terms are IRLS-weighted by the current model's
     (``dist``) distorted residuals, as in ``fit_distortion_chunked``."""
+    model = resolve_distortion_model(dist, model)
     K = build_K(cam.f, cam.u, f0)
     _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
     r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
     if huber_delta is not None:
-        res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist)
+        res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist, model)
         mag = jnp.sqrt(res_p**2 + res_q**2)
         vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
-    tangential = dist is not None and dist.shape[-1] == 4
-    return _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0, tangential)
+    return _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0, model)
 
 
 class _ChunkFeed:
@@ -318,7 +325,7 @@ def bundle_adjust_streamed(
         e = jnp.zeros((), dtype)
         for lo, hi, x_c, vis_c in feed:
             e = e + _chunk_error(
-                cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0, dist
+                cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0, dist, model
             )
         return e
 
@@ -328,12 +335,11 @@ def bundle_adjust_streamed(
         """Closed-form distortion refit, normal terms streamed chunk-wise
         (Huber-weighted under the robust loss, as in the other cores;
         (F, 20) terms for the 4-parameter OPENCV model)."""
-        n_terms = 20 if dist is not None and dist.shape[-1] == 4 else 5
-        terms = jnp.zeros((nf, n_terms), dtype)
+        terms = jnp.zeros((nf, distortion_nterms(model)), dtype)
         for lo, hi, x_c, vis_c in feed:
             terms = terms + _chunk_distortion_terms(
                 cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0, dist,
-                huber_delta,
+                huber_delta, model,
             )
         return _solve_distortion_lsq(terms, config.distortion_shared)
 
@@ -360,7 +366,7 @@ def bundle_adjust_streamed(
                     X_c = get_X_chunk(X_dev, lo, hi)
                     accs = _accumulate_chunk(
                         accs, cam, X_c, x_c, vis_c, free, c_dev, f0, dist,
-                        huber_delta,
+                        huber_delta, model,
                     )
                 delta_xi, e_w = _assemble_and_solve(accs, free, c_dev, f0)
                 if huber_delta is not None:
@@ -374,7 +380,7 @@ def bundle_adjust_streamed(
                     X_c = get_X_chunk(X_dev, lo, hi)
                     X_new_c, e_c = _backsub_chunk(
                         cam, trial_cam, X_c, x_c, vis_c, free, c_dev,
-                        delta_xi, f0, dist, huber_delta,
+                        delta_xi, f0, dist, huber_delta, model,
                     )
                     X_parts.append(X_new_c[: hi - lo])
                     e_trial = e_trial + e_c
@@ -397,8 +403,9 @@ def bundle_adjust_streamed(
         return cam, X_dev, e_prev, c, n_iter, n_retries
 
     dist = None if distortion is None else jnp.asarray(distortion, dtype)
+    model = resolve_distortion_model(dist, config.distortion_model)
     if config.distortion_rounds > 0 and dist is None:
-        dist = jnp.zeros((nf, 2), dtype)
+        dist = jnp.zeros((nf, _DISTORTION_NCOLS[model]), dtype)
 
     c = float(config.init_damping if init_c is None else init_c)
     n_total = 0

@@ -239,10 +239,10 @@ def _factor_planes(cam, X_c, x_c, pmat, p, q, r, f0: float, dist):
     ])
 
     if dist is not None:
-        g1, g2, s, d, w = _distortion_terms(cam, p, q, r, f0, dist)
+        g1, g2, s, d, wu = _distortion_terms(cam, p, q, r, f0, dist)
         res_p = res_p + (d - 1.0) * g1
         res_q = res_q + (d - 1.0) * g2
-        cw = (2.0 * w) * (f0 / cam.f)[None] ** 2
+        cw = wu * (f0 / cam.f)[None] ** 2
         d11 = d + cw * g1 * g1
         d12 = cw * g1 * g2
         d22 = d + cw * g2 * g2
@@ -259,7 +259,7 @@ def _factor_planes(cam, X_c, x_c, pmat, p, q, r, f0: float, dist):
         )
         b1 = b1.at[1].add(inv_f0)  # + d(u/f0)/du
         b2 = b2.at[2].add(inv_f0)
-        cf = 2.0 * w * s / cam.f[None]  # -(2 w s / f) g on the f plane
+        cf = wu * s / cam.f[None]  # -(wu s / f) g on the f plane
         b1 = b1.at[0].add(-cf * g1)
         b2 = b2.at[0].add(-cf * g2)
 

@@ -32,14 +32,16 @@ from ..config import LMConfig
 from ..models.bundle_adjustment import (
     BAResult,
     BAState,
+    _DISTORTION_NCOLS,
     _huber_weights,
     build_K,
-    bundle_adjust,  # noqa: F401 (re-exported convenience)
+    bundle_adjust,  # noqa: F401 (re-exported convenience,
     fit_distortion,
     gauge_mask,
     lm_optimize,
     lm_step,
     normalize_gauge,
+    resolve_distortion_model,
     restore_gauge,
 )
 
@@ -95,8 +97,12 @@ def sharded_bundle_adjust_chunked(
     nu0 = jnp.asarray(2.0 if init_nu is None else init_nu, dt)
 
     model_dist = distortion is not None or config.distortion_rounds > 0
+    model = resolve_distortion_model(
+        None if distortion is None else jnp.asarray(distortion),
+        config.distortion_model,
+    )
     dist0 = (
-        jnp.zeros((nf, 2), dt) if distortion is None
+        jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt) if distortion is None
         else jnp.asarray(distortion, dt)
     )
     huber_delta = config.huber_delta if config.robust == "huber" else None
@@ -112,7 +118,7 @@ def sharded_bundle_adjust_chunked(
                 st0, x_l, vis_l, f0, chunk_size,
                 shared=config.distortion_shared,
                 huber_delta=huber_delta, dist=dist,
-                axis_name=POINTS_AXIS,
+                axis_name=POINTS_AXIS, model=model,
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
             st0, _, c_r, nu_r, n_seg, _ = lm_optimize_chunked(
@@ -237,8 +243,12 @@ def sharded_bundle_adjust(
     free = gauge_mask(nf, axis, dt)
 
     model_dist = distortion is not None or config.distortion_rounds > 0
+    model = resolve_distortion_model(
+        None if distortion is None else jnp.asarray(distortion),
+        config.distortion_model,
+    )
     dist0 = (
-        jnp.zeros((nf, 2), dt) if distortion is None
+        jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt) if distortion is None
         else jnp.asarray(distortion, dt)
     )
 
@@ -252,13 +262,13 @@ def sharded_bundle_adjust(
             # refit's per-point normal terms psum over the shards.
             if config.robust == "huber":
                 vis_fit = _huber_weights(
-                    st0, x_l, vis_l, f0, config.huber_delta, dist
+                    st0, x_l, vis_l, f0, config.huber_delta, dist, model
                 )
             else:
                 vis_fit = vis_l
             dist = fit_distortion(
                 st0, x_l, vis_fit, f0, shared=config.distortion_shared,
-                axis_name=POINTS_AXIS, tangential=dist.shape[-1] == 4,
+                axis_name=POINTS_AXIS, model=model,
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
             st0, _, c_seg, n_seg, _ = lm_optimize(

@@ -41,12 +41,14 @@ from ..config import HIGHEST, LMConfig
 from ..models.bundle_adjustment import (
     BAResult,
     BAState,
-    _huber_weights,
     build_K,
+    _DISTORTION_NCOLS,
     fit_distortion,
     gauge_mask,
+    _huber_weights,
     lm_optimize,
     normalize_gauge,
+    resolve_distortion_model,
     restore_gauge,
 )
 from ..models.bundle_adjustment_chunked import _vary
@@ -312,8 +314,12 @@ def sharded_bundle_adjust_2d(
     )
 
     model_dist = distortion is not None or config.distortion_rounds > 0
+    model = resolve_distortion_model(
+        None if distortion is None else jnp.asarray(distortion),
+        config.distortion_model,
+    )
     dist0 = (
-        jnp.zeros((nf, 2), dt) if distortion is None
+        jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt) if distortion is None
         else jnp.asarray(distortion, dt)
     )
 
@@ -327,13 +333,13 @@ def sharded_bundle_adjust_2d(
             # the refit psums its normal terms over the points axis.
             if config.robust == "huber":
                 vis_fit = _huber_weights(
-                    st0, x_l, vis_l, f0, config.huber_delta, dist
+                    st0, x_l, vis_l, f0, config.huber_delta, dist, model
                 )
             else:
                 vis_fit = vis_l
             dist = fit_distortion(
                 st0, x_l, vis_fit, f0, shared=config.distortion_shared,
-                axis_name=POINTS_AXIS, tangential=dist.shape[-1] == 4,
+                axis_name=POINTS_AXIS, model=model,
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
             st0, _, c_seg, n_seg, _ = lm_optimize(

@@ -127,7 +127,16 @@ def load_bal(path: str) -> dict[str, np.ndarray]:
 
 def save_bal(path: str, x, visibility, X, R, t, f, distortion=None) -> None:
     """Write a BAL-format problem (inverse of :func:`load_bal`'s
-    conventions: pixels negated, R/t converted back to world->camera)."""
+    conventions: pixels negated, R/t converted back to world->camera).
+    The BAL camera is 9-parameter (w, t, f, k1, k2), so only the radial
+    (F, 2) distortion layout can be written — use :func:`save_colmap`
+    for the 4-parameter OPENCV / OPENCV_FISHEYE models."""
+    if distortion is not None and np.asarray(distortion).shape[-1] != 2:
+        raise ValueError(
+            "BAL files carry exactly (k1, k2); got a "
+            f"{np.asarray(distortion).shape[-1]}-column distortion — "
+            "write a COLMAP model instead (save_colmap)"
+        )
     x = np.asarray(x)
     vis = np.asarray(visibility)
     nf, npts = x.shape[0], x.shape[1]
@@ -231,15 +240,20 @@ def _colmap_tokens(path: str):
 
 
 _COLMAP_MODEL_NAMES = {0: "SIMPLE_PINHOLE", 1: "PINHOLE",
-                       2: "SIMPLE_RADIAL", 3: "RADIAL", 4: "OPENCV"}
+                       2: "SIMPLE_RADIAL", 3: "RADIAL", 4: "OPENCV",
+                       5: "OPENCV_FISHEYE"}
 _COLMAP_NUM_PARAMS = {"SIMPLE_PINHOLE": 3, "PINHOLE": 4,
-                      "SIMPLE_RADIAL": 4, "RADIAL": 5, "OPENCV": 8}
+                      "SIMPLE_RADIAL": 4, "RADIAL": 5, "OPENCV": 8,
+                      "OPENCV_FISHEYE": 8}
 _COLMAP_MODEL_IDS = {v: k for k, v in _COLMAP_MODEL_NAMES.items()}
 
 
 def _colmap_camera_fk(cam_id: int, model: str, p: list):
-    """(f, cx, cy, k1, k2, p1, p2) from a COLMAP camera's (model,
-    params)."""
+    """(f, cx, cy, (d1, d2, d3, d4), kind) from a COLMAP camera's
+    (model, params). ``kind`` is the framework distortion family the
+    four d-columns belong to: "opencv" ((k1, k2, p1, p2) — the radial
+    models zero-fill p) or "fisheye" (OPENCV_FISHEYE's k1..k4
+    theta-polynomial)."""
 
     def _one_focal(fx, fy):
         if abs(fx - fy) > 1e-6 * max(abs(fx), abs(fy)):
@@ -250,19 +264,23 @@ def _colmap_camera_fk(cam_id: int, model: str, p: list):
         return 0.5 * (fx + fy)
 
     if model == "SIMPLE_PINHOLE":
-        return p[0], p[1], p[2], 0.0, 0.0, 0.0, 0.0
+        return p[0], p[1], p[2], (0.0, 0.0, 0.0, 0.0), "opencv"
     if model == "PINHOLE":
-        return _one_focal(p[0], p[1]), p[2], p[3], 0.0, 0.0, 0.0, 0.0
+        return _one_focal(p[0], p[1]), p[2], p[3], (0.0, 0.0, 0.0, 0.0), "opencv"
     if model == "SIMPLE_RADIAL":
-        return p[0], p[1], p[2], p[3], 0.0, 0.0, 0.0
+        return p[0], p[1], p[2], (p[3], 0.0, 0.0, 0.0), "opencv"
     if model == "RADIAL":
-        return (*p, 0.0, 0.0)
+        return p[0], p[1], p[2], (p[3], p[4], 0.0, 0.0), "opencv"
     if model == "OPENCV":
         fx, fy, cx, cy, k1, k2, p1, p2 = p
-        return _one_focal(fx, fy), cx, cy, k1, k2, p1, p2
+        return _one_focal(fx, fy), cx, cy, (k1, k2, p1, p2), "opencv"
+    if model == "OPENCV_FISHEYE":
+        fx, fy, cx, cy, k1, k2, k3, k4 = p
+        return _one_focal(fx, fy), cx, cy, (k1, k2, k3, k4), "fisheye"
     raise ValueError(
         f"camera {cam_id}: unsupported COLMAP model {model!r} (supported: "
-        "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV)"
+        "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV, "
+        "OPENCV_FISHEYE)"
     )
 
 
@@ -421,14 +439,16 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
     f_all = np.empty(nf)
     dist = np.zeros((nf, 4))
     names = []
+    kinds = set()
     for i, (_, q, t_cw, cam_id, name, obs) in enumerate(images):
         r_cw = _quat_to_rotmat(q)
         r_all[i] = r_cw.T
         t_all[i] = -r_cw.T @ t_cw
-        f, cx, cy, k1, k2, p1, p2 = cam_params[cam_id]
+        f, cx, cy, d4, kind = cam_params[cam_id]
+        kinds.add(kind)
         f_all[i] = f
         k_mats[i] = [[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]]
-        dist[i] = (k1, k2, p1, p2)
+        dist[i] = d4
         names.append(name)
         for px, py, pid in obs:
             if pid in id_to_dense:
@@ -436,14 +456,27 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
                 x[i, j] = (px, py)
                 vis[j, i] = 1.0
 
-    # radial-only models keep the (F, 2) layout (the BA cores select the
-    # OPENCV tangential path from the 4-column shape)
-    if not dist[:, 2:].any():
+    if kinds == {"fisheye"}:
+        # equidistant cameras: all four theta-polynomial columns stay,
+        # and the caller must run with distortion_model="fisheye"
+        dist_model = "fisheye"
+    elif "fisheye" in kinds:
+        raise ValueError(
+            "COLMAP model mixes fisheye and perspective cameras; the BA "
+            "distortion model is per-reconstruction"
+        )
+    elif dist[:, 2:].any():
+        dist_model = "opencv"
+    else:
+        # radial-only models keep the (F, 2) layout (the BA cores select
+        # the OPENCV tangential path from the 4-column shape)
         dist = dist[:, :2]
+        dist_model = "radial"
 
     return {
         "x": x, "visibility": vis, "X": pts, "R": r_all, "t": t_all,
         "K": k_mats, "f": f_all, "distortion": dist,
+        "distortion_model": np.str_(dist_model),
         "f0": np.asarray(1.0),
         "image_ids": np.array([im[0] for im in images], np.int64),
         "image_names": np.array(names),
@@ -453,14 +486,16 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
 
 def save_colmap(model_dir: str, x, visibility, X, R, t, f,
                 principal_point=None, distortion=None,
-                image_size=None, binary: bool = False) -> None:
+                image_size=None, binary: bool = False,
+                distortion_model: str | None = None) -> None:
     """Write a COLMAP model — text, or binary with ``binary=True``
     (COLMAP's native layout, loadable by ``colmap`` directly) — the
     inverse of :func:`load_colmap`'s conventions; quaternions via the
     angle-stable largest-component extraction. One camera entry per
-    image; RADIAL when ``distortion`` is given, SIMPLE_PINHOLE
-    otherwise. ``image_size`` defaults to a bound derived from the
-    observations."""
+    image; RADIAL when ``distortion`` is (F, 2), OPENCV when (F, 4),
+    SIMPLE_PINHOLE otherwise. ``distortion_model="fisheye"`` writes the
+    four columns as OPENCV_FISHEYE (k1..k4) instead. ``image_size``
+    defaults to a bound derived from the observations."""
     import os
     import struct
 
@@ -490,7 +525,10 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
             for i in range(nf)
         ]
     elif dist.shape[-1] == 4:
-        model = "OPENCV"  # fx fy cx cy k1 k2 p1 p2 (fx = fy here)
+        if distortion_model == "fisheye":
+            model = "OPENCV_FISHEYE"  # fx fy cx cy k1 k2 k3 k4 (fx = fy)
+        else:
+            model = "OPENCV"  # fx fy cx cy k1 k2 p1 p2 (fx = fy here)
         cam_param_rows = [
             [float(f[i]), float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
              float(dist[i, 0]), float(dist[i, 1]),
@@ -498,6 +536,8 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
             for i in range(nf)
         ]
     else:
+        if distortion_model == "fisheye":
+            raise ValueError("fisheye distortion requires 4 columns (k1..k4)")
         model = "RADIAL"
         cam_param_rows = [
             [float(f[i]), float(pp[i, 0]), float(pp[i, 1]),

@@ -931,3 +931,331 @@ def test_sharded_tangential_matches_dense():
     np.testing.assert_allclose(
         np.asarray(res_s.X), np.asarray(res_d.X), atol=1e-6
     )
+
+
+# ---------------- OPENCV_FISHEYE (equidistant k1..k4) model ----------------
+
+def _render_fisheye(st, dist4, f0=1.0):
+    """(P, F, 2) pixels through the framework's fisheye terms."""
+    K = build_K(st.f, st.u, f0)
+    _, p, q, r = calc_pqr(st.X, K, st.R, st.t)
+    g1, g2, _, m, _ = _distortion_terms(st, p, q, r, f0, dist4, "fisheye")
+    return jnp.stack(
+        [m * g1 + st.u[:, 0][None], m * g2 + st.u[:, 1][None]], axis=-1
+    )
+
+
+def _fisheye_scene(n_images=8, seed=0, noise=0.0):
+    sc = make_synthetic_scene(
+        jax.random.key(0), n_images=n_images, n_slices=4, n_angles=25,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(seed)
+    dist4 = jnp.asarray(np.stack([
+        -0.08 + 0.03 * rng.standard_normal(n_images),
+        0.02 + 0.01 * rng.standard_normal(n_images),
+        0.008 + 0.004 * rng.standard_normal(n_images),
+        -0.004 + 0.002 * rng.standard_normal(n_images),
+    ], axis=-1))
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    xd = _render_fisheye(st, dist4)
+    if noise:
+        xd = xd + noise * rng.standard_normal(xd.shape)
+    return sc, dist4, xd
+
+
+def test_fisheye_forward_matches_reference_formula():
+    """The framework's fisheye terms equal an independent NumPy
+    implementation of the OpenCV cv::fisheye / COLMAP OPENCV_FISHEYE
+    projection (theta_d polynomial on the equidistant angle), written
+    from the published formula rather than the framework's algebra."""
+    sc, dist4, _ = _fisheye_scene(n_images=5)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    x_fw = np.asarray(_render_fisheye(st, dist4))  # (P, F, 2)
+
+    X = np.asarray(sc.X)
+    for i in range(5):
+        R = np.asarray(sc.R[i])
+        t = np.asarray(sc.t[i])
+        f = float(sc.K[i, 0, 0])
+        cx, cy = np.asarray(sc.K[i, :2, 2])
+        k1, k2, k3, k4 = np.asarray(dist4[i])
+        xc = (X - t) @ R  # camera frame: R^T (X - t), rows = points
+        a = xc[:, 0] / xc[:, 2]
+        b = xc[:, 1] / xc[:, 2]
+        rr = np.sqrt(a * a + b * b)
+        theta = np.arctan(rr)
+        theta_d = theta * (1 + k1 * theta**2 + k2 * theta**4
+                           + k3 * theta**6 + k4 * theta**8)
+        scale = theta_d / rr
+        u_px = f * scale * a + cx
+        v_px = f * scale * b + cy
+        np.testing.assert_allclose(x_fw[:, i, 0], u_px, atol=1e-12)
+        np.testing.assert_allclose(x_fw[:, i, 1], v_px, atol=1e-12)
+
+
+def test_fisheye_derivs_match_autodiff():
+    """The fisheye 2x2 chain (m I + (m'/r) c^2 g g^T plus the f-column
+    -(wu s / f) g term) must equal jax autodiff of the fisheye error."""
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+
+    sc, dist4, xd = _fisheye_scene(n_images=6)
+    nf = 6
+    X0, t0 = _perturbed_state(sc, 0.02)
+    st = BAState(X=X0, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=t0, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    free = gauge_mask(nf, "x-right_z-forward", jnp.float64)
+    derivs, _ = _compute_derivs(st, xd, vis, free, 1.0, None, dist4,
+                                "fisheye")
+
+    npts = X0.shape[0]
+
+    def efun(flat):
+        Xv = flat[: 3 * npts].reshape(npts, 3)
+        fv = flat[3 * npts: 3 * npts + nf]
+        uv = flat[3 * npts + nf: 3 * npts + 3 * nf].reshape(nf, 2)
+        tv = flat[3 * npts + 3 * nf: 3 * npts + 6 * nf].reshape(nf, 3)
+        st2 = BAState(X=Xv, f=fv, u=uv, t=tv, R=st.R)
+        return _state_error(st2, xd, vis, 1.0, None, dist4, "fisheye")
+
+    flat = jnp.concatenate([st.X.ravel(), st.f, st.u.ravel(), st.t.ravel()])
+    gr = np.asarray(jax.grad(efun)(flat))
+    np.testing.assert_allclose(
+        gr[: 3 * npts].reshape(npts, 3), np.asarray(derivs.d_P), atol=1e-10
+    )
+    dF = np.asarray(derivs.d_F).reshape(nf, 9)
+    fr = np.asarray(free).reshape(nf, 9)
+    gf = gr[3 * npts: 3 * npts + nf]
+    gu = gr[3 * npts + nf: 3 * npts + 3 * nf].reshape(nf, 2)
+    gt = gr[3 * npts + 3 * nf: 3 * npts + 6 * nf].reshape(nf, 3)
+    np.testing.assert_allclose(gf * fr[:, 0], dF[:, 0], atol=1e-10)
+    np.testing.assert_allclose(gu * fr[:, 1:3], dF[:, 1:3], atol=1e-10)
+    np.testing.assert_allclose(gt * fr[:, 3:6], dF[:, 3:6], atol=1e-10)
+
+    # rotation (omega) block via the residual Jacobian at omega = 0
+    def res_of_omega(w):
+        Rw = jnp.matmul(rodrigues(w), st.R)
+        st2 = BAState(X=st.X, f=st.f, u=st.u, t=st.t, R=Rw)
+        return _state_error(st2, xd, vis, 1.0, None, dist4, "fisheye")
+
+    gw = np.asarray(jax.grad(res_of_omega)(jnp.zeros((nf, 3), jnp.float64)))
+    np.testing.assert_allclose(gw * fr[:, 6:9], dF[:, 6:9], atol=1e-10)
+
+
+def test_fisheye_principal_ray_taylor_safe():
+    """A point exactly on a camera's optical axis (s = 0) must produce
+    finite residuals, finite derivative blocks, and the Taylor-limit
+    radial scale m = 1."""
+    nf = 3
+    # cameras at z = -3 looking down +z; one point exactly on axis
+    X = jnp.asarray([[0.0, 0.0, 2.0], [0.4, 0.1, 2.2], [-0.3, 0.2, 1.8]])
+    R = jnp.broadcast_to(jnp.eye(3), (nf, 3, 3)).astype(jnp.float64)
+    t = jnp.asarray([[0.0, 0.0, -3.0], [0.1, 0.0, -3.0], [0.0, 0.1, -3.0]])
+    f = jnp.ones(nf, jnp.float64)
+    u = jnp.zeros((nf, 2), jnp.float64)
+    st = BAState(X=X, f=f, u=u, t=t, R=R)
+    dist4 = jnp.broadcast_to(
+        jnp.asarray([-0.1, 0.02, 0.0, 0.0]), (nf, 4)
+    ).astype(jnp.float64)
+    K = build_K(f, u, 1.0)
+    _, p, q, r = calc_pqr(X, K, R, t)
+    g1, g2, s, m, wu = _distortion_terms(st, p, q, r, 1.0, dist4, "fisheye")
+    assert float(s[0, 0]) == 0.0  # point 0 is on camera 0's axis
+    np.testing.assert_allclose(float(m[0, 0]), 1.0, atol=1e-15)
+    np.testing.assert_allclose(
+        float(wu[0, 0]), 2.0 * (-0.1 - 1.0 / 3.0), atol=1e-12
+    )
+    xd = _render_fisheye(st, dist4)
+    vis = jnp.ones((3, nf), jnp.float64)
+    free = gauge_mask(nf, "x-right_z-forward", jnp.float64)
+    derivs, e0 = _compute_derivs(st, xd, vis, free, 1.0, None, dist4,
+                                 "fisheye")
+    assert np.isfinite(np.asarray(derivs.d_P)).all()
+    assert np.isfinite(np.asarray(derivs.matG)).all()
+    assert float(e0) < 1e-25
+
+
+def test_fit_fisheye_exact_recovery():
+    """Given the generating geometry the closed-form fisheye refit
+    recovers k1..k4 (linear-in-k LSQ), per-camera and tied."""
+    sc, dist4, xd = _fisheye_scene(n_images=6)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    k_fit = fit_distortion(st, xd, vis, 1.0, model="fisheye")
+    np.testing.assert_allclose(np.asarray(k_fit), np.asarray(dist4),
+                               atol=1e-6)
+
+    shared_k = jnp.broadcast_to(
+        jnp.asarray([-0.09, 0.025, 0.01, -0.005]), (6, 4)
+    )
+    xd_s = _render_fisheye(st, shared_k)
+    k_tied = fit_distortion(st, xd_s, vis, 1.0, shared=True,
+                            model="fisheye")
+    np.testing.assert_allclose(np.asarray(k_tied), np.asarray(shared_k),
+                               atol=1e-8)
+
+
+def test_fisheye_e2e_recovers_geometry_and_chunked_parity():
+    """BA under the fisheye model (fixed true k) recovers the ground
+    truth on equidistant observations where the pinhole model cannot;
+    the refit alternation recovers tied k from zeros; dense == chunked
+    (the fused path gates itself off for the 4-column model)."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+
+    sc, dist4, xd = _fisheye_scene(n_images=8, noise=0.002)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    common = dict(f0=1.0, axis="x-up_z-forward")
+    cfg = LMConfig(max_iter=12, delta_tol=1e-12,
+                   distortion_model="fisheye")
+    res = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                        distortion=dist4, **common)
+    cfg_pin = LMConfig(max_iter=12, delta_tol=1e-12)
+    res_pin = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg_pin,
+                            **common)
+    rmse = float(aligned_rmse(res.X, sc.X))
+    rmse_pin = float(aligned_rmse(res_pin.X, sc.X))
+    # the equidistant projection is structurally different from the
+    # pinhole one (m = theta/r shrinks with field angle), but the free
+    # focal + geometry absorb much of the *error*; the decisive claim is
+    # the aligned-RMSE ratio, with the error merely not worse (exactly
+    # as the OPENCV tangential e2e contract).
+    assert rmse < 0.5 * rmse_pin, (rmse, rmse_pin)
+    assert float(res.error) <= float(res_pin.error)
+
+    # tied-refit alternation from zeros
+    st_s = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t,
+                   R=sc.R)
+    shared_k = jnp.broadcast_to(
+        jnp.asarray([-0.09, 0.025, 0.01, -0.005]), (8, 4)
+    )
+    xd_s = _render_fisheye(st_s, shared_k)
+    xd_s = xd_s + 0.002 * np.random.default_rng(9).standard_normal(xd_s.shape)
+    cfg_alt = LMConfig(max_iter=10, delta_tol=1e-12, distortion_rounds=2,
+                       distortion_shared=True, distortion_model="fisheye")
+    res_alt = bundle_adjust(
+        xd_s, X0, sc.K, sc.R, t0, config=cfg_alt,
+        distortion=jnp.zeros((8, 4), jnp.float64), **common,
+    )
+    assert res_alt.distortion.shape == (8, 4)
+    np.testing.assert_allclose(
+        np.asarray(res_alt.distortion)[:, 0], np.asarray(shared_k)[:, 0],
+        atol=0.03,
+    )
+    res_true = bundle_adjust(xd_s, X0, sc.K, sc.R, t0,
+                             config=LMConfig(max_iter=12, delta_tol=1e-12,
+                                             distortion_model="fisheye"),
+                             distortion=shared_k, **common)
+    assert float(res_alt.error) < 1.05 * float(res_true.error)
+
+    # chunked parity (non-fused path; config carries the model)
+    res_c = bundle_adjust_chunked(
+        xd, X0, sc.K, sc.R, t0, config=cfg, chunk_size=32,
+        distortion=dist4, **common,
+    )
+    np.testing.assert_allclose(float(res_c.error), float(res.error),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_c.X), np.asarray(res.X),
+                               atol=1e-7)
+
+
+def test_sharded_fisheye_matches_dense():
+    """Point-sharded BA under the fisheye model (fixed + tied refit)
+    matches the dense result (the refit's (F, 20) fisheye normal terms
+    complete with the same single psum)."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
+
+    sc, dist4, xd = _fisheye_scene(n_images=8, noise=0.002)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    mesh = make_mesh({"points": 4})
+    common = dict(f0=1.0, axis="x-up_z-forward")
+    cfg = LMConfig(max_iter=8, delta_tol=1e-10, distortion_rounds=1,
+                   distortion_shared=True, distortion_model="fisheye")
+    res_d = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                          distortion=dist4, **common)
+    res_s = sharded_bundle_adjust(mesh, xd, X0, sc.K, sc.R, t0, config=cfg,
+                                  distortion=dist4, **common)
+    np.testing.assert_allclose(
+        np.asarray(res_s.distortion), np.asarray(res_d.distortion),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(float(res_s.error), float(res_d.error),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_s.X), np.asarray(res_d.X),
+                               atol=1e-6)
+
+
+def test_colmap_fisheye_roundtrip_and_convention():
+    """An OPENCV_FISHEYE COLMAP model (binary and text) round-trips with
+    the k1..k4 columns and ``distortion_model == "fisheye"``, and pixels
+    rendered by the framework's fisheye terms evaluate to ~zero error at
+    the loaded GT state."""
+    import os
+    import tempfile
+
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+    from mvrecon_tpu.runtime.io import load_colmap, save_colmap
+
+    sc, dist4, _ = _fisheye_scene(n_images=6)
+    nf = 6
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(np.asarray(sc.K[:, 0, 0]) * 110.0)
+    pp = jnp.asarray(rng.uniform(200, 300, (nf, 2)))
+    st = BAState(X=sc.X, f=f, u=pp, t=sc.t, R=sc.R)
+    x = _render_fisheye(st, dist4)
+    x_fp = np.asarray(x).transpose(1, 0, 2)
+    vis = np.ones((x.shape[0], nf))
+
+    for binary in (False, True):
+        mdir = os.path.join(tempfile.mkdtemp(), "m")
+        save_colmap(mdir, x_fp, vis, np.asarray(sc.X), np.asarray(sc.R),
+                    np.asarray(sc.t), np.asarray(f),
+                    principal_point=np.asarray(pp),
+                    distortion=np.asarray(dist4), binary=binary,
+                    distortion_model="fisheye")
+        d = load_colmap(mdir)
+        assert str(d["distortion_model"]) == "fisheye"
+        assert d["distortion"].shape == (nf, 4)
+        np.testing.assert_allclose(d["distortion"], np.asarray(dist4),
+                                   atol=1e-12)
+        st_l = BAState(
+            X=jnp.asarray(d["X"]), f=jnp.asarray(d["f"]),
+            u=jnp.asarray(d["K"][:, :2, 2]), t=jnp.asarray(d["t"]),
+            R=jnp.asarray(d["R"]),
+        )
+        e = _state_error(
+            st_l, jnp.asarray(d["x"].transpose(1, 0, 2)),
+            jnp.asarray(d["visibility"]), 1.0, None,
+            jnp.asarray(d["distortion"]), "fisheye",
+        )
+        assert float(e) < 1e-16, float(e)
+
+
+def test_cli_bal_fisheye_colmap(tmp_path, capsys):
+    """CLI ``bal`` on an OPENCV_FISHEYE COLMAP directory: auto-detects
+    the model, refines under it, reports k-statistics, and writes the
+    refined model back as OPENCV_FISHEYE."""
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.runtime.io import load_colmap, save_colmap
+
+    import json
+
+    sc, dist4, xd = _fisheye_scene(n_images=6, noise=0.001)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    X0, t0 = _perturbed_state(sc, 0.003)
+    mdir = str(tmp_path / "model")
+    out_dir = str(tmp_path / "refined")
+    save_colmap(mdir, np.asarray(xd).transpose(1, 0, 2),
+                np.ones(xd.shape[:2]), np.asarray(X0), np.asarray(sc.R),
+                np.asarray(t0), np.asarray(sc.K[:, 0, 0]),
+                distortion=np.asarray(dist4), distortion_model="fisheye")
+    main(["bal", mdir, "--float64", "--max-iter", "6",
+          "--output-colmap", out_dir])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["camera_model"] == "fisheye"
+    assert "k3_mean" in rec and "p1_mean" not in rec
+    assert np.isfinite(rec["reprojection_error"])
+    d2 = load_colmap(out_dir)
+    assert str(d2["distortion_model"]) == "fisheye"
