@@ -155,6 +155,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="pinhole model: drop the file's k1/k2",
     )
     p_bal.add_argument(
+        "--covariance", action="store_true",
+        help="estimate per-point (3x3) and per-camera (9x9) covariance "
+             "blocks at the optimum (Schur-based; chunked when "
+             "--chunk-size is set); summary in the JSON record, full "
+             "blocks in the --output npz",
+    )
+    p_bal.add_argument(
         "--damping", choices=["reference", "nielsen"], default="nielsen",
     )
     p_bal.add_argument(
@@ -414,6 +421,14 @@ def main(argv=None) -> None:
             d = load_bal(args.input)
         x = jnp.asarray(d["x"].transpose(1, 0, 2), dtype)  # (P, F, 2)
         vis = jnp.asarray(d["visibility"], dtype)
+        in_model = str(d.get("distortion_model", "auto"))
+        if in_model == "fisheye":
+            out["camera_model"] = "fisheye"
+            if args.tangential:
+                raise SystemExit(
+                    "--tangential fits the OPENCV (p1, p2) model; the input "
+                    "is OPENCV_FISHEYE (a different projection family)"
+                )
         cfg = LMConfig(
             scale_factor=args.scale_factor,
             delta_tol=args.delta_tol,
@@ -423,6 +438,7 @@ def main(argv=None) -> None:
             huber_delta=args.huber if args.huber is not None else 0.05,
             distortion_rounds=args.optimize_distortion,
             distortion_shared=args.shared_k,
+            distortion_model=in_model,
         )
         dist = (
             None if args.ignore_distortion
@@ -448,25 +464,52 @@ def main(argv=None) -> None:
             ba_iterations=int(res.n_iter),
             reprojection_error=float(res.error),
         )
+        cov = None
+        if args.covariance:
+            from .models.covariance import ba_covariance, ba_covariance_chunked
+
+            cov_fn = (
+                functools.partial(ba_covariance_chunked,
+                                  chunk_size=args.chunk_size)
+                if args.chunk_size > 0 else ba_covariance
+            )
+            cov = cov_fn(
+                x, res.X, res.K, res.R, res.t, f0=float(d["f0"]),
+                visibility=vis, axis="x-up_z-forward", config=cfg,
+                distortion=res.distortion,
+            )
+            pt_sig = np.sqrt(np.asarray(cov.point_cov).trace(
+                axis1=1, axis2=2) / 3.0)
+            cam_t_sig = np.sqrt(np.asarray(
+                cov.camera_cov)[:, 3:6, 3:6].trace(axis1=1, axis2=2) / 3.0)
+            out.update(
+                sigma=float(np.sqrt(float(cov.sigma2))),
+                point_sigma_median=float(np.median(pt_sig)),
+                point_sigma_max=float(pt_sig.max()),
+                camera_pos_sigma_median=float(np.median(cam_t_sig)),
+            )
         if res.distortion is not None:
             out["k1_mean"] = float(np.asarray(res.distortion)[:, 0].mean())
             out["k2_mean"] = float(np.asarray(res.distortion)[:, 1].mean())
             if res.distortion.shape[-1] == 4:
-                out["p1_mean"] = float(np.asarray(res.distortion)[:, 2].mean())
-                out["p2_mean"] = float(np.asarray(res.distortion)[:, 3].mean())
+                n3, n4 = ("k3", "k4") if in_model == "fisheye" else ("p1", "p2")
+                out[f"{n3}_mean"] = float(np.asarray(res.distortion)[:, 2].mean())
+                out[f"{n4}_mean"] = float(np.asarray(res.distortion)[:, 3].mean())
         if args.output:
             from .runtime.io import save_observations
 
+            extra = {}
+            if res.distortion is not None:
+                extra["distortion"] = np.asarray(res.distortion)
+            if cov is not None:
+                extra["point_cov"] = np.asarray(cov.point_cov)
+                extra["camera_cov"] = np.asarray(cov.camera_cov)
+                extra["sigma2"] = np.asarray(cov.sigma2)
             save_observations(
                 args.output, d["x"],
                 X=np.asarray(res.X), K=np.asarray(res.K),
                 R=np.asarray(res.R), t=np.asarray(res.t),
-                visibility=d["visibility"],
-                **(
-                    {}
-                    if res.distortion is None
-                    else {"distortion": np.asarray(res.distortion)}
-                ),
+                visibility=d["visibility"], **extra,
             )
             out["output"] = args.output
         dist_out = (
@@ -482,11 +525,18 @@ def main(argv=None) -> None:
                 np.asarray(res.K)[:, 0, 0],
                 principal_point=np.asarray(res.K)[:, :2, 2],
                 distortion=dist_out,
+                distortion_model=("fisheye" if in_model == "fisheye"
+                                  else None),
             )
             out["output_colmap"] = args.output_colmap
         if args.output_bal:
             from .runtime.io import save_bal
 
+            if dist_out is not None and np.asarray(dist_out).shape[-1] != 2:
+                raise SystemExit(
+                    "--output-bal: BAL carries only (k1, k2); this model is "
+                    "4-parameter — use --output-colmap"
+                )
             save_bal(
                 args.output_bal, d["x"], d["visibility"],
                 np.asarray(res.X), np.asarray(res.R), np.asarray(res.t),

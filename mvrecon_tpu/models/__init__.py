@@ -8,3 +8,8 @@ from .affine import (  # noqa: F401
     paraperspective_self_calibration,
     observation_matrix,
 )
+from .covariance import (  # noqa: F401
+    BACovariance,
+    ba_covariance,
+    ba_covariance_chunked,
+)
