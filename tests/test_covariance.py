@@ -329,3 +329,38 @@ def test_cli_bal_covariance(tmp_path, capsys):
     d = np.load(out_npz)
     assert d["point_cov"].shape == (x.shape[0], 3, 3)
     assert d["camera_cov"].shape == (6, 9, 9)
+
+
+def test_sharded_covariance_matches_dense():
+    """Point-sharded covariance == dense (one psum completes the camera
+    Schur complement; point marginals stay local), with visibility,
+    Huber, and distortion."""
+    from tests.test_distortion import _distorted_scene
+
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_covariance import sharded_ba_covariance
+
+    mesh = make_mesh({"points": 4})
+    sc, dist, xd = _distorted_scene(n_images=5, n_slices=2, n_angles=8,
+                                    noise=0.002)
+    axis = "x-up_z-forward"
+    for cfg, d in ((LMConfig(), None),
+                   (LMConfig(robust="huber", huber_delta=0.05), dist)):
+        res = bundle_adjust(
+            xd, sc.X, sc.K, sc.R, sc.t, axis=axis, distortion=d,
+            config=LMConfig(max_iter=25, delta_tol=1e-14),
+        )
+        cov_d = ba_covariance(xd, res.X, res.K, res.R, res.t, axis=axis,
+                              config=cfg, distortion=d)
+        cov_s = sharded_ba_covariance(mesh, xd, res.X, res.K, res.R,
+                                      res.t, axis=axis, config=cfg,
+                                      distortion=d)
+        np.testing.assert_allclose(np.asarray(cov_s.point_cov),
+                                   np.asarray(cov_d.point_cov),
+                                   rtol=2e-6, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(cov_s.camera_cov),
+                                   np.asarray(cov_d.camera_cov),
+                                   rtol=2e-6, atol=1e-15)
+        np.testing.assert_allclose(float(cov_s.sigma2),
+                                   float(cov_d.sigma2), rtol=1e-10)
+        assert int(cov_s.n_obs) == int(cov_d.n_obs)
