@@ -489,12 +489,18 @@ def main(argv=None) -> None:
                 camera_pos_sigma_median=float(np.median(cam_t_sig)),
             )
         if res.distortion is not None:
-            out["k1_mean"] = float(np.asarray(res.distortion)[:, 0].mean())
-            out["k2_mean"] = float(np.asarray(res.distortion)[:, 1].mean())
-            if res.distortion.shape[-1] == 4:
+            dmat = np.asarray(res.distortion)
+            out["k1_mean"] = float(dmat[:, 0].mean())
+            out["k2_mean"] = float(dmat[:, 1].mean())
+            if dmat.shape[-1] == 8:  # rational (k1..k6, p1, p2)
+                for j, name in enumerate(
+                    ("k3", "k4", "k5", "k6", "p1", "p2"), start=2
+                ):
+                    out[f"{name}_mean"] = float(dmat[:, j].mean())
+            elif dmat.shape[-1] == 4:
                 n3, n4 = ("k3", "k4") if in_model == "fisheye" else ("p1", "p2")
-                out[f"{n3}_mean"] = float(np.asarray(res.distortion)[:, 2].mean())
-                out[f"{n4}_mean"] = float(np.asarray(res.distortion)[:, 3].mean())
+                out[f"{n3}_mean"] = float(dmat[:, 2].mean())
+                out[f"{n4}_mean"] = float(dmat[:, 3].mean())
         if args.output:
             from .runtime.io import save_observations
 

@@ -171,8 +171,9 @@ def reprojection_error(
     return jnp.sum(vis * e)
 
 
-DISTORTION_MODELS = ("radial", "opencv", "fisheye")
-_DISTORTION_NCOLS = {"radial": 2, "opencv": 4, "fisheye": 4}
+DISTORTION_MODELS = ("radial", "opencv", "fisheye", "full_opencv")
+_DISTORTION_NCOLS = {"radial": 2, "opencv": 4, "fisheye": 4,
+                     "full_opencv": 8}
 
 
 def resolve_distortion_model(
@@ -192,7 +193,11 @@ def resolve_distortion_model(
             return "radial"
         if n == 4:
             return "opencv"
-        raise ValueError(f"distortion must have 2 or 4 columns, got {n}")
+        if n == 8:
+            return "full_opencv"
+        raise ValueError(
+            f"distortion must have 2, 4, or 8 columns, got {n}"
+        )
     if model not in DISTORTION_MODELS:
         raise ValueError(f"unknown distortion model: {model!r}")
     if dist is not None and int(dist.shape[-1]) != _DISTORTION_NCOLS[model]:
@@ -205,8 +210,13 @@ def resolve_distortion_model(
 
 def distortion_nterms(model: str) -> int:
     """Columns of the per-camera normal-equation accumulands of the
-    closed-form refit (``_distortion_lsq_terms``)."""
-    return 5 if model == "radial" else 20
+    closed-form refit (``_distortion_lsq_terms`` /
+    ``_full_opencv_lsq_terms``)."""
+    if model == "radial":
+        return 5
+    if model == "full_opencv":
+        return 30  # 5x5 normal matrix + 5 rhs (the larger of its rounds)
+    return 20
 
 
 def _distortion_terms(
@@ -244,11 +254,30 @@ def _distortion_terms(
     if model == "fisheye":
         d, wu = _fisheye_scale(s, dist)
         return g1, g2, s, d, wu
+    if model == "full_opencv":
+        d, wu = _rational_scale(s, dist)
+        return g1, g2, s, d, wu
     k1 = dist[:, 0][None]
     k2 = dist[:, 1][None]
     d = 1.0 + s * (k1 + s * k2)
     wu = 2.0 * (k1 + 2.0 * k2 * s)
     return g1, g2, s, d, wu
+
+
+def _rational_scale(s: jax.Array, dist: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(d, 2 dd/ds) of the OpenCV rational model at s = |rho|^2:
+    d = N/D with N = 1 + k1 s + k2 s^2 + k3 s^3,
+    D = 1 + k4 s + k5 s^2 + k6 s^3 (``dist`` is (F, 8) =
+    (k1..k6, p1, p2)). dd/ds = (N' D - N D') / D^2 — exact, no special
+    cases (D = 1 at the principal point)."""
+    k = [dist[:, i][None] for i in range(6)]
+    num = 1.0 + s * (k[0] + s * (k[1] + s * k[2]))
+    den = 1.0 + s * (k[3] + s * (k[4] + s * k[5]))
+    dnum = k[0] + s * (2.0 * k[1] + s * (3.0 * k[2]))
+    dden = k[3] + s * (2.0 * k[4] + s * (3.0 * k[5]))
+    d = num / den
+    wu = 2.0 * (dnum * den - num * dden) / (den * den)
+    return d, wu
 
 
 def _fisheye_scale(s: jax.Array, dist: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -297,8 +326,9 @@ def _tangential_terms(state: BAState, g1, g2, f0: float, dist):
     chain; the only extra explicit camera dependence is c's 1/f (handled
     by the -t/f term in the f column)."""
     c = (f0 / state.f)[None]
-    p1 = dist[:, 2][None]
-    p2 = dist[:, 3][None]
+    pcol = 6 if dist.shape[-1] == 8 else 2
+    p1 = dist[:, pcol][None]
+    p2 = dist[:, pcol + 1][None]
     g11, g22, g12 = g1 * g1, g2 * g2, g1 * g2
     t1 = c * (2.0 * p1 * g12 + p2 * (3.0 * g11 + g22))
     t2 = c * (p1 * (g11 + 3.0 * g22) + 2.0 * p2 * g12)
@@ -327,7 +357,7 @@ def _apply_distortion_chain(
     (s and c depend on f directly: dpi~/df gains -(wu s / f) g - t/f)."""
     model = resolve_distortion_model(dist, model)
     g1, g2, s, d, wu = _distortion_terms(state, p, q, r, f0, dist, model)
-    tangential = model == "opencv"
+    tangential = model in ("opencv", "full_opencv")
     res_p = res_p + (d - 1.0) * g1
     res_q = res_q + (d - 1.0) * g2
     cw = wu * (f0 / state.f)[None] ** 2
@@ -376,7 +406,7 @@ def _distorted_residual(state: BAState, p, q, r, x, f0: float, dist,
         g1, g2, _, d, _ = _distortion_terms(state, p, q, r, f0, dist, model)
         res_p = res_p + (d - 1.0) * g1
         res_q = res_q + (d - 1.0) * g2
-        if model == "opencv":
+        if model in ("opencv", "full_opencv"):
             t1, t2, _, _, _ = _tangential_terms(state, g1, g2, f0, dist)
             res_p = res_p + t1
             res_q = res_q + t2
@@ -715,6 +745,7 @@ def fit_distortion(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float,
     shared: bool = False, axis_name: str | None = None,
     tangential: bool = False, model: str | None = None,
+    dist: jax.Array | None = None,
 ) -> jax.Array:
     """Closed-form per-camera distortion refit.
 
@@ -750,6 +781,18 @@ def fit_distortion(
         model = "opencv" if tangential else "radial"
     K = build_K(state.f, state.u, f0)
     _, p, q, r = calc_pqr(state.X, K, state.R, state.t)
+    if model == "full_opencv":
+        if dist is None:
+            dist = jnp.zeros((state.f.shape[0], 8), x.dtype)
+        for _ in range(FULL_OPENCV_ALTERNATIONS):
+            for round_ in ("num", "den"):
+                terms = _full_opencv_lsq_terms(
+                    state, p, q, r, x, vis, f0, dist, round_
+                )
+                dist = _solve_full_opencv_round(
+                    _psum(terms, axis_name), dist, round_, shared
+                )
+        return dist
     terms = _distortion_lsq_terms(state, p, q, r, x, vis, f0, model)
     return _solve_distortion_lsq(_psum(terms, axis_name), shared)
 
@@ -854,6 +897,106 @@ def _solve_distortion_lsq4(terms: jax.Array, shared: bool) -> jax.Array:
     sol = jnp.linalg.solve(m_s, rhs[..., None])[..., 0]
     ok = safe & jnp.isfinite(sol).all(axis=-1)
     return jnp.where(ok[:, None], sol, 0.0)
+
+
+# The rational model's prediction is NOT jointly linear in
+# (k1..k6, p1, p2), but the D-cross-multiplied algebraic residual
+# D (T - t) - N g = 0 is linear in (k1, k2, k3, p1, p2) given the
+# denominator and linear in (k4, k5, k6) given the rest, so the refit
+# alternates two exact vis-weighted linear solves. At zero residual
+# (the exact-recovery contract) the alternation's fixed point is the
+# generating distortion; with noise it minimizes the D-weighted
+# algebraic loss — the standard rational-calibration convention.
+FULL_OPENCV_ALTERNATIONS = 4
+
+
+def _full_opencv_lsq_terms(state: BAState, p, q, r, x, vis, f0: float,
+                           dist: jax.Array, round_: str):
+    """(F, 30) normal-equation accumulands for one alternation round of
+    the rational-model refit — a per-point sum, so the chunked/streamed/
+    sharded cores accumulate it exactly like ``_distortion_lsq_terms``.
+    ``round_`` = "num" (unknowns k1, k2, k3, p1, p2 with D frozen) or
+    "den" (unknowns k4, k5, k6 with N, p frozen; regressors padded to
+    the 5-basis layout so the accumuland shape is static)."""
+    r = jnp.where(vis > 0, r, jnp.ones_like(r))
+    g1 = p / r - (state.u[:, 0] / f0)[None]
+    g2 = q / r - (state.u[:, 1] / f0)[None]
+    s = ((f0 / state.f) ** 2)[None] * (g1 * g1 + g2 * g2)
+    t1 = x[..., 0] / f0 - (state.u[:, 0] / f0)[None]  # target T
+    t2 = x[..., 1] / f0 - (state.u[:, 1] / f0)[None]
+    k = [dist[:, i][None] for i in range(6)]
+    den = 1.0 + s * (k[3] + s * (k[4] + s * k[5]))
+    c = (f0 / state.f)[None]
+    g11, g22, g12 = g1 * g1, g2 * g2, g1 * g2
+    h11, h12 = 2.0 * c * g12, c * (3.0 * g11 + g22)  # dt/dp1, dt/dp2
+    h21, h22 = c * (g11 + 3.0 * g22), 2.0 * c * g12
+    zeros = jnp.zeros_like(s)
+    if round_ == "num":
+        # D T - D t - N g = 0, t = p1 h_1 + p2 h_2:
+        # [s g, s^2 g, s^3 g, D h_1, D h_2] a = D T - g
+        A = jnp.stack([
+            jnp.stack([s * g1, s * g2], axis=-1),
+            jnp.stack([s * s * g1, s * s * g2], axis=-1),
+            jnp.stack([s ** 3 * g1, s ** 3 * g2], axis=-1),
+            jnp.stack([den * h11, den * h21], axis=-1),
+            jnp.stack([den * h12, den * h22], axis=-1),
+        ], axis=-2)  # (P, F, 5, 2)
+        b1 = den * t1 - g1
+        b2 = den * t2 - g2
+    else:
+        # N g + D (ts - T) = 0 with ts the tangential shift:
+        # [s (ts - T), s^2 (ts - T), s^3 (ts - T)] b = (T - ts) - N g
+        p1c = dist[:, 6][None]
+        p2c = dist[:, 7][None]
+        ts1 = p1c * h11 + p2c * h12
+        ts2 = p1c * h21 + p2c * h22
+        num = 1.0 + s * (k[0] + s * (k[1] + s * k[2]))
+        d1 = ts1 - t1
+        d2 = ts2 - t2
+        A = jnp.stack([
+            jnp.stack([s * d1, s * d2], axis=-1),
+            jnp.stack([s * s * d1, s * s * d2], axis=-1),
+            jnp.stack([s ** 3 * d1, s ** 3 * d2], axis=-1),
+            jnp.stack([zeros, zeros], axis=-1),
+            jnp.stack([zeros, zeros], axis=-1),
+        ], axis=-2)
+        b1 = (t1 - ts1) - num * g1
+        b2 = (t2 - ts2) - num * g2
+    T = jnp.stack([b1, b2], axis=-1)
+    m = jnp.einsum("pfai,pfbi,pf->fab", A, A, vis, precision=HIGHEST)
+    rhs = jnp.einsum("pfai,pfi,pf->fa", A, T, vis, precision=HIGHEST)
+    return jnp.concatenate([m.reshape(-1, 25), rhs], axis=-1)  # (F, 30)
+
+
+def _solve_full_opencv_round(terms: jax.Array, dist: jax.Array,
+                             round_: str, shared: bool) -> jax.Array:
+    """One alternation round's solve from the accumulated (F, 30) terms
+    -> updated (F, 8) distortion (degenerate cameras keep their current
+    values)."""
+    nf = terms.shape[0]
+    if shared:
+        terms = jnp.broadcast_to(
+            jnp.sum(terms, axis=0, keepdims=True), (nf, 30)
+        )
+    n_unk = 5 if round_ == "num" else 3
+    m = terms[:, :25].reshape(nf, 5, 5)[:, :n_unk, :n_unk]
+    rhs = terms[:, 25: 25 + n_unk]
+    tiny = jnp.asarray(np.finfo(np.dtype(terms.dtype)).tiny, terms.dtype)
+    tr = jnp.trace(m, axis1=-2, axis2=-1)
+    safe = tr > tiny
+    m_s = jnp.where(
+        safe[:, None, None], m, jnp.eye(n_unk, dtype=m.dtype)[None]
+    )
+    sol = jnp.linalg.solve(m_s, rhs[..., None])[..., 0]
+    ok = safe & jnp.isfinite(sol).all(axis=-1)
+    if round_ == "num":
+        cur = jnp.concatenate([dist[:, 0:3], dist[:, 6:8]], axis=-1)
+        new = jnp.where(ok[:, None], sol, cur)
+        return jnp.concatenate(
+            [new[:, 0:3], dist[:, 3:6], new[:, 3:5]], axis=-1
+        )
+    new = jnp.where(ok[:, None], sol, dist[:, 3:6])
+    return jnp.concatenate([dist[:, 0:3], new, dist[:, 6:8]], axis=-1)
 
 
 def lm_step(
@@ -1083,7 +1226,8 @@ def bundle_adjust(
         else:
             vis_fit = vis
         dist = fit_distortion(state0, x, vis_fit, f0,
-                              shared=config.distortion_shared, model=model)
+                              shared=config.distortion_shared, model=model,
+                              dist=dist)
         seg_cfg = dataclasses.replace(config, record_log=False)
         state0, _, c_seg, n_seg, _ = lm_optimize(
             x, state0, vis, free, f0, seg_cfg, init_c=c_seg, dist=dist

@@ -55,10 +55,13 @@ from .bundle_adjustment import (
     _apply_distortion_chain,
     _apply_update,
     _camera_param_derivs,
+    FULL_OPENCV_ALTERNATIONS,
     _distorted_residual,
     _distortion_lsq_terms,
+    _full_opencv_lsq_terms,
     _psum,
     _solve_distortion_lsq,
+    _solve_full_opencv_round,
     build_K,
     calc_pqr,
     distortion_nterms,
@@ -603,32 +606,49 @@ def fit_distortion_chunked(
     n_chunks = x.shape[0] // chunk_size
     cam = state._replace(X=jnp.zeros((0, 3), dt))
     K = build_K(cam.f, cam.u, f0)
+    chunks = (_chunked(state.X, n_chunks), _chunked(x, n_chunks),
+              _chunked(vis, n_chunks))
 
-    def body(acc, inp):
-        X_c, x_c, vis_c = inp
-        _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
-        r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
-        if huber_delta is not None:
-            res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist,
-                                               model)
-            mag = jnp.sqrt(res_p**2 + res_q**2)
-            vis_c = vis_c * jnp.minimum(
-                1.0, huber_delta / jnp.maximum(mag, 1e-12)
-            )
-        return acc + _distortion_lsq_terms(
-            cam, p, q, r, x_c, vis_c, f0, model
-        ), None
+    def accumulate(terms_of_chunk):
+        def body(acc, inp):
+            X_c, x_c, vis_c = inp
+            _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+            r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+            if huber_delta is not None:
+                res_p, res_q = _distorted_residual(
+                    cam, p, q, r, x_c, f0, dist, model
+                )
+                mag = jnp.sqrt(res_p**2 + res_q**2)
+                vis_c = vis_c * jnp.minimum(
+                    1.0, huber_delta / jnp.maximum(mag, 1e-12)
+                )
+            return acc + terms_of_chunk(p, q, r, x_c, vis_c), None
 
-    acc0 = jnp.zeros((cam.f.shape[0], distortion_nterms(model)), dt)
-    if axis_name is not None:
-        acc0 = _vary(acc0, axis_name)  # match the shard-varying body output
-    terms, _ = jax.lax.scan(
-        body,
-        acc0,
-        (_chunked(state.X, n_chunks), _chunked(x, n_chunks),
-         _chunked(vis, n_chunks)),
+        acc0 = jnp.zeros((cam.f.shape[0], distortion_nterms(model)), dt)
+        if axis_name is not None:
+            acc0 = _vary(acc0, axis_name)  # shard-varying body output
+        terms, _ = jax.lax.scan(body, acc0, chunks)
+        return _psum(terms, axis_name)
+
+    if model == "full_opencv":
+        # rational model: the same chunked accumulation per alternation
+        # round (see _full_opencv_lsq_terms) — 2 scans per alternation
+        cur = dist if dist is not None else jnp.zeros((cam.f.shape[0], 8), dt)
+        for _ in range(FULL_OPENCV_ALTERNATIONS):
+            for round_ in ("num", "den"):
+                terms = accumulate(
+                    lambda p, q, r, x_c, vis_c, rr=round_, dd=cur:
+                    _full_opencv_lsq_terms(cam, p, q, r, x_c, vis_c, f0,
+                                           dd, rr)
+                )
+                cur = _solve_full_opencv_round(terms, cur, round_, shared)
+        return cur
+
+    terms = accumulate(
+        lambda p, q, r, x_c, vis_c:
+        _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0, model)
     )
-    return _solve_distortion_lsq(_psum(terms, axis_name), shared)
+    return _solve_distortion_lsq(terms, shared)
 
 
 @partial(jax.jit, static_argnames=("f0", "axis", "config", "chunk_size"))

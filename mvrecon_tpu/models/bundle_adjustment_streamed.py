@@ -41,10 +41,13 @@ from .bundle_adjustment import (
     BAResult,
     BAState,
     _DISTORTION_NCOLS,
+    FULL_OPENCV_ALTERNATIONS,
     _apply_update,
     _distorted_residual,
     _distortion_lsq_terms,
+    _full_opencv_lsq_terms,
     _solve_distortion_lsq,
+    _solve_full_opencv_round,
     build_K,
     calc_pqr,
     distortion_nterms,
@@ -142,6 +145,23 @@ def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float, dist=None,
     r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
     res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist, model)
     return jnp.sum(vis_c * (res_p**2 + res_q**2))
+
+
+@partial(jax.jit, static_argnames=("f0", "round_"))
+def _chunk_full_opencv_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
+                             dist, cur, round_: str, huber_delta=None):
+    """One chunk's (F, 30) contribution to a rational-refit alternation
+    round (``_full_opencv_lsq_terms``); Huber weights from the current
+    model's (``dist``) residuals, as in the chunked core."""
+    K = build_K(cam.f, cam.u, f0)
+    _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+    r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+    if huber_delta is not None:
+        res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist,
+                                           "full_opencv")
+        mag = jnp.sqrt(res_p**2 + res_q**2)
+        vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+    return _full_opencv_lsq_terms(cam, p, q, r, x_c, vis_c, f0, cur, round_)
 
 
 @partial(jax.jit, static_argnames=("f0", "model"))
@@ -335,6 +355,21 @@ def bundle_adjust_streamed(
         """Closed-form distortion refit, normal terms streamed chunk-wise
         (Huber-weighted under the robust loss, as in the other cores;
         (F, 20) terms for the 4-parameter OPENCV model)."""
+        if model == "full_opencv":
+            cur = (dist if dist is not None
+                   else jnp.zeros((nf, 8), dtype))
+            for _ in range(FULL_OPENCV_ALTERNATIONS):
+                for round_ in ("num", "den"):
+                    terms = jnp.zeros((nf, 30), dtype)
+                    for lo, hi, x_c, vis_c in feed:
+                        terms = terms + _chunk_full_opencv_terms(
+                            cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c,
+                            f0, dist, cur, round_, huber_delta,
+                        )
+                    cur = _solve_full_opencv_round(
+                        terms, cur, round_, config.distortion_shared
+                    )
+            return cur
         terms = jnp.zeros((nf, distortion_nterms(model)), dtype)
         for lo, hi, x_c, vis_c in feed:
             terms = terms + _chunk_distortion_terms(

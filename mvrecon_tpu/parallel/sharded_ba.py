@@ -268,7 +268,7 @@ def sharded_bundle_adjust(
                 vis_fit = vis_l
             dist = fit_distortion(
                 st0, x_l, vis_fit, f0, shared=config.distortion_shared,
-                axis_name=POINTS_AXIS, model=model,
+                axis_name=POINTS_AXIS, model=model, dist=dist,
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
             st0, _, c_seg, n_seg, _ = lm_optimize(

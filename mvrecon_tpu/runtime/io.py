@@ -241,10 +241,12 @@ def _colmap_tokens(path: str):
 
 _COLMAP_MODEL_NAMES = {0: "SIMPLE_PINHOLE", 1: "PINHOLE",
                        2: "SIMPLE_RADIAL", 3: "RADIAL", 4: "OPENCV",
-                       5: "OPENCV_FISHEYE"}
+                       5: "OPENCV_FISHEYE", 6: "FULL_OPENCV",
+                       8: "SIMPLE_RADIAL_FISHEYE", 9: "RADIAL_FISHEYE"}
 _COLMAP_NUM_PARAMS = {"SIMPLE_PINHOLE": 3, "PINHOLE": 4,
                       "SIMPLE_RADIAL": 4, "RADIAL": 5, "OPENCV": 8,
-                      "OPENCV_FISHEYE": 8}
+                      "OPENCV_FISHEYE": 8, "FULL_OPENCV": 12,
+                      "SIMPLE_RADIAL_FISHEYE": 4, "RADIAL_FISHEYE": 5}
 _COLMAP_MODEL_IDS = {v: k for k, v in _COLMAP_MODEL_NAMES.items()}
 
 
@@ -277,10 +279,21 @@ def _colmap_camera_fk(cam_id: int, model: str, p: list):
     if model == "OPENCV_FISHEYE":
         fx, fy, cx, cy, k1, k2, k3, k4 = p
         return _one_focal(fx, fy), cx, cy, (k1, k2, k3, k4), "fisheye"
+    if model == "FULL_OPENCV":
+        # rational model; framework layout (k1..k6, p1, p2)
+        fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, k5, k6 = p
+        return (_one_focal(fx, fy), cx, cy,
+                (k1, k2, k3, k4, k5, k6, p1, p2), "full_opencv")
+    if model == "SIMPLE_RADIAL_FISHEYE":
+        # the reduced theta-polynomial (k1 only) is the k2=k3=k4=0 case
+        return p[0], p[1], p[2], (p[3], 0.0, 0.0, 0.0), "fisheye"
+    if model == "RADIAL_FISHEYE":
+        return p[0], p[1], p[2], (p[3], p[4], 0.0, 0.0), "fisheye"
     raise ValueError(
         f"camera {cam_id}: unsupported COLMAP model {model!r} (supported: "
         "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV, "
-        "OPENCV_FISHEYE)"
+        "OPENCV_FISHEYE, FULL_OPENCV, SIMPLE_RADIAL_FISHEYE, "
+        "RADIAL_FISHEYE)"
     )
 
 
@@ -437,18 +450,24 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
     t_all = np.empty((nf, 3))
     k_mats = np.zeros((nf, 3, 3))
     f_all = np.empty(nf)
-    dist = np.zeros((nf, 4))
+    dist = np.zeros((nf, 8))
     names = []
     kinds = set()
     for i, (_, q, t_cw, cam_id, name, obs) in enumerate(images):
         r_cw = _quat_to_rotmat(q)
         r_all[i] = r_cw.T
         t_all[i] = -r_cw.T @ t_cw
-        f, cx, cy, d4, kind = cam_params[cam_id]
+        f, cx, cy, dk, kind = cam_params[cam_id]
         kinds.add(kind)
         f_all[i] = f
         k_mats[i] = [[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]]
-        dist[i] = d4
+        if kind == "full_opencv":
+            dist[i] = dk  # (k1..k6, p1, p2)
+        elif kind == "fisheye":
+            dist[i, :4] = dk
+        else:  # opencv family (k1, k2, p1, p2) -> rational-compatible slots
+            dist[i, 0:2] = dk[0:2]
+            dist[i, 6:8] = dk[2:4]
         names.append(name)
         for px, py, pid in obs:
             if pid in id_to_dense:
@@ -459,13 +478,19 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
     if kinds == {"fisheye"}:
         # equidistant cameras: all four theta-polynomial columns stay,
         # and the caller must run with distortion_model="fisheye"
+        dist = dist[:, :4]
         dist_model = "fisheye"
     elif "fisheye" in kinds:
         raise ValueError(
             "COLMAP model mixes fisheye and perspective cameras; the BA "
             "distortion model is per-reconstruction"
         )
-    elif dist[:, 2:].any():
+    elif "full_opencv" in kinds:
+        # an OPENCV camera is FULL_OPENCV with k3..k6 = 0, so mixed
+        # perspective models promote to the 8-column rational layout
+        dist_model = "full_opencv"
+    elif dist[:, 6:8].any():
+        dist = np.concatenate([dist[:, 0:2], dist[:, 6:8]], axis=-1)
         dist_model = "opencv"
     else:
         # radial-only models keep the (F, 2) layout (the BA cores select
@@ -522,6 +547,16 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
         model = "SIMPLE_PINHOLE"
         cam_param_rows = [
             [float(f[i]), float(pp[i, 0]), float(pp[i, 1])]
+            for i in range(nf)
+        ]
+    elif dist.shape[-1] == 8:
+        model = "FULL_OPENCV"  # fx fy cx cy k1 k2 p1 p2 k3 k4 k5 k6
+        cam_param_rows = [
+            [float(f[i]), float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
+             float(dist[i, 0]), float(dist[i, 1]),
+             float(dist[i, 6]), float(dist[i, 7]),
+             float(dist[i, 2]), float(dist[i, 3]),
+             float(dist[i, 4]), float(dist[i, 5])]
             for i in range(nf)
         ]
     elif dist.shape[-1] == 4:

@@ -1259,3 +1259,369 @@ def test_cli_bal_fisheye_colmap(tmp_path, capsys):
     assert np.isfinite(rec["reprojection_error"])
     d2 = load_colmap(out_dir)
     assert str(d2["distortion_model"]) == "fisheye"
+
+
+def test_colmap_reduced_fisheye_models_load():
+    """SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE (COLMAP's reduced
+    theta-polynomial models) load as the fisheye family with the high-
+    order coefficients zero — projection-parity at the GT state."""
+    import os
+    import tempfile
+
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+    from mvrecon_tpu.runtime.io import load_colmap
+
+    sc, _, _ = _fisheye_scene(n_images=3)
+    nf = 3
+    rng = np.random.default_rng(2)
+    dist_r = jnp.asarray(np.stack([
+        -0.07 + 0.02 * rng.standard_normal(nf),
+        0.015 + 0.005 * rng.standard_normal(nf),
+        np.zeros(nf), np.zeros(nf)], axis=-1))
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0] * 90.0,
+                 u=jnp.asarray(rng.uniform(100, 200, (nf, 2))),
+                 t=sc.t, R=sc.R)
+    x = _render_fisheye(st, dist_r)
+    vis = np.ones((x.shape[0], nf))
+
+    # hand-write a text model with the reduced camera entries
+    from mvrecon_tpu.runtime.io import save_colmap
+
+    for model_name, n_k in (("SIMPLE_RADIAL_FISHEYE", 1),
+                            ("RADIAL_FISHEYE", 2)):
+        if model_name == "SIMPLE_RADIAL_FISHEYE":
+            d_used = dist_r.at[:, 1:].set(0.0)
+        else:
+            d_used = dist_r
+        x_used = _render_fisheye(st, d_used)
+        mdir = os.path.join(tempfile.mkdtemp(), "m")
+        save_colmap(mdir, np.asarray(x_used).transpose(1, 0, 2), vis,
+                    np.asarray(sc.X), np.asarray(sc.R), np.asarray(sc.t),
+                    np.asarray(st.f), principal_point=np.asarray(st.u),
+                    distortion=np.asarray(d_used),
+                    distortion_model="fisheye")
+        # rewrite cameras.txt into the reduced model
+        lines = []
+        with open(os.path.join(mdir, "cameras.txt")) as fh:
+            for line in fh:
+                if line.startswith("#") or not line.strip():
+                    lines.append(line)
+                    continue
+                toks = line.split()
+                cam_id, _, w, h = toks[:4]
+                fx, fy, cx, cy, k1, k2 = (float(v) for v in toks[4:10])
+                ks = [k1, k2][:n_k]
+                lines.append(" ".join(
+                    [cam_id, model_name, w, h, repr(fx), repr(cx),
+                     repr(cy)] + [repr(k) for k in ks]) + "\n")
+        with open(os.path.join(mdir, "cameras.txt"), "w") as fh:
+            fh.writelines(lines)
+        d = load_colmap(mdir)
+        assert str(d["distortion_model"]) == "fisheye"
+        np.testing.assert_allclose(d["distortion"], np.asarray(d_used),
+                                   atol=1e-12)
+        st_l = BAState(
+            X=jnp.asarray(d["X"]), f=jnp.asarray(d["f"]),
+            u=jnp.asarray(d["K"][:, :2, 2]), t=jnp.asarray(d["t"]),
+            R=jnp.asarray(d["R"]),
+        )
+        e = _state_error(
+            st_l, jnp.asarray(d["x"].transpose(1, 0, 2)),
+            jnp.asarray(d["visibility"]), 1.0, None,
+            jnp.asarray(d["distortion"]), "fisheye",
+        )
+        assert float(e) < 1e-16, (model_name, float(e))
+
+
+# ---------------- FULL_OPENCV (rational k1..k6 + p1, p2) model -------------
+
+def _render_full_opencv(st, dist8, f0=1.0):
+    """(P, F, 2) pixels through the framework's rational+tangential
+    terms."""
+    K = build_K(st.f, st.u, f0)
+    _, p, q, r = calc_pqr(st.X, K, st.R, st.t)
+    g1, g2, _, d, _ = _distortion_terms(st, p, q, r, f0, dist8,
+                                        "full_opencv")
+    from mvrecon_tpu.models.bundle_adjustment import _tangential_terms
+
+    t1, t2, _, _, _ = _tangential_terms(st, g1, g2, f0, dist8)
+    return jnp.stack(
+        [d * g1 + t1 + st.u[:, 0][None], d * g2 + t2 + st.u[:, 1][None]],
+        axis=-1,
+    )
+
+
+def _full_opencv_scene(n_images=8, seed=0, noise=0.0):
+    sc = make_synthetic_scene(
+        jax.random.key(0), n_images=n_images, n_slices=4, n_angles=25,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(seed)
+    dist8 = jnp.asarray(np.stack([
+        -0.30 + 0.04 * rng.standard_normal(n_images),   # k1
+        0.05 + 0.02 * rng.standard_normal(n_images),    # k2
+        -0.01 + 0.005 * rng.standard_normal(n_images),  # k3
+        -0.12 + 0.03 * rng.standard_normal(n_images),   # k4
+        0.02 + 0.01 * rng.standard_normal(n_images),    # k5
+        0.005 + 0.002 * rng.standard_normal(n_images),  # k6
+        0.015 + 0.008 * rng.standard_normal(n_images),  # p1
+        -0.01 + 0.006 * rng.standard_normal(n_images),  # p2
+    ], axis=-1))
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    xd = _render_full_opencv(st, dist8)
+    if noise:
+        xd = xd + noise * rng.standard_normal(xd.shape)
+    return sc, dist8, xd
+
+
+def test_full_opencv_forward_matches_reference_formula():
+    """The rational chain equals an independent NumPy implementation of
+    the OpenCV rational model (cv::undistortPoints convention), written
+    from the published formula."""
+    sc, dist8, _ = _full_opencv_scene(n_images=5)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    x_fw = np.asarray(_render_full_opencv(st, dist8))
+
+    X = np.asarray(sc.X)
+    for i in range(5):
+        R = np.asarray(sc.R[i]); t = np.asarray(sc.t[i])
+        f = float(sc.K[i, 0, 0]); cx, cy = np.asarray(sc.K[i, :2, 2])
+        k1, k2, k3, k4, k5, k6, p1, p2 = np.asarray(dist8[i])
+        xc = (X - t) @ R
+        a = xc[:, 0] / xc[:, 2]; b = xc[:, 1] / xc[:, 2]
+        r2 = a * a + b * b
+        num = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        den = 1 + r2 * (k4 + r2 * (k5 + r2 * k6))
+        d = num / den
+        xt = 2 * p1 * a * b + p2 * (r2 + 2 * a * a)
+        yt = p1 * (r2 + 2 * b * b) + 2 * p2 * a * b
+        u_px = f * (d * a + xt) + cx
+        v_px = f * (d * b + yt) + cy
+        np.testing.assert_allclose(x_fw[:, i, 0], u_px, atol=1e-12)
+        np.testing.assert_allclose(x_fw[:, i, 1], v_px, atol=1e-12)
+
+
+def test_full_opencv_derivs_match_autodiff():
+    """The rational chain's hand-derived blocks == jax autodiff of the
+    full_opencv error (translation/f/u blocks + the omega block)."""
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+
+    sc, dist8, xd = _full_opencv_scene(n_images=6)
+    nf = 6
+    X0, t0 = _perturbed_state(sc, 0.02)
+    st = BAState(X=X0, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=t0, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    free = gauge_mask(nf, "x-right_z-forward", jnp.float64)
+    derivs, _ = _compute_derivs(st, xd, vis, free, 1.0, None, dist8,
+                                "full_opencv")
+    npts = X0.shape[0]
+
+    def efun(flat):
+        Xv = flat[: 3 * npts].reshape(npts, 3)
+        fv = flat[3 * npts: 3 * npts + nf]
+        uv = flat[3 * npts + nf: 3 * npts + 3 * nf].reshape(nf, 2)
+        tv = flat[3 * npts + 3 * nf: 3 * npts + 6 * nf].reshape(nf, 3)
+        st2 = BAState(X=Xv, f=fv, u=uv, t=tv, R=st.R)
+        return _state_error(st2, xd, vis, 1.0, None, dist8, "full_opencv")
+
+    flat = jnp.concatenate([st.X.ravel(), st.f, st.u.ravel(), st.t.ravel()])
+    gr = np.asarray(jax.grad(efun)(flat))
+    np.testing.assert_allclose(
+        gr[: 3 * npts].reshape(npts, 3), np.asarray(derivs.d_P), atol=1e-10
+    )
+    dF = np.asarray(derivs.d_F).reshape(nf, 9)
+    fr = np.asarray(free).reshape(nf, 9)
+    gf = gr[3 * npts: 3 * npts + nf]
+    gu = gr[3 * npts + nf: 3 * npts + 3 * nf].reshape(nf, 2)
+    gt = gr[3 * npts + 3 * nf: 3 * npts + 6 * nf].reshape(nf, 3)
+    np.testing.assert_allclose(gf * fr[:, 0], dF[:, 0], atol=1e-10)
+    np.testing.assert_allclose(gu * fr[:, 1:3], dF[:, 1:3], atol=1e-10)
+    np.testing.assert_allclose(gt * fr[:, 3:6], dF[:, 3:6], atol=1e-10)
+
+    def res_of_omega(w):
+        Rw = jnp.matmul(rodrigues(w), st.R)
+        st2 = BAState(X=st.X, f=st.f, u=st.u, t=st.t, R=Rw)
+        return _state_error(st2, xd, vis, 1.0, None, dist8, "full_opencv")
+
+    gw = np.asarray(jax.grad(res_of_omega)(jnp.zeros((nf, 3), jnp.float64)))
+    np.testing.assert_allclose(gw * fr[:, 6:9], dF[:, 6:9], atol=1e-10)
+
+
+def test_fit_full_opencv_exact_function_recovery():
+    """The alternating algebraic refit recovers the generating rational
+    model *as a function*: the cubic/cubic parametrization carries the
+    classic (1 + eps s) common-factor near-degeneracy (N, D can trade a
+    shared factor with only O(s^4) truncation error on a bounded
+    s-range), so individual k's are not identifiable even from exact
+    data — the honest exact claims are zero residual at the fit, d(s)
+    parity on the observed range, and exact (p1, p2) (which are
+    identifiable)."""
+    from mvrecon_tpu.models.bundle_adjustment import (
+        _rational_scale, _state_error,
+    )
+
+    sc, dist8, xd = _full_opencv_scene(n_images=6)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    K = build_K(st.f, st.u, 1.0)
+    _, p, q, r = calc_pqr(st.X, K, st.R, st.t)
+    g1 = p / r - st.u[:, 0][None]
+    g2 = q / r - st.u[:, 1][None]
+    s = ((1.0 / st.f) ** 2)[None] * (g1**2 + g2**2)
+
+    for shared, dist_true in (
+        (False, dist8),
+        (True, jnp.broadcast_to(
+            jnp.asarray([-0.28, 0.04, -0.008, -0.1, 0.018, 0.004,
+                         0.012, -0.008]), (6, 8))),
+    ):
+        x_t = _render_full_opencv(st, dist_true)
+        k_fit = fit_distortion(st, x_t, vis, 1.0, shared=shared,
+                               model="full_opencv")
+        e_fit = float(_state_error(st, x_t, vis, 1.0, None, k_fit,
+                                   "full_opencv"))
+        assert e_fit < 1e-10, e_fit
+        d_fit, _ = _rational_scale(s, k_fit)
+        d_true, _ = _rational_scale(s, dist_true)
+        assert float(jnp.abs(d_fit - d_true).max()) < 1e-5
+        np.testing.assert_allclose(np.asarray(k_fit)[:, 6:8],
+                                   np.asarray(dist_true)[:, 6:8],
+                                   atol=1e-6)
+
+
+def test_full_opencv_e2e_and_chunked_parity():
+    """BA under the fixed true rational model recovers the geometry the
+    pinhole fit cannot; the refit alternation (tied) tracks it from
+    zeros; dense == chunked."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+
+    # noise 5e-4: at 2e-3 the free-intrinsics pinhole fit absorbs the
+    # mild rational field down to ~1.3x the floor; the decisive-model
+    # regime for this scene is lower noise (rmse ratio ~0.26 measured)
+    sc, dist8, xd = _full_opencv_scene(n_images=8, noise=0.0005)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    common = dict(f0=1.0, axis="x-up_z-forward")
+    cfg = LMConfig(max_iter=12, delta_tol=1e-12)
+    res = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                        distortion=dist8, **common)
+    res_pin = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg, **common)
+    rmse = float(aligned_rmse(res.X, sc.X))
+    rmse_pin = float(aligned_rmse(res_pin.X, sc.X))
+    assert rmse < 0.5 * rmse_pin, (rmse, rmse_pin)
+    assert float(res.error) <= float(res_pin.error)
+
+    # tied refit alternation from zeros on a shared-k rendering
+    st_s = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t,
+                   R=sc.R)
+    shared_k = jnp.broadcast_to(
+        jnp.asarray([-0.28, 0.04, -0.008, -0.1, 0.018, 0.004,
+                     0.012, -0.008]), (8, 8)
+    )
+    xd_s = _render_full_opencv(st_s, shared_k)
+    xd_s = xd_s + 0.0005 * np.random.default_rng(9).standard_normal(xd_s.shape)
+    X0s, t0s = _perturbed_state(sc, 0.005)
+    cfg_alt = LMConfig(max_iter=10, delta_tol=1e-12, distortion_rounds=2,
+                       distortion_shared=True,
+                       distortion_model="full_opencv")
+    res_alt = bundle_adjust(
+        xd_s, X0s, sc.K, sc.R, t0s, config=cfg_alt,
+        distortion=jnp.zeros((8, 8), jnp.float64), **common,
+    )
+    assert res_alt.distortion.shape == (8, 8)
+    res_true = bundle_adjust(xd_s, X0s, sc.K, sc.R, t0s, config=cfg,
+                             distortion=shared_k, **common)
+    assert float(res_alt.error) < 1.1 * float(res_true.error)
+    res_pin_s = bundle_adjust(xd_s, X0s, sc.K, sc.R, t0s, config=cfg,
+                              **common)
+    assert (
+        float(aligned_rmse(res_alt.X, sc.X))
+        < 0.6 * float(aligned_rmse(res_pin_s.X, sc.X))
+    )
+
+    # chunked parity (non-fused path; includes the chunked alternation)
+    cfg_c = LMConfig(max_iter=8, delta_tol=1e-12, distortion_rounds=1,
+                     distortion_shared=True,
+                     distortion_model="full_opencv")
+    res_d = bundle_adjust(xd_s, X0s, sc.K, sc.R, t0s, config=cfg_c,
+                          distortion=shared_k, **common)
+    res_c = bundle_adjust_chunked(
+        xd_s, X0s, sc.K, sc.R, t0s, config=cfg_c, chunk_size=32,
+        distortion=shared_k, **common,
+    )
+    np.testing.assert_allclose(float(res_c.error), float(res_d.error),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_c.distortion),
+                               np.asarray(res_d.distortion), atol=1e-9)
+
+
+def test_colmap_full_opencv_roundtrip_and_promotion():
+    """A FULL_OPENCV COLMAP model round-trips (binary and text) with
+    projection parity at GT; a model mixing OPENCV and FULL_OPENCV
+    cameras promotes to the 8-column rational layout exactly."""
+    import os
+    import tempfile
+
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+    from mvrecon_tpu.runtime.io import load_colmap, save_colmap
+
+    sc, dist8, _ = _full_opencv_scene(n_images=6)
+    nf = 6
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(np.asarray(sc.K[:, 0, 0]) * 110.0)
+    pp = jnp.asarray(rng.uniform(200, 300, (nf, 2)))
+    st = BAState(X=sc.X, f=f, u=pp, t=sc.t, R=sc.R)
+    x = _render_full_opencv(st, dist8)
+    x_fp = np.asarray(x).transpose(1, 0, 2)
+    vis = np.ones((x.shape[0], nf))
+
+    for binary in (False, True):
+        mdir = os.path.join(tempfile.mkdtemp(), "m")
+        save_colmap(mdir, x_fp, vis, np.asarray(sc.X), np.asarray(sc.R),
+                    np.asarray(sc.t), np.asarray(f),
+                    principal_point=np.asarray(pp),
+                    distortion=np.asarray(dist8), binary=binary)
+        d = load_colmap(mdir)
+        assert str(d["distortion_model"]) == "full_opencv"
+        np.testing.assert_allclose(d["distortion"], np.asarray(dist8),
+                                   atol=1e-12)
+        st_l = BAState(
+            X=jnp.asarray(d["X"]), f=jnp.asarray(d["f"]),
+            u=jnp.asarray(d["K"][:, :2, 2]), t=jnp.asarray(d["t"]),
+            R=jnp.asarray(d["R"]),
+        )
+        e = _state_error(
+            st_l, jnp.asarray(d["x"].transpose(1, 0, 2)),
+            jnp.asarray(d["visibility"]), 1.0, None,
+            jnp.asarray(d["distortion"]), "full_opencv",
+        )
+        assert float(e) < 1e-16, float(e)
+
+    # promotion: rewrite half the text cameras as plain OPENCV
+    mdir = os.path.join(tempfile.mkdtemp(), "m")
+    d8 = np.asarray(dist8).copy()
+    d8[:3, 2:6] = 0.0  # cameras 0-2 become exact OPENCV models
+    x_mix = _render_full_opencv(st, jnp.asarray(d8))
+    save_colmap(mdir, np.asarray(x_mix).transpose(1, 0, 2), vis,
+                np.asarray(sc.X), np.asarray(sc.R), np.asarray(sc.t),
+                np.asarray(f), principal_point=np.asarray(pp),
+                distortion=d8)
+    lines = []
+    with open(os.path.join(mdir, "cameras.txt")) as fh:
+        for line in fh:
+            toks = line.split()
+            if (not line.startswith("#") and line.strip()
+                    and int(toks[0]) <= 3):
+                cam_id, _, w, h = toks[:4]
+                fx, fy, cx, cy, k1, k2, p1, p2 = toks[4:12]
+                lines.append(" ".join(
+                    [cam_id, "OPENCV", w, h, fx, fy, cx, cy,
+                     k1, k2, p1, p2]) + "\n")
+            else:
+                lines.append(line)
+    with open(os.path.join(mdir, "cameras.txt"), "w") as fh:
+        fh.writelines(lines)
+    d = load_colmap(mdir)
+    assert str(d["distortion_model"]) == "full_opencv"
+    np.testing.assert_allclose(d["distortion"], d8, atol=1e-12)

@@ -163,6 +163,34 @@ for mode in ("1", "0"):
     errs_d[mode] = float(res.error)
 out["e_fused_dist"] = errs_d["1"]
 out["e_xla_dist"] = errs_d["0"]
+
+# --- 5. fisheye chain + covariance estimation on device --------------
+kf = jnp.asarray(np.stack([np.full(10, -0.08), np.full(10, 0.02),
+                           np.full(10, 0.005), np.zeros(10)], -1),
+                 jnp.float32)
+g1f, g2f, _, mf, _ = _distortion_terms(st4, p4, q4, r4, 1.0, kf, "fisheye")
+xf = jnp.asarray(
+    np.stack([np.asarray(mf * g1f) + np.asarray(st4.u[:, 0])[None],
+              np.asarray(mf * g2f) + np.asarray(st4.u[:, 1])[None]], -1)
+    + 0.003 * rng4.standard_normal((scene.X.shape[0], 10, 2)), jnp.float32,
+)
+from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
+
+cfg_f = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=6,
+                 distortion_model="fisheye")
+res_f = bundle_adjust(xf, X0, scene.K, scene.R, scene.t, f0=1.0,
+                      axis="x-up_z-forward", config=cfg_f, distortion=kf)
+out["e_fisheye"] = float(res_f.error)
+out["e_fisheye_floor"] = float(2 * xf.shape[0] * 10 * 0.003**2)
+
+from mvrecon_tpu.models.covariance import ba_covariance
+
+cov = ba_covariance(xf, res_f.X, res_f.K, res_f.R, res_f.t,
+                    axis="x-up_z-forward", config=cfg_f, distortion=kf)
+pc = np.asarray(cov.point_cov, np.float64)
+out["cov_finite"] = bool(np.isfinite(pc).all())
+out["cov_min_eig"] = float(np.linalg.eigvalsh(pc).min())
+out["cov_sigma2"] = float(cov.sigma2)
 print(json.dumps(out))
 """
 
@@ -204,3 +232,11 @@ def test_fused_schur_numerics_on_device():
     # converge with the XLA chunked build on device too
     assert np.isfinite(out["e_fused_dist"]) and np.isfinite(out["e_xla_dist"]), out
     assert abs(out["e_fused_dist"] - out["e_xla_dist"]) <= 1e-3 * out["e_xla_dist"], out
+    # fisheye BA on device converges toward the noise floor
+    assert np.isfinite(out["e_fisheye"]), out
+    assert out["e_fisheye"] < 30.0 * out["e_fisheye_floor"], out
+    # covariance estimation on device: finite, PSD to f32 roundoff,
+    # sigma^2 at the injected-noise scale
+    assert out["cov_finite"], out
+    assert out["cov_min_eig"] > -1e-10, out
+    assert 0.1 * 9e-6 < out["cov_sigma2"] < 30 * 9e-6, out
