@@ -12,4 +12,5 @@ from .covariance import (  # noqa: F401
     BACovariance,
     ba_covariance,
     ba_covariance_chunked,
+    ba_covariance_streamed,
 )

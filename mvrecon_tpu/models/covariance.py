@@ -288,3 +288,122 @@ def ba_covariance_chunked(
     point_cov_n = pc_ch.reshape(-1, 3, 3)[:npts]
     cam_cov_n = _camera_cov_from(a_inv, nf, scale2)
     return _finalize(point_cov_n, cam_cov_n, info, sigma2, n_obs, e)
+
+
+# ---------------------------------------------------------------------------
+# host-streamed variant (observations never fully device-resident)
+# ---------------------------------------------------------------------------
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("f0", "model"), donate_argnums=(0,))
+def _cov_accumulate_chunk(accs, cam, X_c, x_c, vis_c, free, f0: float,
+                          dist=None, huber_delta=None,
+                          model: str | None = None):
+    """Fold one observation chunk into (schur, G, E) for the covariance
+    build (undamped; the streamed analog of the chunked scan 1)."""
+    schur_acc, g_acc, e_acc = accs
+    _, _, matE, matF, matG, e_chunk = _chunk_blocks(
+        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
+    )
+    einv = inv3x3(matE)
+    y = jnp.einsum("pxy,pym->pxm", einv, matF, precision=HIGHEST)
+    schur_acc = schur_acc + jnp.einsum(
+        "pxm,pxn->mn", matF, y, precision=HIGHEST
+    )
+    return (schur_acc, g_acc + matG, e_acc + e_chunk)
+
+
+@_partial(jax.jit, static_argnames=("f0", "model"))
+def _cov_point_chunk(cam, X_c, x_c, vis_c, free, f0: float, a_inv, scale2,
+                     dist=None, huber_delta=None, model: str | None = None):
+    """One chunk's point-covariance blocks against the completed
+    camera-marginal inverse."""
+    _, _, matE, matF, _, _ = _chunk_blocks(
+        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
+    )
+    einv = inv3x3(matE)
+    y = jnp.einsum("pxy,pym->pxm", einv, matF, precision=HIGHEST)
+    return _point_cov_from(einv, y, a_inv, scale2)
+
+
+def ba_covariance_streamed(
+    x_host,
+    X: jax.Array,
+    K: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    f0: float = 1.0,
+    visibility=None,
+    axis: str = "x-right_z-forward",
+    config: LMConfig = LMConfig(),
+    distortion: jax.Array | None = None,
+    chunk_size: int = 4096,
+    prefetch: int = 2,
+    dtype=jnp.float32,
+) -> BACovariance:
+    """Host-streamed :func:`ba_covariance`: observations (and the mask)
+    stay in host memory and stream through the same double-buffered
+    chunk feed as ``bundle_adjust_streamed`` — two streaming passes
+    (Schur accumulation, then point blocks), O(chunk) observation bytes
+    device-resident. Parity-pinned against the dense path."""
+    import numpy as np_
+
+    from .bundle_adjustment_streamed import _ChunkFeed
+
+    x_host = np_.asarray(x_host)
+    npts, nf, _ = x_host.shape
+    X0, R0, t0, info = normalize_gauge(
+        jnp.asarray(X, dtype), jnp.asarray(R, dtype),
+        jnp.asarray(t, dtype), axis,
+    )
+    K = jnp.asarray(K, dtype)
+    cam = BAState(X=jnp.zeros((0, 3), dtype), f=K[:, 0, 0],
+                  u=K[:, :2, 2], t=t0, R=R0)
+    free = gauge_mask(nf, axis, dtype)
+    dist = None if distortion is None else jnp.asarray(distortion, dtype)
+    model = resolve_distortion_model(dist, config.distortion_model)
+    huber_delta = config.huber_delta if config.robust == "huber" else None
+    nf9 = 9 * nf
+
+    feed = _ChunkFeed(
+        x_host, visibility, chunk_size,
+        np_.dtype(jnp.zeros((), dtype).dtype), prefetch=prefetch,
+    )
+
+    def x_chunk(lo, hi):
+        if hi - lo == feed.chunk:
+            return jax.lax.dynamic_slice_in_dim(X0, lo, feed.chunk)
+        return jnp.concatenate(
+            [X0[lo:hi], jnp.zeros((feed.chunk - (hi - lo), 3), dtype)]
+        )
+
+    accs = (jnp.zeros((nf9, nf9), dtype), jnp.zeros((nf, 9, 9), dtype),
+            jnp.zeros((), dtype))
+    n_obs = 0
+    for lo, hi, x_c, vis_c in feed:
+        accs = _cov_accumulate_chunk(
+            accs, cam, x_chunk(lo, hi), x_c, vis_c, free, f0, dist,
+            huber_delta, model,
+        )
+        n_obs += int(np_.sum(np_.asarray(vis_c) > 0))
+    schur, g_sum, e = accs
+    a_inv = _finish_schur_inverse(schur, g_sum, free, nf9)
+
+    n_free = 3.0 * npts + jnp.sum(free)
+    dof = max(2.0 * n_obs - float(n_free), 1.0)
+    sigma2 = e / dof
+    scale2 = 2.0 * sigma2
+
+    parts = []
+    for lo, hi, x_c, vis_c in feed:
+        pc = _cov_point_chunk(
+            cam, x_chunk(lo, hi), x_c, vis_c, free, f0, a_inv, scale2,
+            dist, huber_delta, model,
+        )
+        parts.append(pc[: hi - lo])
+    point_cov_n = jnp.concatenate(parts, axis=0)
+    cam_cov_n = _camera_cov_from(a_inv, nf, scale2)
+    return _finalize(point_cov_n, cam_cov_n, info, sigma2,
+                     jnp.asarray(n_obs), e)

@@ -364,3 +364,72 @@ def test_sharded_covariance_matches_dense():
         np.testing.assert_allclose(float(cov_s.sigma2),
                                    float(cov_d.sigma2), rtol=1e-10)
         assert int(cov_s.n_obs) == int(cov_d.n_obs)
+
+
+def test_covariance_vmaps_over_scenes():
+    """ba_covariance composes with vmap (the scenes-DP axis of the
+    batched pipeline): per-scene covariance blocks equal the per-scene
+    calls bit-exactly — uncertainty for a whole scene batch is one
+    vmapped call."""
+    scenes = [
+        make_synthetic_scene(jax.random.key(i), n_images=5, n_slices=2,
+                             n_angles=8, noise=0.0, dtype=jnp.float64)
+        for i in range(3)
+    ]
+    rng = np.random.default_rng(0)
+    xs, Xs, Ks, Rs, ts = [], [], [], [], []
+    for sc in scenes:
+        x = (np.asarray(sc.x).transpose(1, 0, 2)
+             + 0.002 * rng.standard_normal((16, 5, 2)))
+        res = bundle_adjust(jnp.asarray(x), sc.X, sc.K, sc.R, sc.t,
+                            config=LMConfig(max_iter=25, delta_tol=1e-14))
+        xs.append(x)
+        Xs.append(res.X)
+        Ks.append(res.K)
+        Rs.append(res.R)
+        ts.append(res.t)
+    x_b = jnp.asarray(np.stack(xs))
+    args = tuple(jnp.stack(v) for v in (Xs, Ks, Rs, ts))
+
+    cov_b = jax.vmap(lambda x, X, K, R, t: ba_covariance(x, X, K, R, t))(
+        x_b, *args
+    )
+    assert cov_b.point_cov.shape == (3, 16, 3, 3)
+    assert cov_b.camera_cov.shape == (3, 5, 9, 9)
+    for i in range(3):
+        ci = ba_covariance(x_b[i], *(a[i] for a in args))
+        np.testing.assert_array_equal(np.asarray(cov_b.point_cov[i]),
+                                      np.asarray(ci.point_cov))
+        np.testing.assert_array_equal(np.asarray(cov_b.sigma2[i]),
+                                      np.asarray(ci.sigma2))
+
+
+def test_covariance_streamed_matches_dense():
+    """ba_covariance_streamed (host-RAM observations, double-buffered
+    chunk feed) == ba_covariance on the same data, including visibility
+    and Huber (f64 on CPU for an exact comparison)."""
+    from mvrecon_tpu.models.covariance import ba_covariance_streamed
+
+    sc, x = _scene(n_images=5, n_slices=3, n_angles=9)
+    rng = np.random.default_rng(3)
+    vis = (rng.uniform(size=x.shape[:2]) < 0.85).astype(np.float64)
+    vis[:, :2] = 1.0
+    res = bundle_adjust(
+        x, sc.X, sc.K, sc.R, sc.t, visibility=jnp.asarray(vis),
+        config=LMConfig(max_iter=25, delta_tol=1e-14),
+    )
+    for cfg in (LMConfig(), LMConfig(robust="huber", huber_delta=0.05)):
+        cov_d = ba_covariance(x, res.X, res.K, res.R, res.t,
+                              visibility=jnp.asarray(vis), config=cfg)
+        cov_s = ba_covariance_streamed(
+            np.asarray(x), res.X, res.K, res.R, res.t, visibility=vis,
+            config=cfg, chunk_size=16, dtype=jnp.float64,
+        )
+        np.testing.assert_allclose(np.asarray(cov_s.point_cov),
+                                   np.asarray(cov_d.point_cov),
+                                   rtol=1e-6, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(cov_s.camera_cov),
+                                   np.asarray(cov_d.camera_cov),
+                                   rtol=1e-6, atol=1e-15)
+        np.testing.assert_allclose(float(cov_s.sigma2),
+                                   float(cov_d.sigma2), rtol=1e-10)
