@@ -1625,3 +1625,37 @@ def test_colmap_full_opencv_roundtrip_and_promotion():
     d = load_colmap(mdir)
     assert str(d["distortion_model"]) == "full_opencv"
     np.testing.assert_allclose(d["distortion"], d8, atol=1e-12)
+
+
+def test_2d_mesh_fisheye_matches_1d_sharded():
+    """(points x cameras) 2D-mesh BA under the fisheye model matches
+    the 1D point-sharded result — the model-generic chain lives inside
+    the derivative generation, so the row-sharded CG solver needs no
+    model-specific changes (gauge-invariant parity, as the radial 2D
+    test)."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
+    from mvrecon_tpu.parallel.sharded_ba_2d import sharded_bundle_adjust_2d
+
+    sc, dist4, xd = _fisheye_scene(n_images=8, noise=0.002)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    mesh1 = make_mesh({"points": 4})
+    mesh2 = make_mesh({"points": 4, "cameras": 2})
+    common = dict(f0=1.0, axis="x-up_z-forward")
+    cfg = LMConfig(max_iter=8, delta_tol=1e-10,
+                   distortion_model="fisheye")
+    res_1d = sharded_bundle_adjust(mesh1, xd, X0, sc.K, sc.R, t0,
+                                   config=cfg, distortion=dist4, **common)
+    res_2d = sharded_bundle_adjust_2d(mesh2, xd, X0, sc.K, sc.R, t0,
+                                      config=cfg, distortion=dist4,
+                                      cg_tol=1e-12, **common)
+    np.testing.assert_allclose(
+        float(res_2d.error), float(res_1d.error), rtol=1e-5
+    )
+    assert float(
+        aligned_rmse(jnp.asarray(np.asarray(res_2d.X)),
+                     jnp.asarray(np.asarray(res_1d.X)))
+    ) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(res_2d.distortion), np.asarray(dist4), atol=0
+    )
