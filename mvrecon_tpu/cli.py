@@ -429,6 +429,11 @@ def main(argv=None) -> None:
                     "--tangential fits the OPENCV (p1, p2) model; the input "
                     "is OPENCV_FISHEYE (a different projection family)"
                 )
+        elif args.tangential and in_model == "radial":
+            # --tangential widens a radial input to the 4-column OPENCV
+            # model below; the config must agree or the resolver rejects
+            # the widened array
+            in_model = "opencv"
         cfg = LMConfig(
             scale_factor=args.scale_factor,
             delta_tol=args.delta_tol,

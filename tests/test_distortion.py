@@ -1659,3 +1659,27 @@ def test_2d_mesh_fisheye_matches_1d_sharded():
     np.testing.assert_allclose(
         np.asarray(res_2d.distortion), np.asarray(dist4), atol=0
     )
+
+
+def test_cli_bal_tangential_on_radial_colmap(tmp_path, capsys):
+    """CLI ``bal --tangential`` on a *radial* COLMAP input widens to the
+    4-parameter OPENCV model (config and array agree — regression: the
+    config previously kept the input's "radial" tag and the resolver
+    rejected the widened array)."""
+    import json
+
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.runtime.io import save_colmap
+
+    sc, dist, xd = _distorted_scene(n_images=6, noise=0.001)
+    X0, t0 = _perturbed_state(sc, 0.003)
+    mdir = str(tmp_path / "model")
+    save_colmap(mdir, np.asarray(xd).transpose(1, 0, 2),
+                np.ones(xd.shape[:2]), np.asarray(X0), np.asarray(sc.R),
+                np.asarray(t0), np.asarray(sc.K[:, 0, 0]),
+                distortion=np.asarray(dist))
+    main(["bal", mdir, "--float64", "--max-iter", "5", "--tangential",
+          "--optimize-distortion", "1", "--shared-k"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "p1_mean" in rec
+    assert np.isfinite(rec["reprojection_error"])
