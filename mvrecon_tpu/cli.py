@@ -558,8 +558,15 @@ def main(argv=None) -> None:
         if args.output_ply:
             from .runtime.io import save_ply
 
-            save_ply(args.output_ply, np.asarray(res.X),
-                     cameras=np.asarray(res.t))
+            save_ply(
+                args.output_ply, np.asarray(res.X),
+                cameras=np.asarray(res.t),
+                quality=(
+                    None if cov is None
+                    else np.sqrt(np.asarray(cov.point_cov).trace(
+                        axis1=1, axis2=2) / 3.0)
+                ),
+            )
             out["output_ply"] = args.output_ply
 
     elif args.command == "bench-ba":

@@ -660,41 +660,66 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
         fh.write("\n".join(lines) + "\n")
 
 
-def save_ply(path: str, X, colors=None, cameras=None) -> None:
+def save_ply(path: str, X, colors=None, cameras=None,
+             quality=None) -> None:
     """Write a reconstruction as an ASCII PLY point cloud — the standard
     interchange viewable in MeshLab / CloudCompare / Open3D.
 
     ``X`` (P, 3) points; ``colors`` optional (P, 3) uint8 (default mid
     gray); ``cameras`` optional (F, 3) camera centers appended as red
     points so pose geometry is visible alongside the cloud.
-    """
+
+    ``quality`` optional (P,) per-point scalar (e.g. the position sigma
+    from ``ba_covariance``) written as a float ``quality`` vertex
+    property (the MeshLab/CloudCompare scalar-field convention) —
+    appended cameras get quality 0. When ``colors`` is omitted and
+    ``quality`` is given, points are also colored on a white->red ramp
+    by quality so the uncertainty is visible without loading the scalar
+    field."""
     X = np.asarray(X, np.float64)
     npts = X.shape[0]
+    q = None if quality is None else np.asarray(quality, np.float64)
     if colors is None:
-        cols = np.full((npts, 3), 200, np.uint8)
+        if q is not None:
+            hi = float(q.max()) if q.size and float(q.max()) > 0 else 1.0
+            w = np.clip(q / hi, 0.0, 1.0)
+            cols = np.stack([
+                np.full(npts, 255), 255 * (1.0 - w), 255 * (1.0 - w)
+            ], axis=-1).astype(np.uint8)
+        else:
+            cols = np.full((npts, 3), 200, np.uint8)
     else:
         cols = np.asarray(colors, np.uint8)
     rows = [X]
     crows = [cols]
+    qrows = None if q is None else [q]
     if cameras is not None:
         cams = np.asarray(cameras, np.float64)
         rows.append(cams)
         crows.append(
             np.tile(np.array([[255, 40, 40]], np.uint8), (cams.shape[0], 1))
         )
+        if qrows is not None:
+            qrows.append(np.zeros(cams.shape[0]))
     pts = np.concatenate(rows)
     cols = np.concatenate(crows)
+    qs = None if qrows is None else np.concatenate(qrows)
     lines = [
         "ply", "format ascii 1.0",
         f"element vertex {pts.shape[0]}",
         "property double x", "property double y", "property double z",
         "property uchar red", "property uchar green", "property uchar blue",
-        "end_header",
     ]
-    for p, c in zip(pts, cols):
-        lines.append(
+    if qs is not None:
+        lines.append("property float quality")
+    lines.append("end_header")
+    for i, (p, c) in enumerate(zip(pts, cols)):
+        row = (
             f"{float(p[0])!r} {float(p[1])!r} {float(p[2])!r} "
             f"{int(c[0])} {int(c[1])} {int(c[2])}"
         )
+        if qs is not None:
+            row += f" {float(qs[i])!r}"
+        lines.append(row)
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")

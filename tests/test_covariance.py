@@ -433,3 +433,29 @@ def test_covariance_streamed_matches_dense():
                                    rtol=1e-6, atol=1e-15)
         np.testing.assert_allclose(float(cov_s.sigma2),
                                    float(cov_d.sigma2), rtol=1e-10)
+
+
+def test_cli_bal_covariance_ply_quality(tmp_path, capsys):
+    """``bal --covariance --output-ply``: the PLY gains a float quality
+    vertex property carrying the per-point position sigma (cameras get
+    quality 0)."""
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.runtime.io import save_bal
+
+    sc, x = _scene(n_images=5, n_slices=2, n_angles=8)
+    path = str(tmp_path / "prob.txt")
+    ply = str(tmp_path / "cloud.ply")
+    save_bal(path, np.asarray(x).transpose(1, 0, 2),
+             np.ones(x.shape[:2]), np.asarray(sc.X), np.asarray(sc.R),
+             np.asarray(sc.t), np.asarray(sc.K[:, 0, 0]))
+    main(["bal", path, "--float64", "--max-iter", "15",
+          "--ignore-distortion", "--covariance", "--output-ply", ply])
+    capsys.readouterr()
+    txt = open(ply).read().splitlines()
+    assert "property float quality" in txt
+    hdr_end = txt.index("end_header")
+    npts, nf = x.shape[0], 5
+    assert len(txt) - (hdr_end + 1) == npts + nf
+    qs = [float(line.split()[-1]) for line in txt[hdr_end + 1:]]
+    assert all(q > 0 for q in qs[:npts])
+    assert all(q == 0.0 for q in qs[npts:])
