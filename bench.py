@@ -19,6 +19,10 @@ Workloads (all float32, full visibility):
    with per-scene iteration counts and worst-E vs the noise floor.
 5. **bal_sparse** (extra field): Huber BA on a BAL-format problem with
    sliding-window ~20% visibility and 2% gross outliers.
+6. **covariance** (extra field): full uncertainty quantification of the
+   north-star reconstruction — per-point 3x3 + per-camera 9x9
+   covariance blocks at P=100,000 x F=1,000 via the chunked
+   camera-marginal Schur inverse (models/covariance.py).
 
 MVRECON_BENCH_FAST=1 skips workloads 2-5 (headline only).
 """
@@ -117,13 +121,13 @@ def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
         err = float(res.error)
         retries = int(res.log["n_solver_retries"])
         _fetch(res.X)
-        return err, retries
+        return res, err, retries
 
     run()
-    times, err, retries = [], None, None
+    times, err, retries, res = [], None, None, None
     for _ in range(3):
         start = time.perf_counter()
-        err, retries = run()
+        res, err, retries = run()
         times.append(time.perf_counter() - start)
     # median-of-3 with the spread surfaced: the retry count carries
     # ~±0.35 s of fp-ordering sensitivity at this workload (BASELINE.md),
@@ -136,7 +140,7 @@ def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
     # generation, and the (9F)^3/3 solve are lower-order and excluded.
     flops = retries * 3 * n_points * (9 * n_views) ** 2
     mfu = flops / wall / PEAK_FLOPS
-    return {
+    stats = {
         "points": n_points, "views": n_views, "iters": n_iters,
         "wall_s": round(wall, 3),
         "wall_s_spread": [round(min(times), 3), round(max(times), 3)],
@@ -144,6 +148,46 @@ def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
         "reprojection_error": err,
         "mfu_pct": round(100 * mfu, 1),
         "peak_flops": PEAK_FLOPS,
+    }
+    return stats, (x, res)
+
+
+def bench_covariance(x, res, chunk=768):
+    """Uncertainty quantification at the north-star scale: covariance
+    blocks of the converged 100k x 1000 state (ceres-Covariance-class
+    capability; at this scale CPU sparse-Cholesky covariance pipelines
+    take minutes to hours)."""
+    from functools import partial
+
+    from mvrecon_tpu.models.covariance import ba_covariance_chunked
+
+    cov_fn = jax.jit(partial(
+        ba_covariance_chunked, f0=1.0, axis="x-up_z-forward",
+        chunk_size=chunk,
+    ))
+
+    def run():
+        cov = cov_fn(x, res.X, res.K, res.R, res.t)
+        # summary scalars on device: only a handful of bytes cross the
+        # tunnel (the full (P, 3, 3) stays in HBM)
+        sig = jnp.sqrt(jnp.trace(cov.point_cov, axis1=-2, axis2=-1) / 3.0)
+        med = jnp.median(sig)
+        mx = jnp.max(sig)
+        ok = jnp.isfinite(cov.point_cov).all() & jnp.isfinite(cov.camera_cov).all()
+        _fetch(cov.sigma2)
+        return (float(jnp.sqrt(cov.sigma2)), float(med), float(mx), bool(ok))
+
+    run()
+    start = time.perf_counter()
+    sigma, med, mx, ok = run()
+    wall = time.perf_counter() - start
+    assert ok, "covariance produced non-finite blocks"
+    return {
+        "points": int(x.shape[0]), "views": int(x.shape[1]),
+        "wall_s": round(wall, 3),
+        "sigma": round(sigma, 6),
+        "point_sigma_median": round(med, 6),
+        "point_sigma_max": round(mx, 6),
     }
 
 
@@ -264,7 +308,10 @@ def main():
         "vs_baseline": round(REFERENCE_CPU_WALL_S / wall, 2),
     }
     if os.environ.get("MVRECON_BENCH_FAST") != "1":
-        out["northstar"] = bench_northstar()
+        out["northstar"], (ns_x, ns_res) = bench_northstar()
+        dog.pet()
+        out["covariance"] = bench_covariance(ns_x, ns_res)
+        del ns_x, ns_res
         dog.pet()
         out["batched"] = bench_batched(n_scenes=256)
         dog.pet()
