@@ -1683,3 +1683,40 @@ def test_cli_bal_tangential_on_radial_colmap(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "p1_mean" in rec
     assert np.isfinite(rec["reprojection_error"])
+
+
+def test_resumable_segments_with_fisheye(tmp_path):
+    """Segmented (checkpoint/resume) chunked BA under a fixed fisheye
+    model equals the continuous run — the model tag rides LMConfig, so
+    segment configs built with dataclasses.replace keep it."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.runtime.elastic import resumable_bundle_adjust
+
+    sc, dist4, xd = _fisheye_scene(n_images=6, noise=0.002)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    cfg = LMConfig(max_iter=6, delta_tol=0.0, distortion_model="fisheye")
+    common = dict(f0=1.0, axis="x-up_z-forward", config=cfg)
+
+    res_cont = bundle_adjust_chunked(xd, X0, sc.K, sc.R, t0,
+                                     chunk_size=32, distortion=dist4,
+                                     **common)
+    # segmented run (3 x 2 iterations through the checkpoint), plus a
+    # kill-and-reinvoke: a first process that only completes 2
+    # iterations, then a restart that finds the checkpoint
+    ckpt = str(tmp_path / "seg.npz")
+    part, n1 = resumable_bundle_adjust(
+        xd, X0, sc.K, sc.R, t0, ckpt, total_iters=2, segment_iters=2,
+        chunk_size=32, distortion=dist4, **common,
+    )
+    assert n1 == 2
+    res_seg, n2 = resumable_bundle_adjust(
+        xd, X0, sc.K, sc.R, t0, ckpt, total_iters=6, segment_iters=2,
+        chunk_size=32, distortion=dist4, **common,
+    )
+    assert n2 == 4
+    np.testing.assert_allclose(float(res_seg.error), float(res_cont.error),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(res_seg.X), np.asarray(res_cont.X),
+                               atol=1e-10)
