@@ -134,7 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_bal.add_argument(
         "--huber", type=float, default=None, metavar="DELTA",
-        help="Huber-robust IRLS with this delta (f0-normalized residual)",
+        help="robust IRLS with this scale (f0-normalized residual "
+             "magnitude); loss kind from --robust-loss",
+    )
+    p_bal.add_argument(
+        "--robust-loss", choices=["huber", "cauchy", "soft_l1", "arctan"],
+        default="huber",
+        help="IRLS loss family used when --huber is set",
     )
     p_bal.add_argument(
         "--optimize-distortion", type=int, default=0, metavar="R",
@@ -439,7 +445,7 @@ def main(argv=None) -> None:
             delta_tol=args.delta_tol,
             max_iter=args.max_iter,
             damping=args.damping,
-            robust="huber" if args.huber is not None else None,
+            robust=args.robust_loss if args.huber is not None else None,
             huber_delta=args.huber if args.huber is not None else 0.05,
             distortion_rounds=args.optimize_distortion,
             distortion_shared=args.shared_k,

@@ -82,10 +82,12 @@ class LMConfig:
     # (c *= max(1/3, 1-(2 rho-1)^3) on accept, c *= nu, nu *= 2 on reject)
     # - fewer wasted retries when each retry is a full Schur rebuild.
     damping: str = "reference"
-    # robust loss: None = plain least squares (reference); "huber" = IRLS
-    # with Huber weights recomputed each outer iteration (w = 1 for
-    # normalized residual <= huber_delta, delta/|r| beyond) - gross
-    # outliers stop dominating the normal equations.
+    # robust loss: None = plain least squares (reference); otherwise an
+    # IRLS loss recomputed each outer iteration ("huber", "cauchy",
+    # "soft_l1", "arctan" — the ceres LossFunction family; see
+    # models/bundle_adjustment.robust_weight) - gross outliers stop
+    # dominating the normal equations. huber_delta is the scale
+    # parameter for every kind (residual-magnitude units).
     robust: str | None = None
     huber_delta: float = 0.05
     # radial-distortion optimization (BAL camera model): number of

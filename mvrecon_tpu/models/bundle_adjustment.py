@@ -727,18 +727,45 @@ def _state_error(
     return _psum(jnp.sum(vis * (res_p**2 + res_q**2)), axis_name)
 
 
+ROBUST_LOSSES = ("huber", "cauchy", "soft_l1", "arctan")
+
+
+def robust_weight(mag: jax.Array, delta: float,
+                  kind: str = "huber") -> jax.Array:
+    """IRLS weight w = rho'(s) at s = mag^2 for the supported robust
+    losses (the ceres LossFunction family; delta is the scale in
+    residual-magnitude units):
+
+    - huber:   rho' = min(1, delta/|r|) — quadratic core, linear tail
+    - cauchy:  rho' = 1 / (1 + s/delta^2) — aggressive redescending
+    - soft_l1: rho' = 1 / sqrt(1 + s/delta^2) — smooth pseudo-Huber
+    - arctan:  rho' = 1 / (1 + (s/delta^2)^2) — hard redescending
+      (bounded total influence)
+    """
+    if kind == "huber":
+        return jnp.minimum(1.0, delta / jnp.maximum(mag, 1e-12))
+    s_rel = (mag / delta) ** 2
+    if kind == "cauchy":
+        return 1.0 / (1.0 + s_rel)
+    if kind == "soft_l1":
+        return 1.0 / jnp.sqrt(1.0 + s_rel)
+    if kind == "arctan":
+        return 1.0 / (1.0 + s_rel * s_rel)
+    raise ValueError(f"unknown robust loss: {kind!r} (use {ROBUST_LOSSES})")
+
+
 def _huber_weights(
     state: BAState, x: jax.Array, vis: jax.Array, f0: float, delta: float,
     dist: jax.Array | None = None, model: str | None = None,
+    robust_kind: str = "huber",
 ) -> jax.Array:
-    """IRLS Huber weights from the current residuals: w = min(1, delta/|r|)
-    per observation (|r| = normalized reprojection residual magnitude).
-    Multiplied into the visibility mask, gross outliers contribute
-    linearly instead of quadratically."""
+    """IRLS weights from the current residuals (``robust_weight`` of the
+    normalized reprojection residual magnitude). Multiplied into the
+    visibility mask, gross outliers stop dominating the normal
+    equations."""
     res_p, res_q = _residuals(state, x, vis, f0, dist, model)
     mag = jnp.sqrt(res_p**2 + res_q**2)
-    w = jnp.minimum(1.0, delta / jnp.maximum(mag, 1e-12))
-    return vis * w
+    return vis * robust_weight(mag, delta, robust_kind)
 
 
 def fit_distortion(
@@ -1120,14 +1147,16 @@ def lm_optimize(
         _, _, _, _, count, done, _ = carry
         return (~done) & (count < max_iter)
 
-    robust = config.robust == "huber"
+    robust = config.robust is not None
+    robust_kind = config.robust if robust else "huber"
 
     def body(carry):
         state_c, e_prev, c, nu, count, _, log = carry
         if robust:
             # IRLS: reweight from the current residuals; the accept test
             # and the stopping delta both use this iteration's weights.
-            vis_it = _huber_weights(state_c, x, vis, f0, config.huber_delta, dist, model)
+            vis_it = _huber_weights(state_c, x, vis, f0, config.huber_delta,
+                                    dist, model, robust_kind)
         else:
             vis_it = vis
         derivs, e_prev_w = _compute_derivs(state_c, x, vis_it, free, f0, axis_name, dist, model)
@@ -1220,9 +1249,9 @@ def bundle_adjust(
         # Under the Huber loss the refit uses the IRLS weights — the
         # 2-parameter per-camera LSQ otherwise latches onto the gross
         # outliers the robust geometry pass is busy rejecting.
-        if config.robust == "huber":
+        if config.robust is not None:
             vis_fit = _huber_weights(state0, x, vis, f0, config.huber_delta,
-                                     dist, model)
+                                     dist, model, config.robust)
         else:
             vis_fit = vis
         dist = fit_distortion(state0, x, vis_fit, f0,

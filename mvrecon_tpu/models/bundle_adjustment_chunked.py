@@ -57,6 +57,7 @@ from .bundle_adjustment import (
     _camera_param_derivs,
     FULL_OPENCV_ALTERNATIONS,
     _distorted_residual,
+    robust_weight,
     _distortion_lsq_terms,
     _full_opencv_lsq_terms,
     _psum,
@@ -73,7 +74,8 @@ from .bundle_adjustment import (
 
 
 def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None,
-                   dist=None, model: str | None = None):
+                   dist=None, model: str | None = None,
+                   robust_kind: str = "huber"):
     """Rank-2 Jacobian factors for one point chunk: every second-derivative
     block is 2 * vis * (a1 (x) b1 + a2 (x) b2), so downstream stages work
     from (a1, a2 (C, F, 3); b1, b2 (C, F, 9); residuals) without
@@ -113,7 +115,7 @@ def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None,
     if huber_delta is not None:
         # IRLS weights from the model's actual (distorted) residuals
         mag = jnp.sqrt(res_p**2 + res_q**2)
-        vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+        vis_c = vis_c * robust_weight(mag, huber_delta, robust_kind)
 
     return a1, a2, b1, b2, res_p, res_q, vis_c
 
@@ -135,12 +137,13 @@ def _point_grad_and_block(a1, a2, res_p, res_q, vis_c):
 
 
 def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=None,
-                  dist=None, model: str | None = None):
+                  dist=None, model: str | None = None,
+                  robust_kind: str = "huber"):
     """Derivative blocks for one point chunk (C points): the chunk-local
     analog of ``_compute_derivs`` (same math, same reference citations)."""
     nf = state_cam.f.shape[0]
     a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-        state_cam, X_c, x_c, vis_c, f0, huber_delta, dist, model
+        state_cam, X_c, x_c, vis_c, f0, huber_delta, dist, model, robust_kind
     )
     e_chunk = jnp.sum(vis_c * (res_p**2 + res_q**2))
 
@@ -171,7 +174,8 @@ def _chunk_blocks(state_cam: BAState, X_c, x_c, vis_c, free, f0, huber_delta=Non
 
 
 def _build_system_fused(
-    state_cam, X_ch, x_ch, vis_ch, free, f0, c, huber_delta=None, dist=None
+    state_cam, X_ch, x_ch, vis_ch, free, f0, c, huber_delta=None, dist=None,
+    robust_kind: str = "huber",
 ):
     """Fused generate-and-reduce variant of :func:`_build_system`
     (TPU f32 path; see ``ops/pallas_schur.py``): per chunk, one generation
@@ -189,7 +193,8 @@ def _build_system_fused(
         acc, g_acc, df_acc, e_acc, bp_acc = carry
         X_c, x_c, vis_c = inp
         acc, d_F, matG, e_chunk, b_p32 = fused_chunk_update(
-            acc, state_cam, X_c, x_c, vis_c, f0, c, huber_delta, dist
+            acc, state_cam, X_c, x_c, vis_c, f0, c, huber_delta, dist,
+            robust_kind,
         )
         return (acc, g_acc + matG, df_acc + d_F, _kadd(e_acc, e_chunk),
                 bp_acc + b_p32), None
@@ -248,7 +253,7 @@ def _vary(v, axis_name):
 
 def _build_system(
     state_cam, X_ch, x_ch, vis_ch, free, f0, c, axis_name=None, huber_delta=None,
-    dist=None, model: str | None = None,
+    dist=None, model: str | None = None, robust_kind: str = "huber",
 ):
     """Scan 1: accumulate the damped reduced camera system over chunks
     (then over devices when ``axis_name`` is set — sharding composes with
@@ -264,7 +269,8 @@ def _build_system(
         schur_acc, b_acc, g_acc, df_acc, e_acc = carry
         X_c, x_c, vis_c = inp
         d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
-            state_cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
+            state_cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model,
+            robust_kind,
         )
         # Cholesky-split the damped point blocks: F^T Einv F = (L^-1 F)^T
         # (L^-1 F) — a *symmetric* rank-k product, computed by the Pallas
@@ -319,7 +325,7 @@ def _build_system(
 def _backsub_and_trial(
     state_cam, trial_cam, X_ch, x_ch, vis_ch, free, f0, c, delta_xi,
     axis_name=None, huber_delta=None, fused=False, dist=None,
-    model: str | None = None,
+    model: str | None = None, robust_kind: str = "huber",
 ):
     """Scan 2: per chunk, recompute blocks at the *current* state, back-
     substitute the point update, and accumulate the trial error under the
@@ -331,7 +337,7 @@ def _backsub_and_trial(
             X_c, x_c, vis_c = inp
             X_new, e_c, dDd_c, gd_c = fused_backsub_chunk(
                 state_cam, trial_cam, X_c, x_c, vis_c, f0, c,
-                delta_xi * free, huber_delta, dist,
+                delta_xi * free, huber_delta, dist, robust_kind,
             )
             return (
                 _kadd(e_acc, e_c), _kadd(dDd_acc, dDd_c), _kadd(gd_acc, gd_c)
@@ -359,7 +365,8 @@ def _backsub_and_trial(
         #                             + a2[p,f,x] <b2[p,f], dxi_f>)
         # so the (C, 3, 9F) coupling block is never materialized here.
         a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-            state_cam, X_c, x_c, vis_c, f0, huber_delta, dist, model
+            state_cam, X_c, x_c, vis_c, f0, huber_delta, dist, model,
+            robust_kind,
         )
         d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
         matEc = matE + c * matE * eye3[None]
@@ -469,7 +476,8 @@ def lm_optimize_chunked(
     e0 = error_of(cam0, X_ch0)
 
     nielsen = config.damping == "nielsen"
-    huber_delta = config.huber_delta if config.robust == "huber" else None
+    huber_delta = config.huber_delta if config.robust is not None else None
+    robust_kind = config.robust if config.robust is not None else "huber"
 
     nf = state0.f.shape[0]
     # The fused Pallas build implements the radial chain only; the
@@ -491,7 +499,7 @@ def lm_optimize_chunked(
             if fused:
                 a, b, e_w, (diag_g, d_f), free_tm = _build_system_fused(
                     cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, huber_delta,
-                    dist,
+                    dist, robust_kind,
                 )
                 delta_tm = jax.scipy.linalg.cho_solve(
                     jax.scipy.linalg.cho_factor(a), b
@@ -500,7 +508,7 @@ def lm_optimize_chunked(
             else:
                 a, b, e_w, (diag_g, d_f) = _build_system(
                     cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name,
-                    huber_delta, dist, model,
+                    huber_delta, dist, model, robust_kind,
                 )
                 delta_xi = jax.scipy.linalg.cho_solve(
                     jax.scipy.linalg.cho_factor(a), b
@@ -509,6 +517,7 @@ def lm_optimize_chunked(
             X_new_ch, e_trial, dDd_pts, gd_pts = _backsub_and_trial(
                 cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi,
                 axis_name, huber_delta, fused=fused, dist=dist, model=model,
+                robust_kind=robust_kind,
             )
             e_base = e_w if huber_delta is not None else e_prev
             accepted = e_trial <= e_base
@@ -572,7 +581,7 @@ def fit_distortion_chunked(
     chunk_size: int, shared: bool = False,
     huber_delta: float | None = None, dist=None,
     axis_name: str | None = None, tangential: bool | None = None,
-    model: str | None = None,
+    model: str | None = None, robust_kind: str = "huber",
 ) -> jax.Array:
     """Chunk-streamed closed-form radial-distortion refit: the (F, 5)
     normal-equation terms of the linear-in-(k1, k2) fit are per-point
@@ -619,9 +628,7 @@ def fit_distortion_chunked(
                     cam, p, q, r, x_c, f0, dist, model
                 )
                 mag = jnp.sqrt(res_p**2 + res_q**2)
-                vis_c = vis_c * jnp.minimum(
-                    1.0, huber_delta / jnp.maximum(mag, 1e-12)
-                )
+                vis_c = vis_c * robust_weight(mag, huber_delta, robust_kind)
             return acc + terms_of_chunk(p, q, r, x_c, vis_c), None
 
         acc0 = jnp.zeros((cam.f.shape[0], distortion_nterms(model)), dt)
@@ -704,9 +711,10 @@ def bundle_adjust_chunked(
         dist = fit_distortion_chunked(
             state0, x, vis, f0, chunk_size,
             shared=config.distortion_shared,
-            huber_delta=(config.huber_delta if config.robust == "huber"
+            huber_delta=(config.huber_delta if config.robust is not None
                          else None),
             dist=dist, model=model,
+            robust_kind=(config.robust or "huber"),
         )
         seg_cfg = dataclasses.replace(config, record_log=False)
         state0, _, c_seg, nu_seg, n_seg, _ = lm_optimize_chunked(

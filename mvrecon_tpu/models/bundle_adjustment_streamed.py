@@ -47,6 +47,7 @@ from .bundle_adjustment import (
     _distortion_lsq_terms,
     _full_opencv_lsq_terms,
     _solve_distortion_lsq,
+    robust_weight,
     _solve_full_opencv_round,
     build_K,
     calc_pqr,
@@ -59,16 +60,18 @@ from .bundle_adjustment import (
 from .bundle_adjustment_chunked import _chunk_blocks, _chunk_factors, _point_grad_and_block
 
 
-@partial(jax.jit, static_argnames=("f0", "model"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("f0", "model", "robust_kind"),
+         donate_argnums=(0,))
 def _accumulate_chunk(accs, cam: BAState, X_c, x_c, vis_c, free, c, f0: float,
-                      dist=None, huber_delta=None, model: str | None = None):
+                      dist=None, huber_delta=None, model: str | None = None,
+                      robust_kind: str = "huber"):
     """Fold one chunk's damped Schur/gradient contributions into the
     device-resident accumulators (schur, b, G, d_F, E). With
     ``huber_delta`` the blocks and the accumulated error are IRLS
     Huber-weighted at the current state (the chunked core's protocol)."""
     schur_acc, b_acc, g_acc, df_acc, e_acc = accs
     d_P, d_F, matE, matF, matG, e_chunk = _chunk_blocks(
-        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
+        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model, robust_kind
     )
     dt = x_c.dtype
     eye3 = jnp.eye(3, dtype=dt)
@@ -102,15 +105,15 @@ def _assemble_and_solve(accs, free, c, f0: float):
     return delta_xi, e_now
 
 
-@partial(jax.jit, static_argnames=("f0", "model"))
+@partial(jax.jit, static_argnames=("f0", "model", "robust_kind"))
 def _backsub_chunk(cam: BAState, trial_cam: BAState, X_c, x_c, vis_c, free, c,
                    delta_xi, f0: float, dist=None, huber_delta=None,
-                   model: str | None = None):
+                   model: str | None = None, robust_kind: str = "huber"):
     """Back-substitute one chunk's point update and its trial error (the
     trial error is weighted by the *current*-state Huber weights, exactly
     as the chunked core's scan 2)."""
     a1, a2, b1, b2, res_p, res_q, vis_c = _chunk_factors(
-        cam, X_c, x_c, vis_c, f0, huber_delta, dist, model
+        cam, X_c, x_c, vis_c, f0, huber_delta, dist, model, robust_kind
     )
     d_P, matE = _point_grad_and_block(a1, a2, res_p, res_q, vis_c)
     dt = x_c.dtype
@@ -147,9 +150,10 @@ def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float, dist=None,
     return jnp.sum(vis_c * (res_p**2 + res_q**2))
 
 
-@partial(jax.jit, static_argnames=("f0", "round_"))
+@partial(jax.jit, static_argnames=("f0", "round_", "robust_kind"))
 def _chunk_full_opencv_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
-                             dist, cur, round_: str, huber_delta=None):
+                             dist, cur, round_: str, huber_delta=None,
+                             robust_kind: str = "huber"):
     """One chunk's (F, 30) contribution to a rational-refit alternation
     round (``_full_opencv_lsq_terms``); Huber weights from the current
     model's (``dist``) residuals, as in the chunked core."""
@@ -160,14 +164,15 @@ def _chunk_full_opencv_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
         res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist,
                                            "full_opencv")
         mag = jnp.sqrt(res_p**2 + res_q**2)
-        vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+        vis_c = vis_c * robust_weight(mag, huber_delta, robust_kind)
     return _full_opencv_lsq_terms(cam, p, q, r, x_c, vis_c, f0, cur, round_)
 
 
-@partial(jax.jit, static_argnames=("f0", "model"))
+@partial(jax.jit, static_argnames=("f0", "model", "robust_kind"))
 def _chunk_distortion_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
                             dist=None, huber_delta=None,
-                            model: str | None = None):
+                            model: str | None = None,
+                            robust_kind: str = "huber"):
     """One chunk's (F, 5) normal-equation contribution to the closed-form
     (k1, k2) refit (a per-point sum — see ``fit_distortion``). With
     ``huber_delta`` the terms are IRLS-weighted by the current model's
@@ -179,7 +184,7 @@ def _chunk_distortion_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
     if huber_delta is not None:
         res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist, model)
         mag = jnp.sqrt(res_p**2 + res_q**2)
-        vis_c = vis_c * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+        vis_c = vis_c * robust_weight(mag, huber_delta, robust_kind)
     return _distortion_lsq_terms(cam, p, q, r, x_c, vis_c, f0, model)
 
 
@@ -349,7 +354,8 @@ def bundle_adjust_streamed(
             )
         return e
 
-    huber_delta = config.huber_delta if config.robust == "huber" else None
+    huber_delta = config.huber_delta if config.robust is not None else None
+    robust_kind = config.robust if config.robust is not None else "huber"
 
     def fit_distortion_streamed(cam_s, X_s, dist):
         """Closed-form distortion refit, normal terms streamed chunk-wise
@@ -364,7 +370,7 @@ def bundle_adjust_streamed(
                     for lo, hi, x_c, vis_c in feed:
                         terms = terms + _chunk_full_opencv_terms(
                             cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c,
-                            f0, dist, cur, round_, huber_delta,
+                            f0, dist, cur, round_, huber_delta, robust_kind,
                         )
                     cur = _solve_full_opencv_round(
                         terms, cur, round_, config.distortion_shared
@@ -374,7 +380,7 @@ def bundle_adjust_streamed(
         for lo, hi, x_c, vis_c in feed:
             terms = terms + _chunk_distortion_terms(
                 cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0, dist,
-                huber_delta, model,
+                huber_delta, model, robust_kind,
             )
         return _solve_distortion_lsq(terms, config.distortion_shared)
 
@@ -401,7 +407,7 @@ def bundle_adjust_streamed(
                     X_c = get_X_chunk(X_dev, lo, hi)
                     accs = _accumulate_chunk(
                         accs, cam, X_c, x_c, vis_c, free, c_dev, f0, dist,
-                        huber_delta, model,
+                        huber_delta, model, robust_kind,
                     )
                 delta_xi, e_w = _assemble_and_solve(accs, free, c_dev, f0)
                 if huber_delta is not None:
@@ -415,7 +421,7 @@ def bundle_adjust_streamed(
                     X_c = get_X_chunk(X_dev, lo, hi)
                     X_new_c, e_c = _backsub_chunk(
                         cam, trial_cam, X_c, x_c, vis_c, free, c_dev,
-                        delta_xi, f0, dist, huber_delta, model,
+                        delta_xi, f0, dist, huber_delta, model, robust_kind,
                     )
                     X_parts.append(X_new_c[: hi - lo])
                     e_trial = e_trial + e_c

@@ -229,7 +229,8 @@ def ba_covariance_chunked(
     free = gauge_mask(nf, axis, dt)
     dist = None if distortion is None else jnp.asarray(distortion, dt)
     model = resolve_distortion_model(dist, config.distortion_model)
-    huber_delta = config.huber_delta if config.robust == "huber" else None
+    huber_delta = config.huber_delta if config.robust is not None else None
+    robust_kind = config.robust if config.robust is not None else "huber"
 
     pad = (-npts) % chunk_size
     if pad:
@@ -252,7 +253,8 @@ def ba_covariance_chunked(
         schur_acc, g_acc, e_acc = carry
         X_c, x_c, vis_c = inp
         _, _, matE, matF, matG, e_chunk = _chunk_blocks(
-            cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
+            cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model,
+            robust_kind,
         )
         einv = inv3x3(matE)
         y = jnp.einsum("pxy,pym->pxm", einv, matF, precision=HIGHEST)
@@ -278,7 +280,8 @@ def ba_covariance_chunked(
     def body2(_, inp):
         X_c, x_c, vis_c = inp
         _, _, matE, matF, _, _ = _chunk_blocks(
-            cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
+            cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model,
+            robust_kind,
         )
         einv = inv3x3(matE)
         y = jnp.einsum("pxy,pym->pxm", einv, matF, precision=HIGHEST)
@@ -297,15 +300,17 @@ def ba_covariance_chunked(
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.jit, static_argnames=("f0", "model"), donate_argnums=(0,))
+@_partial(jax.jit, static_argnames=("f0", "model", "robust_kind"),
+          donate_argnums=(0,))
 def _cov_accumulate_chunk(accs, cam, X_c, x_c, vis_c, free, f0: float,
                           dist=None, huber_delta=None,
-                          model: str | None = None):
+                          model: str | None = None,
+                          robust_kind: str = "huber"):
     """Fold one observation chunk into (schur, G, E) for the covariance
     build (undamped; the streamed analog of the chunked scan 1)."""
     schur_acc, g_acc, e_acc = accs
     _, _, matE, matF, matG, e_chunk = _chunk_blocks(
-        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
+        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model, robust_kind
     )
     einv = inv3x3(matE)
     y = jnp.einsum("pxy,pym->pxm", einv, matF, precision=HIGHEST)
@@ -315,13 +320,14 @@ def _cov_accumulate_chunk(accs, cam, X_c, x_c, vis_c, free, f0: float,
     return (schur_acc, g_acc + matG, e_acc + e_chunk)
 
 
-@_partial(jax.jit, static_argnames=("f0", "model"))
+@_partial(jax.jit, static_argnames=("f0", "model", "robust_kind"))
 def _cov_point_chunk(cam, X_c, x_c, vis_c, free, f0: float, a_inv, scale2,
-                     dist=None, huber_delta=None, model: str | None = None):
+                     dist=None, huber_delta=None, model: str | None = None,
+                     robust_kind: str = "huber"):
     """One chunk's point-covariance blocks against the completed
     camera-marginal inverse."""
     _, _, matE, matF, _, _ = _chunk_blocks(
-        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model
+        cam, X_c, x_c, vis_c, free, f0, huber_delta, dist, model, robust_kind
     )
     einv = inv3x3(matE)
     y = jnp.einsum("pxy,pym->pxm", einv, matF, precision=HIGHEST)
@@ -364,7 +370,8 @@ def ba_covariance_streamed(
     free = gauge_mask(nf, axis, dtype)
     dist = None if distortion is None else jnp.asarray(distortion, dtype)
     model = resolve_distortion_model(dist, config.distortion_model)
-    huber_delta = config.huber_delta if config.robust == "huber" else None
+    huber_delta = config.huber_delta if config.robust is not None else None
+    robust_kind = config.robust if config.robust is not None else "huber"
     nf9 = 9 * nf
 
     feed = _ChunkFeed(
@@ -385,7 +392,7 @@ def ba_covariance_streamed(
     for lo, hi, x_c, vis_c in feed:
         accs = _cov_accumulate_chunk(
             accs, cam, x_chunk(lo, hi), x_c, vis_c, free, f0, dist,
-            huber_delta, model,
+            huber_delta, model, robust_kind,
         )
         n_obs += int(np_.sum(np_.asarray(vis_c) > 0))
     schur, g_sum, e = accs
@@ -400,7 +407,7 @@ def ba_covariance_streamed(
     for lo, hi, x_c, vis_c in feed:
         pc = _cov_point_chunk(
             cam, x_chunk(lo, hi), x_c, vis_c, free, f0, a_inv, scale2,
-            dist, huber_delta, model,
+            dist, huber_delta, model, robust_kind,
         )
         parts.append(pc[: hi - lo])
     point_cov_n = jnp.concatenate(parts, axis=0)

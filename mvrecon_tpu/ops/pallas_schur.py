@@ -267,7 +267,8 @@ def _factor_planes(cam, X_c, x_c, pmat, p, q, r, f0: float, dist):
 
 
 def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
-                       huber_delta=None, dist=None):
+                       huber_delta=None, dist=None,
+                       robust_kind: str = "huber"):
     """One chunk of the fused build: gradient-side quantities + damped Y
     (type-major) + SYRK accumulation, in a single generation pass.
 
@@ -293,7 +294,9 @@ def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
     if huber_delta is not None:
         # IRLS weights from the model's actual (distorted) residuals
         mag = jnp.sqrt(res_p**2 + res_q**2)
-        vis_d = vis_d * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+        from ..models.bundle_adjustment import robust_weight
+
+        vis_d = vis_d * robust_weight(mag, huber_delta, robust_kind)
     e_chunk = jnp.sum(vis_d * (res_p**2 + res_q**2))
     w2 = 2.0 * vis_d
 
@@ -345,7 +348,7 @@ def fused_chunk_update(acc, cam, X_c, x_c, vis_c, f0: float, c,
 
 def fused_backsub_chunk(
     cam, trial_cam, X_c, x_c, vis_c, f0: float, c, delta_xi_cm,
-    huber_delta=None, dist=None,
+    huber_delta=None, dist=None, robust_kind: str = "huber",
 ):
     """Back-substitution for one chunk using type-major b planes — the
     (C, F, 9) camera-major factor tensors are never materialized.
@@ -371,7 +374,9 @@ def fused_backsub_chunk(
     )
     if huber_delta is not None:
         mag = jnp.sqrt(res_p**2 + res_q**2)
-        vis_d = vis_d * jnp.minimum(1.0, huber_delta / jnp.maximum(mag, 1e-12))
+        from ..models.bundle_adjustment import robust_weight
+
+        vis_d = vis_d * robust_weight(mag, huber_delta, robust_kind)
 
     visf = vis_d[..., None]
     d_P = 2.0 * jnp.sum(visf * (res_p[..., None] * a1 + res_q[..., None] * a2), axis=1)

@@ -331,9 +331,10 @@ def sharded_bundle_adjust_2d(
         for _ in range(config.distortion_rounds):
             # refit-first alternation, exactly as the 1D sharded core;
             # the refit psums its normal terms over the points axis.
-            if config.robust == "huber":
+            if config.robust is not None:
                 vis_fit = _huber_weights(
-                    st0, x_l, vis_l, f0, config.huber_delta, dist, model
+                    st0, x_l, vis_l, f0, config.huber_delta, dist, model,
+                    config.robust,
                 )
             else:
                 vis_fit = vis_l

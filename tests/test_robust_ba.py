@@ -1,6 +1,8 @@
 """Robust (Huber IRLS) bundle adjustment vs gross outliers."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -88,3 +90,81 @@ def test_huber_chunked_matches_dense():
     )
     np.testing.assert_allclose(float(chunked.error), float(dense.error), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(chunked.X), np.asarray(dense.X), atol=1e-7)
+
+
+# ---------------- robust loss family (ceres LossFunction parity) -----------
+
+def test_robust_weight_formulas():
+    """The IRLS weights equal the analytic rho'(s) of each loss."""
+    import jax.numpy as jnp
+
+    from mvrecon_tpu.models.bundle_adjustment import robust_weight
+
+    m = jnp.asarray([0.0, 0.01, 0.05, 0.2, 5.0])
+    d = 0.05
+    s = (np.asarray(m) / d) ** 2
+    np.testing.assert_allclose(
+        np.asarray(robust_weight(m, d, "huber")),
+        np.minimum(1.0, d / np.maximum(np.asarray(m), 1e-12)), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(robust_weight(m, d, "cauchy")), 1 / (1 + s), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(robust_weight(m, d, "soft_l1")),
+        1 / np.sqrt(1 + s), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(robust_weight(m, d, "arctan")),
+        1 / (1 + s * s), rtol=1e-12,
+    )
+    with pytest.raises(ValueError):
+        robust_weight(m, d, "tukey")
+
+
+@pytest.mark.parametrize("kind", ["cauchy", "soft_l1", "arctan"])
+def test_robust_family_resists_outliers(kind):
+    """Each non-Huber loss holds the geometry near the inlier accuracy
+    under gross outliers where the plain loss is dragged off (the same
+    contract the Huber test pins)."""
+    from mvrecon_tpu.ops.procrustes import aligned_rmse
+
+    scene, x, X0, t0 = _outlier_problem()
+    cfg = LMConfig(max_iter=25, delta_tol=1e-12, robust=kind,
+                   huber_delta=0.05)
+    res = bundle_adjust(x, X0, scene.K, scene.R, t0, f0=1.0,
+                        axis="x-up_z-forward", config=cfg)
+    res_plain = bundle_adjust(
+        x, X0, scene.K, scene.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=LMConfig(max_iter=25, delta_tol=1e-12),
+    )
+    rmse = float(aligned_rmse(res.X, scene.X))
+    rmse_plain = float(aligned_rmse(res_plain.X, scene.X))
+    assert rmse < 0.5 * rmse_plain, (kind, rmse, rmse_plain)
+
+
+def test_robust_family_chunked_and_sharded_parity():
+    """The cauchy loss through the chunked and point-sharded cores
+    equals the dense core (the IRLS weight threading is shared)."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
+
+    scene, x, X0, t0 = _outlier_problem()
+    cfg = LMConfig(max_iter=10, delta_tol=1e-12, robust="cauchy",
+                   huber_delta=0.05)
+    common = dict(f0=1.0, axis="x-up_z-forward", config=cfg)
+    res_d = bundle_adjust(x, X0, scene.K, scene.R, t0, **common)
+    res_c = bundle_adjust_chunked(x, X0, scene.K, scene.R, t0,
+                                  chunk_size=64, **common)
+    np.testing.assert_allclose(float(res_c.error), float(res_d.error),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res_c.X), np.asarray(res_d.X),
+                               atol=1e-8)
+    mesh = make_mesh({"points": 4})
+    res_s = sharded_bundle_adjust(mesh, x, X0, scene.K, scene.R, t0,
+                                  **common)
+    np.testing.assert_allclose(float(res_s.error), float(res_d.error),
+                               rtol=1e-9)
