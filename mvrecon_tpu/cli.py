@@ -428,12 +428,12 @@ def main(argv=None) -> None:
         x = jnp.asarray(d["x"].transpose(1, 0, 2), dtype)  # (P, F, 2)
         vis = jnp.asarray(d["visibility"], dtype)
         in_model = str(d.get("distortion_model", "auto"))
-        if in_model == "fisheye":
-            out["camera_model"] = "fisheye"
+        if in_model in ("fisheye", "fov"):
+            out["camera_model"] = in_model
             if args.tangential:
                 raise SystemExit(
                     "--tangential fits the OPENCV (p1, p2) model; the input "
-                    "is OPENCV_FISHEYE (a different projection family)"
+                    f"is a {in_model} camera (a different projection family)"
                 )
         elif args.tangential and in_model == "radial":
             # --tangential widens a radial input to the 4-column OPENCV
@@ -501,6 +501,10 @@ def main(argv=None) -> None:
             )
         if res.distortion is not None:
             dmat = np.asarray(res.distortion)
+            if dmat.shape[-1] == 1:  # FOV model: one angle
+                out["omega_mean"] = float(dmat[:, 0].mean())
+                dmat = None
+        if res.distortion is not None and dmat is not None:
             out["k1_mean"] = float(dmat[:, 0].mean())
             out["k2_mean"] = float(dmat[:, 1].mean())
             if dmat.shape[-1] == 8:  # rational (k1..k6, p1, p2)

@@ -171,9 +171,9 @@ def reprojection_error(
     return jnp.sum(vis * e)
 
 
-DISTORTION_MODELS = ("radial", "opencv", "fisheye", "full_opencv")
+DISTORTION_MODELS = ("radial", "opencv", "fisheye", "full_opencv", "fov")
 _DISTORTION_NCOLS = {"radial": 2, "opencv": 4, "fisheye": 4,
-                     "full_opencv": 8}
+                     "full_opencv": 8, "fov": 1}
 
 
 def resolve_distortion_model(
@@ -189,6 +189,8 @@ def resolve_distortion_model(
         if dist is None:
             return "radial"
         n = int(dist.shape[-1])
+        if n == 1:
+            return "fov"
         if n == 2:
             return "radial"
         if n == 4:
@@ -196,7 +198,7 @@ def resolve_distortion_model(
         if n == 8:
             return "full_opencv"
         raise ValueError(
-            f"distortion must have 2, 4, or 8 columns, got {n}"
+            f"distortion must have 1, 2, 4, or 8 columns, got {n}"
         )
     if model not in DISTORTION_MODELS:
         raise ValueError(f"unknown distortion model: {model!r}")
@@ -216,6 +218,8 @@ def distortion_nterms(model: str) -> int:
         return 5
     if model == "full_opencv":
         return 30  # 5x5 normal matrix + 5 rhs (the larger of its rounds)
+    if model == "fov":
+        return 2  # scalar Gauss-Newton numerator/denominator per step
     return 20
 
 
@@ -257,11 +261,104 @@ def _distortion_terms(
     if model == "full_opencv":
         d, wu = _rational_scale(s, dist)
         return g1, g2, s, d, wu
+    if model == "fov":
+        d, wu = _fov_scale(s, dist)
+        return g1, g2, s, d, wu
     k1 = dist[:, 0][None]
     k2 = dist[:, 1][None]
     d = 1.0 + s * (k1 + s * k2)
     wu = 2.0 * (k1 + 2.0 * k2 * s)
     return g1, g2, s, d, wu
+
+
+def _fov_scale(s: jax.Array, dist: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(d, d'/rn) of the FOV model (Devernay-Faugeras / COLMAP model 7)
+    at rn = sqrt(s): r_d = atan(2 rn tan(w/2)) / w, d = r_d / rn
+    (``dist`` is (F, 1) = the field-of-view angle w).
+
+    Both are even in rn: d -> 2 T / w and d'/rn -> -16 T^3 / (3 w) as
+    rn -> 0 (T = tan(w/2)); the small-s branch uses the Taylor
+    expansion with the standard double-where guard. A (near-)zero w is
+    the pinhole limit (d -> 1, no curvature): guarded explicitly since
+    w divides everything."""
+    w = dist[:, 0][None]
+    t = jnp.tan(0.5 * jnp.where(jnp.abs(w) < 1e-6, 1.0, w))
+    small = s < 1e-12
+    s_safe = jnp.where(small, 1.0, s)
+    rn = jnp.sqrt(s_safe)
+    a = jnp.arctan2(2.0 * rn * t, jnp.ones_like(rn))
+    w_safe = jnp.where(jnp.abs(w) < 1e-6, 1.0, w)
+    d_exact = a / (w_safe * rn)
+    ap = 2.0 * t / (1.0 + 4.0 * t * t * s_safe)  # dA/drn
+    wu_exact = (ap * rn - a) / (w_safe * s_safe * rn)
+    d0 = 2.0 * t / w_safe
+    d_taylor = d0 * (1.0 - (4.0 / 3.0) * t * t * s)
+    wu_taylor = -(16.0 / 3.0) * t**3 / w_safe
+    d = jnp.where(small, d_taylor, d_exact)
+    wu = jnp.where(small, wu_taylor, wu_exact)
+    pinhole = jnp.abs(w) < 1e-6
+    d = jnp.where(pinhole, 1.0, d)
+    wu = jnp.where(pinhole, 0.0, wu)
+    return d, wu
+
+
+def _fov_domega(s: jax.Array, dist: jax.Array) -> jax.Array:
+    """dd/dw of the FOV scale at fixed geometry — the regressor of the
+    scalar Gauss-Newton refit. Exact: dd/dw = (1 + T^2) /
+    (w (1 + 4 T^2 s)) - A / (w^2 rn), finite at rn -> 0 (A/rn -> 2T)
+    and at w -> 0 (pinhole: 0 to first order)."""
+    w = dist[:, 0][None]
+    w_safe = jnp.where(jnp.abs(w) < 1e-6, 1.0, w)
+    t = jnp.tan(0.5 * w_safe)
+    small = s < 1e-12
+    s_safe = jnp.where(small, 1.0, s)
+    rn = jnp.sqrt(s_safe)
+    a_over_rn = jnp.where(
+        small, 2.0 * t, jnp.arctan2(2.0 * rn * t, jnp.ones_like(rn)) / rn
+    )
+    dd = (1.0 + t * t) / (w_safe * (1.0 + 4.0 * t * t * s_safe))         - a_over_rn / (w_safe * w_safe)
+    return jnp.where(jnp.abs(w) < 1e-6, 0.0, dd)
+
+
+_FOV_GN_STEPS = 6
+
+
+def _fov_gn_terms(state: BAState, p, q, r, x, vis, f0: float,
+                  dist: jax.Array):
+    """(F, 2) = (gradient numerator, GN denominator) accumulands of one
+    scalar Gauss-Newton step on the FOV angle — a per-point sum, so
+    every core's accumulation machinery applies."""
+    r = jnp.where(vis > 0, r, jnp.ones_like(r))
+    g1 = p / r - (state.u[:, 0] / f0)[None]
+    g2 = q / r - (state.u[:, 1] / f0)[None]
+    s = ((f0 / state.f) ** 2)[None] * (g1 * g1 + g2 * g2)
+    t1 = x[..., 0] / f0 - (state.u[:, 0] / f0)[None]
+    t2 = x[..., 1] / f0 - (state.u[:, 1] / f0)[None]
+    d, _ = _fov_scale(s, dist)
+    dd = _fov_domega(s, dist)
+    res1 = t1 - d * g1
+    res2 = t2 - d * g2
+    num = jnp.sum(vis * dd * (res1 * g1 + res2 * g2), axis=0)
+    den = jnp.sum(vis * dd * dd * (g1 * g1 + g2 * g2), axis=0)
+    return jnp.stack([num, den], axis=-1)  # (F, 2)
+
+
+def _solve_fov_step(terms: jax.Array, dist: jax.Array,
+                    shared: bool) -> jax.Array:
+    """One GN update w += num/den from the accumulated (F, 2) terms
+    (degenerate cameras keep their angle)."""
+    nf = terms.shape[0]
+    if shared:
+        terms = jnp.broadcast_to(
+            jnp.sum(terms, axis=0, keepdims=True), (nf, 2)
+        )
+    num, den = terms[:, 0], terms[:, 1]
+    tiny = jnp.asarray(np.finfo(np.dtype(terms.dtype)).tiny, terms.dtype)
+    safe = den > tiny
+    step = jnp.where(safe, num / jnp.where(safe, den, 1.0), 0.0)
+    new = dist[:, 0] + step
+    ok = safe & jnp.isfinite(new)
+    return jnp.where(ok, new, dist[:, 0])[:, None]
 
 
 def _rational_scale(s: jax.Array, dist: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -819,6 +916,16 @@ def fit_distortion(
                 dist = _solve_full_opencv_round(
                     _psum(terms, axis_name), dist, round_, shared
                 )
+        return dist
+    if model == "fov":
+        # the FOV angle is the one model parameter that is NOT linear
+        # in the prediction: a few scalar Gauss-Newton steps per camera
+        # (still per-point-sum accumulands, still psum-completable)
+        if dist is None:
+            dist = jnp.full((state.f.shape[0], 1), 0.5, x.dtype)
+        for _ in range(_FOV_GN_STEPS):
+            terms = _fov_gn_terms(state, p, q, r, x, vis, f0, dist)
+            dist = _solve_fov_step(_psum(terms, axis_name), dist, shared)
         return dist
     terms = _distortion_lsq_terms(state, p, q, r, x, vis, f0, model)
     return _solve_distortion_lsq(_psum(terms, axis_name), shared)

@@ -56,7 +56,10 @@ from .bundle_adjustment import (
     _apply_update,
     _camera_param_derivs,
     FULL_OPENCV_ALTERNATIONS,
+    _FOV_GN_STEPS,
     _distorted_residual,
+    _fov_gn_terms,
+    _solve_fov_step,
     robust_weight,
     _distortion_lsq_terms,
     _full_opencv_lsq_terms,
@@ -649,6 +652,17 @@ def fit_distortion_chunked(
                                            dd, rr)
                 )
                 cur = _solve_full_opencv_round(terms, cur, round_, shared)
+        return cur
+    if model == "fov":
+        # scalar GN on the FOV angle, one accumulation scan per step
+        cur = (dist if dist is not None
+               else jnp.full((cam.f.shape[0], 1), 0.5, dt))
+        for _ in range(_FOV_GN_STEPS):
+            terms = accumulate(
+                lambda p, q, r, x_c, vis_c, dd=cur:
+                _fov_gn_terms(cam, p, q, r, x_c, vis_c, f0, dd)
+            )
+            cur = _solve_fov_step(terms, cur, shared)
         return cur
 
     terms = accumulate(

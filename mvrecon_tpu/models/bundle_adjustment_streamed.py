@@ -42,11 +42,14 @@ from .bundle_adjustment import (
     BAState,
     _DISTORTION_NCOLS,
     FULL_OPENCV_ALTERNATIONS,
+    _FOV_GN_STEPS,
     _apply_update,
     _distorted_residual,
     _distortion_lsq_terms,
+    _fov_gn_terms,
     _full_opencv_lsq_terms,
     _solve_distortion_lsq,
+    _solve_fov_step,
     robust_weight,
     _solve_full_opencv_round,
     build_K,
@@ -148,6 +151,22 @@ def _chunk_error(cam: BAState, X_c, x_c, vis_c, f0: float, dist=None,
     r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
     res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist, model)
     return jnp.sum(vis_c * (res_p**2 + res_q**2))
+
+
+@partial(jax.jit, static_argnames=("f0", "robust_kind"))
+def _chunk_fov_terms(cam: BAState, X_c, x_c, vis_c, f0: float,
+                     dist, cur, huber_delta=None,
+                     robust_kind: str = "huber"):
+    """One chunk's (F, 2) contribution to a FOV scalar-GN step."""
+    K = build_K(cam.f, cam.u, f0)
+    _, p, q, r = calc_pqr(X_c, K, cam.R, cam.t)
+    r = jnp.where(vis_c > 0, r, jnp.ones_like(r))
+    if huber_delta is not None:
+        res_p, res_q = _distorted_residual(cam, p, q, r, x_c, f0, dist,
+                                           "fov")
+        mag = jnp.sqrt(res_p**2 + res_q**2)
+        vis_c = vis_c * robust_weight(mag, huber_delta, robust_kind)
+    return _fov_gn_terms(cam, p, q, r, x_c, vis_c, f0, cur)
 
 
 @partial(jax.jit, static_argnames=("f0", "round_", "robust_kind"))
@@ -361,6 +380,19 @@ def bundle_adjust_streamed(
         """Closed-form distortion refit, normal terms streamed chunk-wise
         (Huber-weighted under the robust loss, as in the other cores;
         (F, 20) terms for the 4-parameter OPENCV model)."""
+        if model == "fov":
+            cur = (dist if dist is not None
+                   else jnp.full((nf, 1), 0.5, dtype))
+            for _ in range(_FOV_GN_STEPS):
+                terms = jnp.zeros((nf, 2), dtype)
+                for lo, hi, x_c, vis_c in feed:
+                    terms = terms + _chunk_fov_terms(
+                        cam_s, get_X_chunk(X_s, lo, hi), x_c, vis_c, f0,
+                        dist, cur, huber_delta, robust_kind,
+                    )
+                cur = _solve_fov_step(terms, cur,
+                                      config.distortion_shared)
+            return cur
         if model == "full_opencv":
             cur = (dist if dist is not None
                    else jnp.zeros((nf, 8), dtype))

@@ -241,11 +241,11 @@ def _colmap_tokens(path: str):
 
 _COLMAP_MODEL_NAMES = {0: "SIMPLE_PINHOLE", 1: "PINHOLE",
                        2: "SIMPLE_RADIAL", 3: "RADIAL", 4: "OPENCV",
-                       5: "OPENCV_FISHEYE", 6: "FULL_OPENCV",
+                       5: "OPENCV_FISHEYE", 6: "FULL_OPENCV", 7: "FOV",
                        8: "SIMPLE_RADIAL_FISHEYE", 9: "RADIAL_FISHEYE"}
 _COLMAP_NUM_PARAMS = {"SIMPLE_PINHOLE": 3, "PINHOLE": 4,
                       "SIMPLE_RADIAL": 4, "RADIAL": 5, "OPENCV": 8,
-                      "OPENCV_FISHEYE": 8, "FULL_OPENCV": 12,
+                      "OPENCV_FISHEYE": 8, "FULL_OPENCV": 12, "FOV": 5,
                       "SIMPLE_RADIAL_FISHEYE": 4, "RADIAL_FISHEYE": 5}
 _COLMAP_MODEL_IDS = {v: k for k, v in _COLMAP_MODEL_NAMES.items()}
 
@@ -284,6 +284,9 @@ def _colmap_camera_fk(cam_id: int, model: str, p: list):
         fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, k5, k6 = p
         return (_one_focal(fx, fy), cx, cy,
                 (k1, k2, k3, k4, k5, k6, p1, p2), "full_opencv")
+    if model == "FOV":
+        fx, fy, cx, cy, omega = p
+        return _one_focal(fx, fy), cx, cy, (omega, 0.0, 0.0, 0.0), "fov"
     if model == "SIMPLE_RADIAL_FISHEYE":
         # the reduced theta-polynomial (k1 only) is the k2=k3=k4=0 case
         return p[0], p[1], p[2], (p[3], 0.0, 0.0, 0.0), "fisheye"
@@ -292,7 +295,7 @@ def _colmap_camera_fk(cam_id: int, model: str, p: list):
     raise ValueError(
         f"camera {cam_id}: unsupported COLMAP model {model!r} (supported: "
         "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV, "
-        "OPENCV_FISHEYE, FULL_OPENCV, SIMPLE_RADIAL_FISHEYE, "
+        "OPENCV_FISHEYE, FULL_OPENCV, FOV, SIMPLE_RADIAL_FISHEYE, "
         "RADIAL_FISHEYE)"
     )
 
@@ -463,7 +466,7 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
         k_mats[i] = [[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]]
         if kind == "full_opencv":
             dist[i] = dk  # (k1..k6, p1, p2)
-        elif kind == "fisheye":
+        elif kind in ("fisheye", "fov"):
             dist[i, :4] = dk
         else:  # opencv family (k1, k2, p1, p2) -> rational-compatible slots
             dist[i, 0:2] = dk[0:2]
@@ -475,7 +478,15 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
                 x[i, j] = (px, py)
                 vis[j, i] = 1.0
 
-    if kinds == {"fisheye"}:
+    if kinds == {"fov"}:
+        dist = dist[:, :1]  # (omega,)
+        dist_model = "fov"
+    elif "fov" in kinds:
+        raise ValueError(
+            "COLMAP model mixes FOV and non-FOV cameras; the BA "
+            "distortion model is per-reconstruction"
+        )
+    elif kinds == {"fisheye"}:
         # equidistant cameras: all four theta-polynomial columns stay,
         # and the caller must run with distortion_model="fisheye"
         dist = dist[:, :4]
@@ -543,7 +554,14 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
         image_size = (bound, bound)
     w_px, h_px = int(image_size[0]), int(image_size[1])
 
-    if dist is None:
+    if dist is not None and dist.shape[-1] == 1:
+        model = "FOV"  # fx fy cx cy omega
+        cam_param_rows = [
+            [float(f[i]), float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
+             float(dist[i, 0])]
+            for i in range(nf)
+        ]
+    elif dist is None:
         model = "SIMPLE_PINHOLE"
         cam_param_rows = [
             [float(f[i]), float(pp[i, 0]), float(pp[i, 1])]

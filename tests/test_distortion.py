@@ -1720,3 +1720,167 @@ def test_resumable_segments_with_fisheye(tmp_path):
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(res_seg.X), np.asarray(res_cont.X),
                                atol=1e-10)
+
+
+# ---------------- FOV (Devernay-Faugeras, COLMAP model 7) ----------------
+
+def _render_fov(st, dist1, f0=1.0):
+    K = build_K(st.f, st.u, f0)
+    _, p, q, r = calc_pqr(st.X, K, st.R, st.t)
+    g1, g2, _, d, _ = _distortion_terms(st, p, q, r, f0, dist1, "fov")
+    return jnp.stack(
+        [d * g1 + st.u[:, 0][None], d * g2 + st.u[:, 1][None]], axis=-1
+    )
+
+
+def _fov_scene(n_images=8, seed=0, noise=0.0):
+    sc = make_synthetic_scene(
+        jax.random.key(0), n_images=n_images, n_slices=4, n_angles=25,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(seed)
+    dist1 = jnp.asarray(
+        (0.9 + 0.15 * rng.standard_normal(n_images))[:, None]
+    )
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    xd = _render_fov(st, dist1)
+    if noise:
+        xd = xd + noise * rng.standard_normal(xd.shape)
+    return sc, dist1, xd
+
+
+def test_fov_forward_matches_reference_formula():
+    """The FOV terms equal an independent NumPy implementation of the
+    Devernay-Faugeras model (r_d = atan(2 r tan(w/2)) / w)."""
+    sc, dist1, _ = _fov_scene(n_images=4)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    x_fw = np.asarray(_render_fov(st, dist1))
+    X = np.asarray(sc.X)
+    for i in range(4):
+        R = np.asarray(sc.R[i]); t = np.asarray(sc.t[i])
+        f = float(sc.K[i, 0, 0]); cx, cy = np.asarray(sc.K[i, :2, 2])
+        w = float(dist1[i, 0])
+        xc = (X - t) @ R
+        a = xc[:, 0] / xc[:, 2]; b = xc[:, 1] / xc[:, 2]
+        r = np.sqrt(a * a + b * b)
+        rd = np.arctan(2.0 * r * np.tan(w / 2.0)) / w
+        u_px = f * (rd / r) * a + cx
+        v_px = f * (rd / r) * b + cy
+        np.testing.assert_allclose(x_fw[:, i, 0], u_px, atol=1e-12)
+        np.testing.assert_allclose(x_fw[:, i, 1], v_px, atol=1e-12)
+
+
+def test_fov_derivs_match_autodiff():
+    """The FOV chain's hand-derived blocks == jax autodiff."""
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+
+    sc, dist1, xd = _fov_scene(n_images=6)
+    nf = 6
+    X0, t0 = _perturbed_state(sc, 0.02)
+    st = BAState(X=X0, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=t0, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    free = gauge_mask(nf, "x-right_z-forward", jnp.float64)
+    derivs, _ = _compute_derivs(st, xd, vis, free, 1.0, None, dist1, "fov")
+    npts = X0.shape[0]
+
+    def efun(flat):
+        Xv = flat[: 3 * npts].reshape(npts, 3)
+        fv = flat[3 * npts: 3 * npts + nf]
+        uv = flat[3 * npts + nf: 3 * npts + 3 * nf].reshape(nf, 2)
+        tv = flat[3 * npts + 3 * nf: 3 * npts + 6 * nf].reshape(nf, 3)
+        st2 = BAState(X=Xv, f=fv, u=uv, t=tv, R=st.R)
+        return _state_error(st2, xd, vis, 1.0, None, dist1, "fov")
+
+    flat = jnp.concatenate([st.X.ravel(), st.f, st.u.ravel(), st.t.ravel()])
+    gr = np.asarray(jax.grad(efun)(flat))
+    np.testing.assert_allclose(
+        gr[: 3 * npts].reshape(npts, 3), np.asarray(derivs.d_P), atol=1e-10
+    )
+    dF = np.asarray(derivs.d_F).reshape(nf, 9)
+    fr = np.asarray(free).reshape(nf, 9)
+    gf = gr[3 * npts: 3 * npts + nf]
+    gu = gr[3 * npts + nf: 3 * npts + 3 * nf].reshape(nf, 2)
+    gt = gr[3 * npts + 3 * nf: 3 * npts + 6 * nf].reshape(nf, 3)
+    np.testing.assert_allclose(gf * fr[:, 0], dF[:, 0], atol=1e-10)
+    np.testing.assert_allclose(gu * fr[:, 1:3], dF[:, 1:3], atol=1e-10)
+    np.testing.assert_allclose(gt * fr[:, 3:6], dF[:, 3:6], atol=1e-10)
+
+
+def test_fit_fov_recovery_and_chunked_parity():
+    """The scalar-GN refit recovers the generating FOV angle from exact
+    data at the true geometry (per-camera and tied, from a generic
+    init), and the chunked refit matches the dense one."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        fit_distortion_chunked,
+    )
+
+    sc, dist1, xd = _fov_scene(n_images=6)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    w_fit = fit_distortion(st, xd, vis, 1.0, model="fov")
+    np.testing.assert_allclose(np.asarray(w_fit), np.asarray(dist1),
+                               atol=1e-9)
+
+    shared_w = jnp.full((6, 1), 1.05, jnp.float64)
+    xd_s = _render_fov(st, shared_w)
+    w_tied = fit_distortion(st, xd_s, vis, 1.0, shared=True, model="fov")
+    np.testing.assert_allclose(np.asarray(w_tied), np.asarray(shared_w),
+                               atol=1e-10)
+
+    w_chunk = fit_distortion_chunked(st, xd, vis, 1.0, chunk_size=32,
+                                     model="fov")
+    np.testing.assert_allclose(np.asarray(w_chunk), np.asarray(w_fit),
+                               atol=1e-12)
+
+
+def test_fov_e2e_and_colmap_roundtrip(tmp_path):
+    """BA under the fixed true FOV model recovers the geometry; a FOV
+    COLMAP model round-trips with projection parity; CLI bal
+    auto-detects and reports omega."""
+    import json
+    import os
+
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+    from mvrecon_tpu.runtime.io import load_colmap, save_colmap
+
+    sc, dist1, xd = _fov_scene(n_images=6, noise=0.001)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    common = dict(f0=1.0, axis="x-up_z-forward")
+    cfg = LMConfig(max_iter=12, delta_tol=1e-12, distortion_model="fov")
+    res = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                        distortion=dist1, **common)
+    res_pin = bundle_adjust(xd, X0, sc.K, sc.R, t0,
+                            config=LMConfig(max_iter=12, delta_tol=1e-12),
+                            **common)
+    assert (
+        float(aligned_rmse(res.X, sc.X))
+        < 0.5 * float(aligned_rmse(res_pin.X, sc.X))
+    )
+
+    mdir = str(tmp_path / "model")
+    save_colmap(mdir, np.asarray(xd).transpose(1, 0, 2),
+                np.ones(xd.shape[:2]), np.asarray(sc.X), np.asarray(sc.R),
+                np.asarray(sc.t), np.asarray(sc.K[:, 0, 0]),
+                principal_point=np.asarray(sc.K[:, :2, 2]),
+                distortion=np.asarray(dist1))
+    d = load_colmap(mdir)
+    assert str(d["distortion_model"]) == "fov"
+    np.testing.assert_allclose(d["distortion"], np.asarray(dist1),
+                               atol=1e-12)
+    st_l = BAState(
+        X=jnp.asarray(d["X"]), f=jnp.asarray(d["f"]),
+        u=jnp.asarray(d["K"][:, :2, 2]), t=jnp.asarray(d["t"]),
+        R=jnp.asarray(d["R"]),
+    )
+    e = _state_error(
+        st_l, jnp.asarray(d["x"].transpose(1, 0, 2)),
+        jnp.asarray(d["visibility"]), 1.0, None,
+        jnp.asarray(d["distortion"]), "fov",
+    )
+    # xd carries sigma=1e-3 observation noise: parity is to the file's
+    # own contents, E = sum of squared (noise) residuals
+    e_direct = _state_error(
+        st_l, xd.astype(jnp.float64), jnp.ones(xd.shape[:2]), 1.0, None,
+        jnp.asarray(d["distortion"]), "fov",
+    )
+    np.testing.assert_allclose(float(e), float(e_direct), rtol=1e-9)
