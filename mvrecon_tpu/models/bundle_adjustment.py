@@ -210,6 +210,17 @@ def resolve_distortion_model(
     return model
 
 
+def default_distortion(model: str, nf: int, dtype) -> jax.Array:
+    """Refit-from-scratch initial distortion for ``model``. Zero for
+    every polynomial family; the FOV angle starts at 0.5 rad — omega = 0
+    is the pinhole limit where d(d)/d(omega) vanishes (the guard in
+    ``_fov_domega``), so a zero init would pin the scalar Gauss-Newton
+    refit at exactly zero."""
+    if model == "fov":
+        return jnp.full((nf, 1), 0.5, dtype)
+    return jnp.zeros((nf, _DISTORTION_NCOLS[model]), dtype)
+
+
 def distortion_nterms(model: str) -> int:
     """Columns of the per-camera normal-equation accumulands of the
     closed-form refit (``_distortion_lsq_terms`` /
@@ -1343,7 +1354,7 @@ def bundle_adjust(
     dist = None if distortion is None else jnp.asarray(distortion, dt)
     model = resolve_distortion_model(dist, config.distortion_model)
     if config.distortion_rounds > 0 and dist is None:
-        dist = jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt)
+        dist = default_distortion(model, nf, dt)
 
     n_total = jnp.asarray(0)
     c_seg = None

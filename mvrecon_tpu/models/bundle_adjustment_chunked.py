@@ -52,6 +52,7 @@ from .bundle_adjustment import (
     BAResult,
     BAState,
     _DISTORTION_NCOLS,
+    default_distortion,
     _apply_distortion_chain,
     _apply_update,
     _camera_param_derivs,
@@ -714,7 +715,7 @@ def bundle_adjust_chunked(
     dist = None if distortion is None else jnp.asarray(distortion, dt)
     model = resolve_distortion_model(dist, config.distortion_model)
     if config.distortion_rounds > 0 and dist is None:
-        dist = jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt)
+        dist = default_distortion(model, nf, dt)
 
     n_total = jnp.asarray(0)
     c_seg, nu_seg = init_c, init_nu

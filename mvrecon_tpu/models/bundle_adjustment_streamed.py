@@ -41,6 +41,7 @@ from .bundle_adjustment import (
     BAResult,
     BAState,
     _DISTORTION_NCOLS,
+    default_distortion,
     FULL_OPENCV_ALTERNATIONS,
     _FOV_GN_STEPS,
     _apply_update,
@@ -478,7 +479,7 @@ def bundle_adjust_streamed(
     dist = None if distortion is None else jnp.asarray(distortion, dtype)
     model = resolve_distortion_model(dist, config.distortion_model)
     if config.distortion_rounds > 0 and dist is None:
-        dist = jnp.zeros((nf, _DISTORTION_NCOLS[model]), dtype)
+        dist = default_distortion(model, nf, dtype)
 
     c = float(config.init_damping if init_c is None else init_c)
     n_total = 0

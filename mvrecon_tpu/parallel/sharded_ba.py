@@ -33,6 +33,7 @@ from ..models.bundle_adjustment import (
     BAResult,
     BAState,
     _DISTORTION_NCOLS,
+    default_distortion,
     _huber_weights,
     build_K,
     bundle_adjust,  # noqa: F401 (re-exported convenience,
@@ -102,7 +103,7 @@ def sharded_bundle_adjust_chunked(
         config.distortion_model,
     )
     dist0 = (
-        jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt) if distortion is None
+        default_distortion(model, nf, dt) if distortion is None
         else jnp.asarray(distortion, dt)
     )
     huber_delta = config.huber_delta if config.robust is not None else None
@@ -249,7 +250,7 @@ def sharded_bundle_adjust(
         config.distortion_model,
     )
     dist0 = (
-        jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt) if distortion is None
+        default_distortion(model, nf, dt) if distortion is None
         else jnp.asarray(distortion, dt)
     )
 

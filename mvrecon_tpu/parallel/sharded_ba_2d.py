@@ -43,6 +43,7 @@ from ..models.bundle_adjustment import (
     BAState,
     build_K,
     _DISTORTION_NCOLS,
+    default_distortion,
     fit_distortion,
     gauge_mask,
     _huber_weights,
@@ -319,7 +320,7 @@ def sharded_bundle_adjust_2d(
         config.distortion_model,
     )
     dist0 = (
-        jnp.zeros((nf, _DISTORTION_NCOLS[model]), dt) if distortion is None
+        default_distortion(model, nf, dt) if distortion is None
         else jnp.asarray(distortion, dt)
     )
 

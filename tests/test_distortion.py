@@ -1884,3 +1884,65 @@ def test_fov_e2e_and_colmap_roundtrip(tmp_path):
         jnp.asarray(d["distortion"]), "fov",
     )
     np.testing.assert_allclose(float(e), float(e_direct), rtol=1e-9)
+
+
+def test_streamed_refit_parity_new_models():
+    """bundle_adjust_streamed's refit alternation under the fov and
+    full_opencv models matches bundle_adjust_chunked on the same data
+    (the streamed refit streams one accumulation pass per GN step /
+    alternation round from host RAM)."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.models.bundle_adjustment_streamed import (
+        bundle_adjust_streamed,
+    )
+
+    for model, scene_fn, zero_like in (
+        ("fov", _fov_scene, lambda nf: jnp.full((nf, 1), 0.8, jnp.float64)),
+        ("full_opencv", _full_opencv_scene,
+         lambda nf: jnp.zeros((nf, 8), jnp.float64)),
+    ):
+        sc, dist_true, xd = scene_fn(n_images=6, noise=0.001)
+        X0, t0 = _perturbed_state(sc, 0.003)
+        cfg = LMConfig(max_iter=4, delta_tol=0.0, distortion_rounds=1,
+                       distortion_shared=True, distortion_model=model)
+        common = dict(f0=1.0, axis="x-up_z-forward", config=cfg)
+        res_c = bundle_adjust_chunked(
+            xd, X0, sc.K, sc.R, t0, chunk_size=32,
+            distortion=zero_like(6), **common,
+        )
+        res_s = bundle_adjust_streamed(
+            np.asarray(xd), X0, sc.K, sc.R, t0, chunk_size=32,
+            distortion=zero_like(6), **common,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_s.distortion), np.asarray(res_c.distortion),
+            rtol=1e-7, atol=1e-12, err_msg=model,
+        )
+        np.testing.assert_allclose(
+            float(res_s.error), float(res_c.error), rtol=1e-9,
+            err_msg=model,
+        )
+
+
+def test_fov_refit_alternation_from_default_init():
+    """distortion_rounds > 0 with distortion=None under the fov model
+    starts the angle at 0.5 rad, not 0 (omega = 0 is the pinhole limit
+    where the GN regressor vanishes — a zero init would freeze the
+    refit; regression for the default-init bug)."""
+    sc, dist1, xd = _fov_scene(n_images=6, noise=0.001)
+    X0, t0 = _perturbed_state(sc, 0.003)
+    # tied angle so the alternation has a well-posed 1-dof target
+    shared_w = jnp.full((6, 1), 0.95, jnp.float64)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    xd_s = _render_fov(st, shared_w)
+    xd_s = xd_s + 0.001 * np.random.default_rng(3).standard_normal(xd_s.shape)
+    cfg = LMConfig(max_iter=10, delta_tol=1e-12, distortion_rounds=2,
+                   distortion_shared=True, distortion_model="fov")
+    res = bundle_adjust(xd_s, X0, sc.K, sc.R, t0, f0=1.0,
+                        axis="x-up_z-forward", config=cfg)
+    assert res.distortion.shape == (6, 1)
+    # the angle must move off the 0.5 init toward the generating 0.95
+    np.testing.assert_allclose(np.asarray(res.distortion)[:, 0], 0.95,
+                               atol=0.08)
