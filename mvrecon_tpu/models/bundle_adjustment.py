@@ -838,6 +838,20 @@ def _state_error(
 ROBUST_LOSSES = ("huber", "cauchy", "soft_l1", "arctan")
 
 
+def resolve_robust(robust: str | None) -> str | None:
+    """Normalize ``LMConfig.robust``: None / "" / "none" mean plain
+    least squares (the reference contract; "none" is accepted for
+    callers that spell the plain loss as a string), anything else must
+    be a known loss kind."""
+    if robust in (None, "", "none"):
+        return None
+    if robust not in ROBUST_LOSSES:
+        raise ValueError(
+            f"unknown robust loss: {robust!r} (use {ROBUST_LOSSES} or None)"
+        )
+    return robust
+
+
 def robust_weight(mag: jax.Array, delta: float,
                   kind: str = "huber") -> jax.Array:
     """IRLS weight w = rho'(s) at s = mag^2 for the supported robust
@@ -1265,8 +1279,9 @@ def lm_optimize(
         _, _, _, _, count, done, _ = carry
         return (~done) & (count < max_iter)
 
-    robust = config.robust is not None
-    robust_kind = config.robust if robust else "huber"
+    robust_cfg = resolve_robust(config.robust)
+    robust = robust_cfg is not None
+    robust_kind = robust_cfg or "huber"
 
     def body(carry):
         state_c, e_prev, c, nu, count, _, log = carry
@@ -1367,9 +1382,10 @@ def bundle_adjust(
         # Under the Huber loss the refit uses the IRLS weights — the
         # 2-parameter per-camera LSQ otherwise latches onto the gross
         # outliers the robust geometry pass is busy rejecting.
-        if config.robust is not None:
+        if resolve_robust(config.robust) is not None:
             vis_fit = _huber_weights(state0, x, vis, f0, config.huber_delta,
-                                     dist, model, config.robust)
+                                     dist, model,
+                                     resolve_robust(config.robust))
         else:
             vis_fit = vis
         dist = fit_distortion(state0, x, vis_fit, f0,

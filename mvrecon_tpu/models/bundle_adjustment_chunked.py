@@ -73,6 +73,7 @@ from .bundle_adjustment import (
     gauge_mask,
     normalize_gauge,
     resolve_distortion_model,
+    resolve_robust,
     restore_gauge,
 )
 
@@ -480,8 +481,9 @@ def lm_optimize_chunked(
     e0 = error_of(cam0, X_ch0)
 
     nielsen = config.damping == "nielsen"
-    huber_delta = config.huber_delta if config.robust is not None else None
-    robust_kind = config.robust if config.robust is not None else "huber"
+    robust_cfg = resolve_robust(config.robust)
+    huber_delta = config.huber_delta if robust_cfg is not None else None
+    robust_kind = robust_cfg or "huber"
 
     nf = state0.f.shape[0]
     # The fused Pallas build implements the radial chain only; the
@@ -726,10 +728,11 @@ def bundle_adjust_chunked(
         dist = fit_distortion_chunked(
             state0, x, vis, f0, chunk_size,
             shared=config.distortion_shared,
-            huber_delta=(config.huber_delta if config.robust is not None
+            huber_delta=(config.huber_delta
+                         if resolve_robust(config.robust) is not None
                          else None),
             dist=dist, model=model,
-            robust_kind=(config.robust or "huber"),
+            robust_kind=(resolve_robust(config.robust) or "huber"),
         )
         seg_cfg = dataclasses.replace(config, record_log=False)
         state0, _, c_seg, nu_seg, n_seg, _ = lm_optimize_chunked(

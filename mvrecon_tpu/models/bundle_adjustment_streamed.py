@@ -59,6 +59,7 @@ from .bundle_adjustment import (
     gauge_mask,
     normalize_gauge,
     resolve_distortion_model,
+    resolve_robust,
     restore_gauge,
 )
 from .bundle_adjustment_chunked import _chunk_blocks, _chunk_factors, _point_grad_and_block
@@ -374,8 +375,9 @@ def bundle_adjust_streamed(
             )
         return e
 
-    huber_delta = config.huber_delta if config.robust is not None else None
-    robust_kind = config.robust if config.robust is not None else "huber"
+    robust_cfg = resolve_robust(config.robust)
+    huber_delta = config.huber_delta if robust_cfg is not None else None
+    robust_kind = robust_cfg or "huber"
 
     def fit_distortion_streamed(cam_s, X_s, dist):
         """Closed-form distortion refit, normal terms streamed chunk-wise

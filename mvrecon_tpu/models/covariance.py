@@ -41,7 +41,7 @@ scale * R0, rotation perturbations by R0 (the LM update left-multiplies
 ``rodrigues(d_omega)``, a world-frame perturbation), f and the
 principal point untouched.
 
-Robust loss. With ``config.robust == "huber"`` the IRLS weights at the
+Robust loss. With ``config.robust`` set the IRLS weights at the
 optimum multiply into W — the common practical approximation for
 M-estimator covariance (the full sandwich estimator differs by
 psi'-factor corrections; the weighted form is what ceres reports).
@@ -63,6 +63,7 @@ from .bundle_adjustment import (
     gauge_mask,
     normalize_gauge,
     resolve_distortion_model,
+    resolve_robust,
 )
 from .bundle_adjustment_chunked import _chunk_blocks, _chunked
 
@@ -177,9 +178,9 @@ def ba_covariance(
     dist = None if distortion is None else jnp.asarray(distortion, dt)
     model = resolve_distortion_model(dist, config.distortion_model)
 
-    if config.robust == "huber":
+    if resolve_robust(config.robust) is not None:
         vis_w = _huber_weights(state, x, vis, f0, config.huber_delta,
-                               dist, model)
+                               dist, model, resolve_robust(config.robust))
     else:
         vis_w = vis
     derivs, e = _compute_derivs(state, x, vis_w, free, f0, None, dist, model)
@@ -229,8 +230,9 @@ def ba_covariance_chunked(
     free = gauge_mask(nf, axis, dt)
     dist = None if distortion is None else jnp.asarray(distortion, dt)
     model = resolve_distortion_model(dist, config.distortion_model)
-    huber_delta = config.huber_delta if config.robust is not None else None
-    robust_kind = config.robust if config.robust is not None else "huber"
+    robust_cfg = resolve_robust(config.robust)
+    huber_delta = config.huber_delta if robust_cfg is not None else None
+    robust_kind = robust_cfg or "huber"
 
     pad = (-npts) % chunk_size
     if pad:
@@ -370,8 +372,9 @@ def ba_covariance_streamed(
     free = gauge_mask(nf, axis, dtype)
     dist = None if distortion is None else jnp.asarray(distortion, dtype)
     model = resolve_distortion_model(dist, config.distortion_model)
-    huber_delta = config.huber_delta if config.robust is not None else None
-    robust_kind = config.robust if config.robust is not None else "huber"
+    robust_cfg = resolve_robust(config.robust)
+    huber_delta = config.huber_delta if robust_cfg is not None else None
+    robust_kind = robust_cfg or "huber"
     nf9 = 9 * nf
 
     feed = _ChunkFeed(

@@ -43,6 +43,7 @@ from ..models.bundle_adjustment import (
     lm_step,
     normalize_gauge,
     resolve_distortion_model,
+    resolve_robust,
     restore_gauge,
 )
 
@@ -106,7 +107,8 @@ def sharded_bundle_adjust_chunked(
         default_distortion(model, nf, dt) if distortion is None
         else jnp.asarray(distortion, dt)
     )
-    huber_delta = config.huber_delta if config.robust is not None else None
+    huber_delta = (config.huber_delta
+                   if resolve_robust(config.robust) is not None else None)
 
     def run(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r, c_r, nu_r, dist_r):
         st0 = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)
@@ -120,7 +122,7 @@ def sharded_bundle_adjust_chunked(
                 shared=config.distortion_shared,
                 huber_delta=huber_delta, dist=dist,
                 axis_name=POINTS_AXIS, model=model,
-                robust_kind=(config.robust or "huber"),
+                robust_kind=(resolve_robust(config.robust) or "huber"),
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
             st0, _, c_r, nu_r, n_seg, _ = lm_optimize_chunked(
@@ -262,10 +264,10 @@ def sharded_bundle_adjust(
         for _ in range(config.distortion_rounds):
             # refit-first alternation, exactly as bundle_adjust; the
             # refit's per-point normal terms psum over the shards.
-            if config.robust is not None:
+            if resolve_robust(config.robust) is not None:
                 vis_fit = _huber_weights(
                     st0, x_l, vis_l, f0, config.huber_delta, dist, model,
-                    config.robust,
+                    resolve_robust(config.robust),
                 )
             else:
                 vis_fit = vis_l

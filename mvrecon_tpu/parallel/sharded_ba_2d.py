@@ -50,6 +50,7 @@ from ..models.bundle_adjustment import (
     lm_optimize,
     normalize_gauge,
     resolve_distortion_model,
+    resolve_robust,
     restore_gauge,
 )
 from ..models.bundle_adjustment_chunked import _vary
@@ -332,10 +333,10 @@ def sharded_bundle_adjust_2d(
         for _ in range(config.distortion_rounds):
             # refit-first alternation, exactly as the 1D sharded core;
             # the refit psums its normal terms over the points axis.
-            if config.robust is not None:
+            if resolve_robust(config.robust) is not None:
                 vis_fit = _huber_weights(
                     st0, x_l, vis_l, f0, config.huber_delta, dist, model,
-                    config.robust,
+                    resolve_robust(config.robust),
                 )
             else:
                 vis_fit = vis_l

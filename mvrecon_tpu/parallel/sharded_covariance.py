@@ -25,6 +25,7 @@ from ..models.bundle_adjustment import (
     gauge_mask,
     normalize_gauge,
     resolve_distortion_model,
+    resolve_robust,
 )
 from ..models.covariance import (
     BACovariance,
@@ -78,9 +79,9 @@ def sharded_ba_covariance(
     def local(x_l, X_l, f_r, u_r, t_r, R_r, vis_l, free_r, dist_r):
         st = BAState(X=X_l, f=f_r, u=u_r, t=t_r, R=R_r)
         d_l = dist_r if has_dist else None
-        if config.robust == "huber":
+        if resolve_robust(config.robust) is not None:
             vis_w = _huber_weights(st, x_l, vis_l, f0, config.huber_delta,
-                                   d_l, model)
+                                   d_l, model, resolve_robust(config.robust))
         else:
             vis_w = vis_l
         derivs, e = _compute_derivs(
