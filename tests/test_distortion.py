@@ -1946,3 +1946,30 @@ def test_fov_refit_alternation_from_default_init():
     # the angle must move off the 0.5 init toward the generating 0.95
     np.testing.assert_allclose(np.asarray(res.distortion)[:, 0], 0.95,
                                atol=0.08)
+
+
+def test_sharded_fov_matches_dense():
+    """Point-sharded BA under the FOV model (fixed + tied GN refit)
+    matches the dense result — each GN step's (F, 2) accumulands
+    complete with one psum."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba import sharded_bundle_adjust
+
+    sc, dist1, xd = _fov_scene(n_images=8, noise=0.002)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    mesh = make_mesh({"points": 4})
+    common = dict(f0=1.0, axis="x-up_z-forward")
+    cfg = LMConfig(max_iter=8, delta_tol=1e-10, distortion_rounds=1,
+                   distortion_shared=True, distortion_model="fov")
+    res_d = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                          distortion=dist1, **common)
+    res_s = sharded_bundle_adjust(mesh, xd, X0, sc.K, sc.R, t0, config=cfg,
+                                  distortion=dist1, **common)
+    np.testing.assert_allclose(
+        np.asarray(res_s.distortion), np.asarray(res_d.distortion),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(float(res_s.error), float(res_d.error),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_s.X), np.asarray(res_d.X),
+                               atol=1e-6)
