@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_rec.add_argument(
         "--pipeline", choices=["euclidean", "affine"], default="euclidean"
     )
+    p_rec.add_argument(
+        "--covariance", action="store_true",
+        help="estimate per-point/per-camera covariance blocks at the BA "
+             "optimum (summary in JSON, full blocks in --output npz, "
+             "per-point sigma into --output-ply)",
+    )
     p_rec.add_argument("--method", choices=["primary", "dual"], default="dual")
     p_rec.add_argument("--tol", type=float, default=1e-2)
     p_rec.add_argument(
@@ -354,18 +360,47 @@ def main(argv=None) -> None:
             out["aligned_rmse_gt"] = float(
                 aligned_rmse(res.X, jnp.asarray(data["X_gt"], dtype=dtype))
             )
+        rec_cov = None
+        if getattr(args, "covariance", False):
+            from .models.covariance import ba_covariance
+
+            rec_cov = ba_covariance(
+                jnp.asarray(np.asarray(x).transpose(1, 0, 2), dtype),
+                res.X, res.K, res.R, res.t,
+                f0=float(data.get("f0", args.f0)),
+                visibility=visibility, axis="x-up_z-forward",
+            )
+            pt_sig = np.sqrt(np.asarray(rec_cov.point_cov).trace(
+                axis1=1, axis2=2) / 3.0)
+            out.update(
+                sigma=float(np.sqrt(float(rec_cov.sigma2))),
+                point_sigma_median=float(np.median(pt_sig)),
+                point_sigma_max=float(pt_sig.max()),
+            )
         if args.output:
+            extra = {}
+            if rec_cov is not None:
+                extra["point_cov"] = np.asarray(rec_cov.point_cov)
+                extra["camera_cov"] = np.asarray(rec_cov.camera_cov)
+                extra["sigma2"] = np.asarray(rec_cov.sigma2)
             save_observations(
                 args.output, data["x"],
                 X=np.asarray(res.X), K=np.asarray(res.K),
-                R=np.asarray(res.R), t=np.asarray(res.t),
+                R=np.asarray(res.R), t=np.asarray(res.t), **extra,
             )
             out["output"] = args.output
         if args.output_ply:
             from .runtime.io import save_ply
 
-            save_ply(args.output_ply, np.asarray(res.X),
-                     cameras=np.asarray(res.t))
+            save_ply(
+                args.output_ply, np.asarray(res.X),
+                cameras=np.asarray(res.t),
+                quality=(
+                    None if rec_cov is None
+                    else np.sqrt(np.asarray(rec_cov.point_cov).trace(
+                        axis1=1, axis2=2) / 3.0)
+                ),
+            )
             out["output_ply"] = args.output_ply
 
     elif args.command == "batch":

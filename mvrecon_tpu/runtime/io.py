@@ -699,8 +699,9 @@ def save_ply(path: str, X, colors=None, cameras=None,
     q = None if quality is None else np.asarray(quality, np.float64)
     if colors is None:
         if q is not None:
-            hi = float(q.max()) if q.size and float(q.max()) > 0 else 1.0
-            w = np.clip(q / hi, 0.0, 1.0)
+            qf = np.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
+            hi = float(qf.max()) if qf.size and float(qf.max()) > 0 else 1.0
+            w = np.clip(qf / hi, 0.0, 1.0)
             cols = np.stack([
                 np.full(npts, 255), 255 * (1.0 - w), 255 * (1.0 - w)
             ], axis=-1).astype(np.uint8)

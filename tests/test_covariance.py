@@ -459,3 +459,29 @@ def test_cli_bal_covariance_ply_quality(tmp_path, capsys):
     qs = [float(line.split()[-1]) for line in txt[hdr_end + 1:]]
     assert all(q > 0 for q in qs[:npts])
     assert all(q == 0.0 for q in qs[npts:])
+
+
+def test_cli_reconstruct_covariance(tmp_path, capsys):
+    """CLI ``reconstruct --covariance``: sigma summary in the JSON and
+    the blocks in the output npz, with PLY quality."""
+    import json
+
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.runtime.io import save_observations
+
+    # full-size scene: the self-calibration stage needs the demo-scale
+    # point count (a 30-point scene fails with status 2)
+    sc = make_synthetic_scene(jax.random.key(3), n_images=8,
+                              dtype=jnp.float64)
+    inp = str(tmp_path / "obs.npz")
+    outp = str(tmp_path / "res.npz")
+    ply = str(tmp_path / "res.ply")
+    save_observations(inp, np.asarray(sc.x))
+    main(["reconstruct", inp, "--float64", "--max-iter", "20",
+          "--covariance", "--output", outp, "--output-ply", ply])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["point_sigma_median"] > 0
+    d = np.load(outp)
+    assert d["point_cov"].shape[1:] == (3, 3)
+    assert "property float quality" in open(ply).read()
