@@ -463,7 +463,7 @@ def main(argv=None) -> None:
         x = jnp.asarray(d["x"].transpose(1, 0, 2), dtype)  # (P, F, 2)
         vis = jnp.asarray(d["visibility"], dtype)
         in_model = str(d.get("distortion_model", "auto"))
-        if in_model in ("fisheye", "fov"):
+        if in_model in ("fisheye", "fov", "thin_prism"):
             out["camera_model"] = in_model
             if args.tangential:
                 raise SystemExit(
@@ -542,10 +542,13 @@ def main(argv=None) -> None:
         if res.distortion is not None and dmat is not None:
             out["k1_mean"] = float(dmat[:, 0].mean())
             out["k2_mean"] = float(dmat[:, 1].mean())
-            if dmat.shape[-1] == 8:  # rational (k1..k6, p1, p2)
-                for j, name in enumerate(
-                    ("k3", "k4", "k5", "k6", "p1", "p2"), start=2
-                ):
+            if dmat.shape[-1] == 8:
+                names = (
+                    ("k3", "k4", "p1", "p2", "sx1", "sy1")
+                    if in_model == "thin_prism"
+                    else ("k3", "k4", "k5", "k6", "p1", "p2")
+                )
+                for j, name in enumerate(names, start=2):
                     out[f"{name}_mean"] = float(dmat[:, j].mean())
             elif dmat.shape[-1] == 4:
                 n3, n4 = ("k3", "k4") if in_model == "fisheye" else ("p1", "p2")
@@ -581,8 +584,8 @@ def main(argv=None) -> None:
                 np.asarray(res.K)[:, 0, 0],
                 principal_point=np.asarray(res.K)[:, :2, 2],
                 distortion=dist_out,
-                distortion_model=("fisheye" if in_model == "fisheye"
-                                  else None),
+                distortion_model=(in_model if in_model in
+                                  ("fisheye", "thin_prism") else None),
             )
             out["output_colmap"] = args.output_colmap
         if args.output_bal:

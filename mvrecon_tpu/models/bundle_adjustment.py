@@ -171,9 +171,10 @@ def reprojection_error(
     return jnp.sum(vis * e)
 
 
-DISTORTION_MODELS = ("radial", "opencv", "fisheye", "full_opencv", "fov")
+DISTORTION_MODELS = ("radial", "opencv", "fisheye", "full_opencv", "fov",
+                     "thin_prism")
 _DISTORTION_NCOLS = {"radial": 2, "opencv": 4, "fisheye": 4,
-                     "full_opencv": 8, "fov": 1}
+                     "full_opencv": 8, "fov": 1, "thin_prism": 8}
 
 
 def resolve_distortion_model(
@@ -231,6 +232,8 @@ def distortion_nterms(model: str) -> int:
         return 30  # 5x5 normal matrix + 5 rhs (the larger of its rounds)
     if model == "fov":
         return 2  # scalar Gauss-Newton numerator/denominator per step
+    if model == "thin_prism":
+        return 72  # 8x8 normal matrix + 8 rhs
     return 20
 
 
@@ -275,6 +278,12 @@ def _distortion_terms(
     if model == "fov":
         d, wu = _fov_scale(s, dist)
         return g1, g2, s, d, wu
+    if model == "thin_prism":
+        raise ValueError(
+            "thin_prism is a two-stage model (equidistant base + "
+            "theta-plane shift) and has no scalar (d, wu) form — use "
+            "_thin_prism_terms / _apply_thin_prism_chain"
+        )
     k1 = dist[:, 0][None]
     k2 = dist[:, 1][None]
     d = 1.0 + s * (k1 + s * k2)
@@ -372,6 +381,49 @@ def _solve_fov_step(terms: jax.Array, dist: jax.Array,
     return jnp.where(ok, new, dist[:, 0])[:, None]
 
 
+def _thin_prism_terms(state: BAState, g1, g2, f0: float, dist):
+    """Per-observation quantities of COLMAP's THIN_PRISM_FISHEYE model
+    (model 10): the equidistant base psi = (theta/|x_n|) x_n followed by
+    an OPENCV-style polynomial + thin-prism shift *in the theta-plane*::
+
+        rho2   = |psi|^2 = theta^2
+        radial = k1 rho2 + k2 rho2^2 + k3 rho2^3 + k4 rho2^4
+        du1    = psi1 radial + 2 p1 psi1 psi2 + p2 (rho2 + 2 psi1^2)
+                 + sx1 rho2
+        du2    = psi2 radial + p1 (rho2 + 2 psi2^2) + 2 p2 psi1 psi2
+                 + sy1 rho2
+
+    ``dist`` is (F, 8) = (k1, k2, k3, k4, p1, p2, sx1, sy1). Returns
+    (m0, wu0, psi1, psi2, du1, du2, J11, J12, J21, J22, s) with
+    (m0, wu0) the k = 0 fisheye base scale/weight at s = |x_n|^2 and J
+    the (asymmetric — sx1/sy1 break the symmetry) 2x2 Jacobian of the
+    shift wrt psi."""
+    c = (f0 / state.f)[None]
+    s = c * c * (g1 * g1 + g2 * g2)
+    m0, wu0 = _fisheye_scale(s, jnp.zeros((state.f.shape[0], 4), g1.dtype))
+    psi1 = m0 * c * g1
+    psi2 = m0 * c * g2
+    rho2 = psi1 * psi1 + psi2 * psi2  # = theta^2
+    k1 = dist[:, 0][None]
+    k2 = dist[:, 1][None]
+    k3 = dist[:, 2][None]
+    k4 = dist[:, 3][None]
+    p1 = dist[:, 4][None]
+    p2 = dist[:, 5][None]
+    sx1 = dist[:, 6][None]
+    sy1 = dist[:, 7][None]
+    radial = rho2 * (k1 + rho2 * (k2 + rho2 * (k3 + rho2 * k4)))
+    dradial = k1 + rho2 * (2.0 * k2 + rho2 * (3.0 * k3 + rho2 * (4.0 * k4)))
+    du1 = psi1 * radial + 2.0 * p1 * psi1 * psi2         + p2 * (rho2 + 2.0 * psi1 * psi1) + sx1 * rho2
+    du2 = psi2 * radial + p1 * (rho2 + 2.0 * psi2 * psi2)         + 2.0 * p2 * psi1 * psi2 + sy1 * rho2
+    two_dr = 2.0 * dradial
+    j11 = radial + psi1 * two_dr * psi1 + 2.0 * p1 * psi2         + 6.0 * p2 * psi1 + 2.0 * sx1 * psi1
+    j12 = psi1 * two_dr * psi2 + 2.0 * p1 * psi1 + 2.0 * p2 * psi2         + 2.0 * sx1 * psi2
+    j21 = psi2 * two_dr * psi1 + 2.0 * p1 * psi1 + 2.0 * p2 * psi2         + 2.0 * sy1 * psi1
+    j22 = radial + psi2 * two_dr * psi2 + 6.0 * p1 * psi2         + 2.0 * p2 * psi1 + 2.0 * sy1 * psi2
+    return m0, wu0, psi1, psi2, du1, du2, j11, j12, j21, j22, s
+
+
 def _rational_scale(s: jax.Array, dist: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(d, 2 dd/ds) of the OpenCV rational model at s = |rho|^2:
     d = N/D with N = 1 + k1 s + k2 s^2 + k3 s^3,
@@ -464,6 +516,10 @@ def _apply_distortion_chain(
     dpi/du - 1/f0, and pi~ adds its own +1/f0 back) and the f column
     (s and c depend on f directly: dpi~/df gains -(wu s / f) g - t/f)."""
     model = resolve_distortion_model(dist, model)
+    if model == "thin_prism":
+        return _apply_thin_prism_chain(
+            state, p, q, r, f0, dist, res_p, res_q, a1, a2, b1, b2
+        )
     g1, g2, s, d, wu = _distortion_terms(state, p, q, r, f0, dist, model)
     tangential = model in ("opencv", "full_opencv")
     res_p = res_p + (d - 1.0) * g1
@@ -502,6 +558,57 @@ def _apply_distortion_chain(
     return res_p, res_q, a1, a2, b1, b2
 
 
+def _apply_thin_prism_chain(
+    state: BAState, p, q, r, f0: float, dist, res_p, res_q, a1, a2, b1, b2
+):
+    """THIN_PRISM_FISHEYE chain: the prediction composes the equidistant
+    base with the theta-plane polynomial/prism shift (``_thin_prism_
+    terms``), so the 2x2 Jacobian is the *asymmetric* product
+    D = (I + J_du(psi)) @ M with M = m0 I + wu0 (f0/f)^2 g g^T, and the
+    explicit f-column correction is G~/f - (I + J_du) g / (f (1 + s))
+    (G~ = the distorted g-part; reduces exactly to the fisheye formula
+    at zero shift)."""
+    g1 = p / r - (state.u[:, 0] / f0)[None]
+    g2 = q / r - (state.u[:, 1] / f0)[None]
+    (m0, wu0, psi1, psi2, du1, du2,
+     j11, j12, j21, j22, s) = _thin_prism_terms(state, g1, g2, f0, dist)
+    inv_c = (state.f / f0)[None]  # 1/c: theta-plane -> image coords
+    dug1 = du1 * inv_c
+    dug2 = du2 * inv_c
+    res_p = res_p + (m0 - 1.0) * g1 + dug1
+    res_q = res_q + (m0 - 1.0) * g2 + dug2
+    cw = wu0 * (f0 / state.f)[None] ** 2
+    m11 = m0 + cw * g1 * g1
+    m12 = cw * g1 * g2
+    m22 = m0 + cw * g2 * g2
+    d11 = (1.0 + j11) * m11 + j12 * m12
+    d12 = (1.0 + j11) * m12 + j12 * m22
+    d21 = j21 * m11 + (1.0 + j22) * m12
+    d22 = j21 * m12 + (1.0 + j22) * m22
+    a1, a2 = (
+        d11[..., None] * a1 + d12[..., None] * a2,
+        d21[..., None] * a1 + d22[..., None] * a2,
+    )
+    inv_f0 = jnp.asarray(1.0 / f0, b1.dtype)
+    b1 = b1.at[..., 1].add(-inv_f0)  # b -> dg/dtheta (u columns only)
+    b2 = b2.at[..., 2].add(-inv_f0)
+    b1, b2 = (
+        d11[..., None] * b1 + d12[..., None] * b2,
+        d21[..., None] * b1 + d22[..., None] * b2,
+    )
+    b1 = b1.at[..., 1].add(inv_f0)  # + d(u/f0)/du
+    b2 = b2.at[..., 2].add(inv_f0)
+    inv_f = (1.0 / state.f)[None]
+    damp = inv_f / (1.0 + s)
+    gt1 = m0 * g1 + dug1  # the distorted g-part G~
+    gt2 = m0 * g2 + dug2
+    ijg1 = (1.0 + j11) * g1 + j12 * g2
+    ijg2 = j21 * g1 + (1.0 + j22) * g2
+    b1 = b1.at[..., 0].add(gt1 * inv_f - ijg1 * damp)
+    b2 = b2.at[..., 0].add(gt2 * inv_f - ijg2 * damp)
+    return res_p, res_q, a1, a2, b1, b2
+
+
 def _distorted_residual(state: BAState, p, q, r, x, f0: float, dist,
                         model: str | None = None):
     """(res_p, res_q) through the distortion model from sanitized
@@ -511,7 +618,17 @@ def _distorted_residual(state: BAState, p, q, r, x, f0: float, dist,
     res_q = q / r - x[..., 1] / f0
     if dist is not None:
         model = resolve_distortion_model(dist, model)
-        g1, g2, _, d, _ = _distortion_terms(state, p, q, r, f0, dist, model)
+        g1 = p / r - (state.u[:, 0] / f0)[None]
+        g2 = q / r - (state.u[:, 1] / f0)[None]
+        if model == "thin_prism":
+            m0, _, _, _, du1, du2, *_ = _thin_prism_terms(
+                state, g1, g2, f0, dist
+            )
+            inv_c = (state.f / f0)[None]
+            res_p = res_p + (m0 - 1.0) * g1 + du1 * inv_c
+            res_q = res_q + (m0 - 1.0) * g2 + du2 * inv_c
+            return res_p, res_q
+        _, _, _, d, _ = _distortion_terms(state, p, q, r, f0, dist, model)
         res_p = res_p + (d - 1.0) * g1
         res_q = res_q + (d - 1.0) * g2
         if model in ("opencv", "full_opencv"):
@@ -975,6 +1092,32 @@ def _distortion_lsq_terms(state: BAState, p, q, r, x, vis, f0: float,
     # target: (x/f0 - u/f0) - g = what the distortion shift must explain
     t1 = x[..., 0] / f0 - (state.u[:, 0] / f0)[None] - g1
     t2 = x[..., 1] / f0 - (state.u[:, 1] / f0)[None] - g2
+    if model == "thin_prism":
+        # the theta-plane shift is linear in all 8 parameters: basis
+        # vectors in image coords are the x_n-plane regressors / c
+        m0, _, psi1, psi2, *_ = _thin_prism_terms(
+            state, g1, g2, f0, jnp.zeros((state.f.shape[0], 8), g1.dtype)
+        )
+        rho2 = psi1 * psi1 + psi2 * psi2
+        # target shifts to (x - u)/f0 - m0 g (the k = 0 equidistant base)
+        t1 = t1 + (1.0 - m0) * g1
+        t2 = t2 + (1.0 - m0) * g2
+        inv_c = (state.f / f0)[None]
+        zero = jnp.zeros_like(rho2)
+        A = jnp.stack([
+            jnp.stack([rho2 * psi1, rho2 * psi2], axis=-1),
+            jnp.stack([rho2**2 * psi1, rho2**2 * psi2], axis=-1),
+            jnp.stack([rho2**3 * psi1, rho2**3 * psi2], axis=-1),
+            jnp.stack([rho2**4 * psi1, rho2**4 * psi2], axis=-1),
+            jnp.stack([2.0 * psi1 * psi2, rho2 + 2.0 * psi2**2], axis=-1),
+            jnp.stack([rho2 + 2.0 * psi1**2, 2.0 * psi1 * psi2], axis=-1),
+            jnp.stack([rho2, zero], axis=-1),
+            jnp.stack([zero, rho2], axis=-1),
+        ], axis=-2) * inv_c[..., None, None]  # (P, F, 8, 2), image coords
+        T = jnp.stack([t1, t2], axis=-1)
+        m = jnp.einsum("pfai,pfbi,pf->fab", A, A, vis, precision=HIGHEST)
+        rhs = jnp.einsum("pfai,pfi,pf->fa", A, T, vis, precision=HIGHEST)
+        return jnp.concatenate([m.reshape(-1, 64), rhs], axis=-1)  # (F, 72)
     if model == "fisheye":
         # basis m0 theta^(2i) g against target (x - u)/f0 - m0 g
         small = s < 1e-12
@@ -1025,7 +1168,10 @@ def _distortion_lsq_terms(state: BAState, p, q, r, x, vis, f0: float,
 
 def _solve_distortion_lsq(terms: jax.Array, shared: bool) -> jax.Array:
     """Distortion from the accumulated normal terms: (F, 5) -> radial
-    (F, 2); (F, 20) -> OPENCV (F, 4)."""
+    (F, 2); (F, 20) -> 4-parameter models; (F, 72) -> thin_prism
+    (F, 8)."""
+    if terms.shape[-1] == 72:
+        return _solve_distortion_lsq_n(terms, 8, shared)
     if terms.shape[-1] == 20:
         return _solve_distortion_lsq4(terms, shared)
     nf = terms.shape[0]
@@ -1044,15 +1190,25 @@ def _solve_distortion_lsq(terms: jax.Array, shared: bool) -> jax.Array:
 def _solve_distortion_lsq4(terms: jax.Array, shared: bool) -> jax.Array:
     """(F, 4) OPENCV distortion from the accumulated (F, 20) normal
     terms (4x4 SPD solve per camera; degenerate cameras keep zeros)."""
+    return _solve_distortion_lsq_n(terms, 4, shared)
+
+
+def _solve_distortion_lsq_n(terms: jax.Array, n: int,
+                            shared: bool) -> jax.Array:
+    """(F, n) distortion from accumulated (F, n^2 + n) normal terms
+    (n x n SPD solve per camera; degenerate cameras keep zeros)."""
     nf = terms.shape[0]
+    width = n * n + n
     if shared:
-        terms = jnp.broadcast_to(jnp.sum(terms, axis=0, keepdims=True), (nf, 20))
-    m = terms[:, :16].reshape(nf, 4, 4)
-    rhs = terms[:, 16:]
+        terms = jnp.broadcast_to(
+            jnp.sum(terms, axis=0, keepdims=True), (nf, width)
+        )
+    m = terms[:, : n * n].reshape(nf, n, n)
+    rhs = terms[:, n * n:]
     tiny = jnp.asarray(np.finfo(np.dtype(terms.dtype)).tiny, terms.dtype)
     tr = jnp.trace(m, axis1=-2, axis2=-1)
     safe = tr > tiny
-    m_s = jnp.where(safe[:, None, None], m, jnp.eye(4, dtype=m.dtype)[None])
+    m_s = jnp.where(safe[:, None, None], m, jnp.eye(n, dtype=m.dtype)[None])
     sol = jnp.linalg.solve(m_s, rhs[..., None])[..., 0]
     ok = safe & jnp.isfinite(sol).all(axis=-1)
     return jnp.where(ok[:, None], sol, 0.0)

@@ -242,11 +242,13 @@ def _colmap_tokens(path: str):
 _COLMAP_MODEL_NAMES = {0: "SIMPLE_PINHOLE", 1: "PINHOLE",
                        2: "SIMPLE_RADIAL", 3: "RADIAL", 4: "OPENCV",
                        5: "OPENCV_FISHEYE", 6: "FULL_OPENCV", 7: "FOV",
-                       8: "SIMPLE_RADIAL_FISHEYE", 9: "RADIAL_FISHEYE"}
+                       8: "SIMPLE_RADIAL_FISHEYE", 9: "RADIAL_FISHEYE",
+                       10: "THIN_PRISM_FISHEYE"}
 _COLMAP_NUM_PARAMS = {"SIMPLE_PINHOLE": 3, "PINHOLE": 4,
                       "SIMPLE_RADIAL": 4, "RADIAL": 5, "OPENCV": 8,
                       "OPENCV_FISHEYE": 8, "FULL_OPENCV": 12, "FOV": 5,
-                      "SIMPLE_RADIAL_FISHEYE": 4, "RADIAL_FISHEYE": 5}
+                      "SIMPLE_RADIAL_FISHEYE": 4, "RADIAL_FISHEYE": 5,
+                      "THIN_PRISM_FISHEYE": 12}
 _COLMAP_MODEL_IDS = {v: k for k, v in _COLMAP_MODEL_NAMES.items()}
 
 
@@ -292,11 +294,16 @@ def _colmap_camera_fk(cam_id: int, model: str, p: list):
         return p[0], p[1], p[2], (p[3], 0.0, 0.0, 0.0), "fisheye"
     if model == "RADIAL_FISHEYE":
         return p[0], p[1], p[2], (p[3], p[4], 0.0, 0.0), "fisheye"
+    if model == "THIN_PRISM_FISHEYE":
+        # framework layout (k1, k2, k3, k4, p1, p2, sx1, sy1)
+        fx, fy, cx, cy, k1, k2, pp1, pp2, k3, k4, sx1, sy1 = p
+        return (_one_focal(fx, fy), cx, cy,
+                (k1, k2, k3, k4, pp1, pp2, sx1, sy1), "thin_prism")
     raise ValueError(
         f"camera {cam_id}: unsupported COLMAP model {model!r} (supported: "
         "SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV, "
         "OPENCV_FISHEYE, FULL_OPENCV, FOV, SIMPLE_RADIAL_FISHEYE, "
-        "RADIAL_FISHEYE)"
+        "RADIAL_FISHEYE, THIN_PRISM_FISHEYE)"
     )
 
 
@@ -464,8 +471,8 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
         kinds.add(kind)
         f_all[i] = f
         k_mats[i] = [[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]]
-        if kind == "full_opencv":
-            dist[i] = dk  # (k1..k6, p1, p2)
+        if kind in ("full_opencv", "thin_prism"):
+            dist[i] = dk
         elif kind in ("fisheye", "fov"):
             dist[i, :4] = dk
         else:  # opencv family (k1, k2, p1, p2) -> rational-compatible slots
@@ -478,7 +485,14 @@ def load_colmap(model_dir: str) -> dict[str, np.ndarray]:
                 x[i, j] = (px, py)
                 vis[j, i] = 1.0
 
-    if kinds == {"fov"}:
+    if kinds == {"thin_prism"}:
+        dist_model = "thin_prism"
+    elif "thin_prism" in kinds:
+        raise ValueError(
+            "COLMAP model mixes THIN_PRISM_FISHEYE and other cameras; "
+            "the BA distortion model is per-reconstruction"
+        )
+    elif kinds == {"fov"}:
         dist = dist[:, :1]  # (omega,)
         dist_model = "fov"
     elif "fov" in kinds:
@@ -568,15 +582,28 @@ def save_colmap(model_dir: str, x, visibility, X, R, t, f,
             for i in range(nf)
         ]
     elif dist.shape[-1] == 8:
-        model = "FULL_OPENCV"  # fx fy cx cy k1 k2 p1 p2 k3 k4 k5 k6
-        cam_param_rows = [
-            [float(f[i]), float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
-             float(dist[i, 0]), float(dist[i, 1]),
-             float(dist[i, 6]), float(dist[i, 7]),
-             float(dist[i, 2]), float(dist[i, 3]),
-             float(dist[i, 4]), float(dist[i, 5])]
-            for i in range(nf)
-        ]
+        if distortion_model == "thin_prism":
+            # fx fy cx cy k1 k2 p1 p2 k3 k4 sx1 sy1 from the framework
+            # layout (k1, k2, k3, k4, p1, p2, sx1, sy1)
+            model = "THIN_PRISM_FISHEYE"
+            cam_param_rows = [
+                [float(f[i]), float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
+                 float(dist[i, 0]), float(dist[i, 1]),
+                 float(dist[i, 4]), float(dist[i, 5]),
+                 float(dist[i, 2]), float(dist[i, 3]),
+                 float(dist[i, 6]), float(dist[i, 7])]
+                for i in range(nf)
+            ]
+        else:
+            model = "FULL_OPENCV"  # fx fy cx cy k1 k2 p1 p2 k3 k4 k5 k6
+            cam_param_rows = [
+                [float(f[i]), float(f[i]), float(pp[i, 0]), float(pp[i, 1]),
+                 float(dist[i, 0]), float(dist[i, 1]),
+                 float(dist[i, 6]), float(dist[i, 7]),
+                 float(dist[i, 2]), float(dist[i, 3]),
+                 float(dist[i, 4]), float(dist[i, 5])]
+                for i in range(nf)
+            ]
     elif dist.shape[-1] == 4:
         if distortion_model == "fisheye":
             model = "OPENCV_FISHEYE"  # fx fy cx cy k1 k2 k3 k4 (fx = fy)

@@ -1973,3 +1973,213 @@ def test_sharded_fov_matches_dense():
                                rtol=1e-7)
     np.testing.assert_allclose(np.asarray(res_s.X), np.asarray(res_d.X),
                                atol=1e-6)
+
+
+# ---------- THIN_PRISM_FISHEYE (COLMAP model 10) ----------
+
+def _render_thin_prism(st, dist8, f0=1.0):
+    from mvrecon_tpu.models.bundle_adjustment import _thin_prism_terms
+
+    K = build_K(st.f, st.u, f0)
+    _, p, q, r = calc_pqr(st.X, K, st.R, st.t)
+    g1 = p / r - st.u[:, 0][None] / f0
+    g2 = q / r - st.u[:, 1][None] / f0
+    m0, _, _, _, du1, du2, *_ = _thin_prism_terms(st, g1, g2, f0, dist8)
+    inv_c = (st.f / f0)[None]
+    return jnp.stack(
+        [m0 * g1 + du1 * inv_c + st.u[:, 0][None] / f0,
+         m0 * g2 + du2 * inv_c + st.u[:, 1][None] / f0], axis=-1
+    ) * 1.0
+
+
+def _thin_prism_scene(n_images=8, seed=0, noise=0.0):
+    sc = make_synthetic_scene(
+        jax.random.key(0), n_images=n_images, n_slices=4, n_angles=25,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(seed)
+    dist8 = jnp.asarray(np.stack([
+        -0.06 + 0.02 * rng.standard_normal(n_images),   # k1
+        0.015 + 0.006 * rng.standard_normal(n_images),  # k2
+        -0.004 + 0.002 * rng.standard_normal(n_images),  # k3
+        0.002 + 0.001 * rng.standard_normal(n_images),  # k4
+        0.012 + 0.006 * rng.standard_normal(n_images),  # p1
+        -0.009 + 0.005 * rng.standard_normal(n_images),  # p2
+        0.006 + 0.003 * rng.standard_normal(n_images),  # sx1
+        -0.005 + 0.003 * rng.standard_normal(n_images),  # sy1
+    ], axis=-1))
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    xd = _render_thin_prism(st, dist8)
+    if noise:
+        xd = xd + noise * rng.standard_normal(xd.shape)
+    return sc, dist8, xd
+
+
+def test_thin_prism_forward_matches_reference_formula():
+    """The framework's thin-prism terms equal an independent NumPy
+    implementation of COLMAP's ThinPrismFisheyeCameraModel (equidistant
+    base, then the polynomial + prism shift in the theta plane)."""
+    sc, dist8, _ = _thin_prism_scene(n_images=4)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    x_fw = np.asarray(_render_thin_prism(st, dist8))
+    X = np.asarray(sc.X)
+    for i in range(4):
+        R = np.asarray(sc.R[i]); t = np.asarray(sc.t[i])
+        f = float(sc.K[i, 0, 0]); cx, cy = np.asarray(sc.K[i, :2, 2])
+        k1, k2, k3, k4, p1, p2, sx1, sy1 = np.asarray(dist8[i])
+        xc = (X - t) @ R
+        a = xc[:, 0] / xc[:, 2]; b = xc[:, 1] / xc[:, 2]
+        r = np.sqrt(a * a + b * b)
+        th = np.arctan(r)
+        u_ = a * th / r
+        v_ = b * th / r
+        r2 = u_ * u_ + v_ * v_
+        radial = k1 * r2 + k2 * r2**2 + k3 * r2**3 + k4 * r2**4
+        du = (u_ * radial + 2 * p1 * u_ * v_ + p2 * (r2 + 2 * u_ * u_)
+              + sx1 * r2)
+        dv = (v_ * radial + p1 * (r2 + 2 * v_ * v_) + 2 * p2 * u_ * v_
+              + sy1 * r2)
+        u_px = f * (u_ + du) + cx
+        v_px = f * (v_ + dv) + cy
+        np.testing.assert_allclose(x_fw[:, i, 0], u_px, atol=1e-12)
+        np.testing.assert_allclose(x_fw[:, i, 1], v_px, atol=1e-12)
+
+
+def test_thin_prism_derivs_match_autodiff():
+    """The asymmetric two-stage chain D = (I + J_du) M and the
+    f-column correction must equal jax autodiff exactly (the one model
+    whose distortion Jacobian is not symmetric)."""
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+
+    sc, dist8, xd = _thin_prism_scene(n_images=6)
+    nf = 6
+    X0, t0 = _perturbed_state(sc, 0.02)
+    st = BAState(X=X0, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=t0, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    free = gauge_mask(nf, "x-right_z-forward", jnp.float64)
+    derivs, _ = _compute_derivs(st, xd, vis, free, 1.0, None, dist8,
+                                "thin_prism")
+    npts = X0.shape[0]
+
+    def efun(flat):
+        Xv = flat[: 3 * npts].reshape(npts, 3)
+        fv = flat[3 * npts: 3 * npts + nf]
+        uv = flat[3 * npts + nf: 3 * npts + 3 * nf].reshape(nf, 2)
+        tv = flat[3 * npts + 3 * nf: 3 * npts + 6 * nf].reshape(nf, 3)
+        st2 = BAState(X=Xv, f=fv, u=uv, t=tv, R=st.R)
+        return _state_error(st2, xd, vis, 1.0, None, dist8, "thin_prism")
+
+    flat = jnp.concatenate([st.X.ravel(), st.f, st.u.ravel(), st.t.ravel()])
+    gr = np.asarray(jax.grad(efun)(flat))
+    np.testing.assert_allclose(
+        gr[: 3 * npts].reshape(npts, 3), np.asarray(derivs.d_P), atol=1e-10
+    )
+    dF = np.asarray(derivs.d_F).reshape(nf, 9)
+    fr = np.asarray(free).reshape(nf, 9)
+    gf = gr[3 * npts: 3 * npts + nf]
+    gu = gr[3 * npts + nf: 3 * npts + 3 * nf].reshape(nf, 2)
+    gt = gr[3 * npts + 3 * nf: 3 * npts + 6 * nf].reshape(nf, 3)
+    np.testing.assert_allclose(gf * fr[:, 0], dF[:, 0], atol=1e-10)
+    np.testing.assert_allclose(gu * fr[:, 1:3], dF[:, 1:3], atol=1e-10)
+    np.testing.assert_allclose(gt * fr[:, 3:6], dF[:, 3:6], atol=1e-10)
+
+    def res_of_omega(w):
+        Rw = jnp.matmul(rodrigues(w), st.R)
+        st2 = BAState(X=st.X, f=st.f, u=st.u, t=st.t, R=Rw)
+        return _state_error(st2, xd, vis, 1.0, None, dist8, "thin_prism")
+
+    gw = np.asarray(jax.grad(res_of_omega)(jnp.zeros((nf, 3), jnp.float64)))
+    np.testing.assert_allclose(gw * fr[:, 6:9], dF[:, 6:9], atol=1e-10)
+
+
+def test_fit_thin_prism_exact_recovery_and_chunked_parity():
+    """All 8 thin-prism parameters are linear in the prediction given
+    geometry: the refit recovers them exactly (per-camera + tied), and
+    the chunked refit matches the dense one."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        fit_distortion_chunked,
+    )
+
+    sc, dist8, xd = _thin_prism_scene(n_images=6)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    vis = jnp.ones(xd.shape[:2], jnp.float64)
+    k_fit = fit_distortion(st, xd, vis, 1.0, model="thin_prism")
+    np.testing.assert_allclose(np.asarray(k_fit), np.asarray(dist8),
+                               atol=1e-7)
+
+    shared_k = jnp.broadcast_to(
+        jnp.asarray([-0.05, 0.012, -0.003, 0.0015, 0.01, -0.008,
+                     0.005, -0.004]), (6, 8)
+    )
+    xd_s = _render_thin_prism(st, shared_k)
+    k_tied = fit_distortion(st, xd_s, vis, 1.0, shared=True,
+                            model="thin_prism")
+    np.testing.assert_allclose(np.asarray(k_tied), np.asarray(shared_k),
+                               atol=1e-9)
+
+    k_chunk = fit_distortion_chunked(st, xd, vis, 1.0, chunk_size=32,
+                                     model="thin_prism")
+    # chunked accumulation reorders the normal-equation sums; the
+    # quartic k4 column's conditioning amplifies the reassociation to
+    # ~1e-9 on exact data
+    np.testing.assert_allclose(np.asarray(k_chunk), np.asarray(k_fit),
+                               atol=1e-8)
+
+
+def test_thin_prism_e2e_and_colmap_roundtrip(tmp_path):
+    """BA under the fixed true thin-prism model recovers the geometry;
+    a THIN_PRISM_FISHEYE COLMAP model (text + binary) round-trips with
+    the model tag and projection parity at GT; dense == chunked."""
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.runtime.io import load_colmap, save_colmap
+
+    sc, dist8, xd = _thin_prism_scene(n_images=8, noise=0.0005)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    common = dict(f0=1.0, axis="x-up_z-forward")
+    cfg = LMConfig(max_iter=12, delta_tol=1e-12,
+                   distortion_model="thin_prism")
+    res = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                        distortion=dist8, **common)
+    res_pin = bundle_adjust(xd, X0, sc.K, sc.R, t0,
+                            config=LMConfig(max_iter=12, delta_tol=1e-12),
+                            **common)
+    assert (
+        float(aligned_rmse(res.X, sc.X))
+        < 0.6 * float(aligned_rmse(res_pin.X, sc.X))
+    )
+    res_c = bundle_adjust_chunked(xd, X0, sc.K, sc.R, t0, config=cfg,
+                                  chunk_size=32, distortion=dist8, **common)
+    np.testing.assert_allclose(float(res_c.error), float(res.error),
+                               rtol=1e-8)
+
+    for binary in (False, True):
+        mdir = str(tmp_path / f"m{int(binary)}")
+        save_colmap(mdir, np.asarray(xd).transpose(1, 0, 2),
+                    np.ones(xd.shape[:2]), np.asarray(sc.X),
+                    np.asarray(sc.R), np.asarray(sc.t),
+                    np.asarray(sc.K[:, 0, 0]),
+                    principal_point=np.asarray(sc.K[:, :2, 2]),
+                    distortion=np.asarray(dist8), binary=binary,
+                    distortion_model="thin_prism")
+        d = load_colmap(mdir)
+        assert str(d["distortion_model"]) == "thin_prism"
+        np.testing.assert_allclose(d["distortion"], np.asarray(dist8),
+                                   atol=1e-12)
+        st_l = BAState(
+            X=jnp.asarray(d["X"]), f=jnp.asarray(d["f"]),
+            u=jnp.asarray(d["K"][:, :2, 2]), t=jnp.asarray(d["t"]),
+            R=jnp.asarray(d["R"]),
+        )
+        e = _state_error(
+            st_l, jnp.asarray(d["x"].transpose(1, 0, 2)),
+            jnp.asarray(d["visibility"]), 1.0, None,
+            jnp.asarray(d["distortion"]), "thin_prism",
+        )
+        e_direct = _state_error(
+            st_l, xd.astype(jnp.float64), jnp.ones(xd.shape[:2]), 1.0,
+            None, jnp.asarray(d["distortion"]), "thin_prism",
+        )
+        np.testing.assert_allclose(float(e), float(e_direct), rtol=1e-9)
