@@ -168,3 +168,23 @@ def test_robust_family_chunked_and_sharded_parity():
                                   **common)
     np.testing.assert_allclose(float(res_s.error), float(res_d.error),
                                rtol=1e-9)
+
+
+def test_cli_bal_robust_loss(tmp_path, capsys):
+    """CLI ``bal --huber D --robust-loss cauchy`` runs the cauchy IRLS
+    end-to-end."""
+    import json
+
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.runtime.io import save_bal
+
+    scene, x, X0, t0 = _outlier_problem()
+    path = str(tmp_path / "prob.txt")
+    save_bal(path, np.asarray(x).transpose(1, 0, 2), np.ones(x.shape[:2]),
+             np.asarray(X0), np.asarray(scene.R), np.asarray(t0),
+             np.asarray(scene.K[:, 0, 0]))
+    main(["bal", path, "--float64", "--max-iter", "10",
+          "--ignore-distortion", "--huber", "0.05",
+          "--robust-loss", "cauchy"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(rec["reprojection_error"])
