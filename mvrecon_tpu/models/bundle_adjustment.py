@@ -71,7 +71,8 @@ class BAResult(NamedTuple):
     error: jax.Array  # final reprojection error E (sum of squares)
     n_iter: jax.Array
     log: dict | None  # stacked per-iteration (X, R, t, E) when recorded
-    distortion: jax.Array | None = None  # (F, 2) radial (k1, k2) when modeled
+    distortion: jax.Array | None = None  # (F, n) model params when modeled
+    # (n selects the family via resolve_distortion_model / the config tag)
 
 
 AXIS_MODES = ("x-right_z-forward", "x-up_z-forward")
@@ -718,11 +719,13 @@ def _compute_derivs(
     With ``axis_name`` set (inside shard_map over points), the camera-side
     sums (d_F, matG, E) are psum-reduced; point-side blocks stay local.
 
-    With ``dist`` ((F, 2) radial k1/k2, BAL model) the residual becomes
-    the distorted one and the Jacobian factors are chained through the
-    exact 2x2 distortion Jacobian D = d I + 2 w (f0/f)^2 g g^T — the
-    rank-2 outer-product structure every downstream Schur path exploits
-    is preserved, so distortion costs only elementwise work."""
+    With ``dist`` (any supported family — resolve_distortion_model /
+    ``model``) the residual becomes the distorted one and the Jacobian
+    factors are chained through the exact 2x2 distortion Jacobian
+    (symmetric D = d I + wu (f0/f)^2 g g^T for the single-stage models;
+    the asymmetric two-stage product for thin_prism) — the rank-2
+    outer-product structure every downstream Schur path exploits is
+    preserved, so distortion costs only elementwise work."""
     npts, nf = x.shape[0], state.f.shape[0]
     K = build_K(state.f, state.u, f0)
     pmat, p, q, r = calc_pqr(state.X, K, state.R, state.t)

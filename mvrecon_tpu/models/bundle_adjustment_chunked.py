@@ -91,10 +91,11 @@ def _chunk_factors(state_cam: BAState, X_c, x_c, vis_c, f0, huber_delta=None,
     and back-substitution scans of an iteration) multiply into the
     returned effective visibility.
 
-    With ``dist`` ((F, 2) radial k1/k2, BAL model) the residuals and the
-    factors chain through the exact 2x2 distortion Jacobian exactly as
-    in the dense core (``_apply_distortion_chain``) — per-observation
-    elementwise work, so the O(chunk) memory contract is untouched."""
+    With ``dist`` (any supported distortion family) the residuals and
+    the factors chain through the exact 2x2 distortion Jacobian exactly
+    as in the dense core (``_apply_distortion_chain``) —
+    per-observation elementwise work, so the O(chunk) memory contract
+    is untouched."""
     st = state_cam._replace(X=X_c)
     K = build_K(st.f, st.u, f0)
     pmat, p, q, r = calc_pqr(X_c, K, st.R, st.t)
