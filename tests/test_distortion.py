@@ -2183,3 +2183,72 @@ def test_thin_prism_e2e_and_colmap_roundtrip(tmp_path):
             None, jnp.asarray(d["distortion"]), "thin_prism",
         )
         np.testing.assert_allclose(float(e), float(e_direct), rtol=1e-9)
+
+
+# ---------------- undistort_points (Newton inverse of the chain) ----------
+
+def test_undistort_points_roundtrip_all_models():
+    """distort(undistort(x)) == x and undistort(distort(x)) == x to fp
+    tolerance for every supported family — the Newton inverse on the
+    exact chain Jacobian converges from the observed-point init."""
+    from mvrecon_tpu.models.bundle_adjustment import (
+        distort_points, undistort_points,
+    )
+
+    sc = make_synthetic_scene(jax.random.key(0), n_images=6, n_slices=4,
+                              n_angles=25, dtype=jnp.float64)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    K = build_K(st.f, st.u, 1.0)
+    _, p, q, r = calc_pqr(st.X, K, st.R, st.t)
+    x_pin = jnp.stack([p / r, q / r], axis=-1)  # (P, F, 2) pinhole
+
+    rng = np.random.default_rng(0)
+    cases = {
+        "radial": jnp.asarray(np.stack(
+            [-0.3 + 0.05 * rng.standard_normal(6),
+             0.05 + 0.02 * rng.standard_normal(6)], -1)),
+        "opencv": _opencv_scene(n_images=6)[1],
+        "fisheye": _fisheye_scene(n_images=6)[1],
+        "full_opencv": _full_opencv_scene(n_images=6)[1],
+        "fov": _fov_scene(n_images=6)[1],
+        "thin_prism": _thin_prism_scene(n_images=6)[1],
+    }
+    for model, dist in cases.items():
+        xd = distort_points(x_pin, st.f, st.u, 1.0, dist, model)
+        back = undistort_points(xd, st.f, st.u, 1.0, dist, model)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x_pin),
+                                   atol=1e-11, err_msg=model)
+        fwd = distort_points(back, st.f, st.u, 1.0, dist, model)
+        np.testing.assert_allclose(np.asarray(fwd), np.asarray(xd),
+                                   atol=1e-11, err_msg=model)
+
+    # consistency with the rendered observations: distort_points on the
+    # pinhole projection == the model renderers used across this suite
+    xd_r = distort_points(x_pin, st.f, st.u, 1.0, cases["fisheye"],
+                          "fisheye")
+    np.testing.assert_allclose(
+        np.asarray(xd_r), np.asarray(_render_fisheye(st, cases["fisheye"])),
+        atol=1e-12,
+    )
+
+
+def test_undistort_feeds_pinhole_ba():
+    """Undistorted observations through plain pinhole BA reach the same
+    geometry as distorted observations through the modeled BA — the
+    interop path for pinhole-only downstream consumers."""
+    from mvrecon_tpu.models.bundle_adjustment import undistort_points
+
+    sc, dist, xd = _distorted_scene(n_images=8, noise=0.001)
+    X0, t0 = _perturbed_state(sc, 0.005)
+    common = dict(f0=1.0, axis="x-up_z-forward")
+    cfg = LMConfig(max_iter=15, delta_tol=1e-12)
+    st = BAState(X=sc.X, f=sc.K[:, 0, 0], u=sc.K[:, :2, 2], t=sc.t, R=sc.R)
+    res_model = bundle_adjust(xd, X0, sc.K, sc.R, t0, config=cfg,
+                              distortion=dist, **common)
+    x_undist = undistort_points(xd, st.f, st.u, 1.0, dist)
+    res_pin = bundle_adjust(x_undist, X0, sc.K, sc.R, t0, config=cfg,
+                            **common)
+    assert (
+        float(aligned_rmse(res_pin.X, sc.X))
+        < 1.2 * float(aligned_rmse(res_model.X, sc.X))
+    )
