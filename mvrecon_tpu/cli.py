@@ -135,6 +135,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="write the refined problem back in BAL format",
     )
     p_bal.add_argument(
+        "--output-colmap-pinhole", type=str, default=None, metavar="DIR",
+        help="write an *undistorted* SIMPLE_PINHOLE COLMAP model: the "
+             "refined geometry with observations mapped through the "
+             "exact inverse of the distortion chain (the "
+             "image_undistorter workflow pinhole-only consumers, e.g. "
+             "NeRF/3DGS pipelines, expect)",
+    )
+    p_bal.add_argument(
         "--output-ply", type=str, default=None, metavar="FILE",
         help="write the refined point cloud (+ camera centers) as PLY",
     )
@@ -603,6 +611,26 @@ def main(argv=None) -> None:
                 distortion=dist_out,
             )
             out["output_bal"] = args.output_bal
+        if args.output_colmap_pinhole:
+            from .models.bundle_adjustment import undistort_points
+            from .runtime.io import save_colmap
+
+            if dist_out is None:
+                x_un = x
+            else:
+                x_un = undistort_points(
+                    x, res.K[:, 0, 0], res.K[:, :2, 2],
+                    f0=float(d["f0"]), distortion=jnp.asarray(dist_out, dtype),
+                    distortion_model=in_model,
+                )
+            save_colmap(
+                args.output_colmap_pinhole,
+                np.asarray(x_un).transpose(1, 0, 2), d["visibility"],
+                np.asarray(res.X), np.asarray(res.R), np.asarray(res.t),
+                np.asarray(res.K)[:, 0, 0],
+                principal_point=np.asarray(res.K)[:, :2, 2],
+            )
+            out["output_colmap_pinhole"] = args.output_colmap_pinhole
         if args.output_ply:
             from .runtime.io import save_ply
 

@@ -2252,3 +2252,43 @@ def test_undistort_feeds_pinhole_ba():
         float(aligned_rmse(res_pin.X, sc.X))
         < 1.2 * float(aligned_rmse(res_model.X, sc.X))
     )
+
+
+def test_cli_bal_output_colmap_pinhole(tmp_path, capsys):
+    """``bal --output-colmap-pinhole``: the exported model is
+    SIMPLE_PINHOLE with observations undistorted through the exact
+    chain inverse — reloading it and evaluating the *pinhole* error at
+    the refined state reproduces the modeled residual level (the
+    image_undistorter contract for NeRF/3DGS-style consumers)."""
+    import json
+
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.models.bundle_adjustment import _state_error
+    from mvrecon_tpu.runtime.io import load_colmap, save_colmap
+
+    sc, dist4, xd = _fisheye_scene(n_images=6, noise=0.001)
+    X0, t0 = _perturbed_state(sc, 0.003)
+    mdir = str(tmp_path / "model")
+    out_dir = str(tmp_path / "pinhole")
+    save_colmap(mdir, np.asarray(xd).transpose(1, 0, 2),
+                np.ones(xd.shape[:2]), np.asarray(X0), np.asarray(sc.R),
+                np.asarray(t0), np.asarray(sc.K[:, 0, 0]),
+                distortion=np.asarray(dist4), distortion_model="fisheye")
+    main(["bal", mdir, "--float64", "--max-iter", "10",
+          "--output-colmap-pinhole", out_dir])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    e_model = rec["reprojection_error"]
+    d = load_colmap(out_dir)
+    assert d["distortion"].shape[-1] == 2 and not d["distortion"].any()
+    st_l = BAState(
+        X=jnp.asarray(d["X"]), f=jnp.asarray(d["f"]),
+        u=jnp.asarray(d["K"][:, :2, 2]), t=jnp.asarray(d["t"]),
+        R=jnp.asarray(d["R"]),
+    )
+    e_pin = float(_state_error(
+        st_l, jnp.asarray(d["x"].transpose(1, 0, 2)),
+        jnp.asarray(d["visibility"]), 1.0,
+    ))
+    # the undistorted observations' pinhole error equals the modeled
+    # error up to the (tiny) Jacobian reweighting of the noise
+    assert e_pin < 2.0 * e_model + 1e-12, (e_pin, e_model)
