@@ -29,16 +29,13 @@ MVRECON_BENCH_FAST=1 skips workloads 2-5 (headline only).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-
-from mvrecon_tpu.runtime.cache import enable_compilation_cache
-
-enable_compilation_cache()
 
 from mvrecon_tpu.config import LMConfig
 from mvrecon_tpu.geometry.scenes import make_synthetic_scene
@@ -52,6 +49,7 @@ from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
 #   (P, 9F-7, 9F-7) float64 Schur intermediate. The smaller 2000x50 config
 #   measured 651.36 s.)
 REFERENCE_CPU_WALL_S = 5650.26
+REFERENCE_CPU_WALL_SMALL_S = 651.36  # P=2000, F=50, 10 iters
 
 N_POINTS = 10_000
 N_VIEWS = 100
@@ -82,9 +80,9 @@ def build_problem(n_points, n_views, dtype=jnp.float32):
     return x, X0, scene.K, scene.R, t0
 
 
-def bench_headline():
+def bench_headline(n_points=N_POINTS, n_views=N_VIEWS):
     config = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=N_ITERS)
-    x, X0, K, R, t0 = build_problem(N_POINTS, N_VIEWS)
+    x, X0, K, R, t0 = build_problem(n_points, n_views)
 
     def run():
         res = bundle_adjust(
@@ -150,6 +148,62 @@ def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
         "peak_flops": PEAK_FLOPS,
     }
     return stats, (x, res)
+
+
+def bench_northstar_pipeline(n_points=100_000, n_views=1000, ba_iters=10,
+                             chunk=768):
+    """Full-pipeline north star (VERDICT r3 #3): perspective
+    self-calibration -> Euclidean upgrade -> chunked BA at 100k points x
+    1000 views on one chip. The flagship reference capability is the
+    *pipeline* (`/root/reference/euclidiean_reconstruction.py:13-66`),
+    not BA alone; calibration at this scale rides the Gram-subspace
+    depth loop (parallel/sharded_calibration.py — the (3F, 3F) Gram
+    eigh, never a (3F, P) SVD), run here on a trivial 1-device mesh."""
+    from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_calibration import (
+        sharded_perspective_self_calibration,
+    )
+
+    key = jax.random.key(0)
+    scene = make_synthetic_scene(
+        key, n_images=n_views, n_slices=n_points // 20, n_angles=20,
+        dtype=jnp.float32,
+    )
+    x_fp = scene.x  # (F, P, 2)
+    mesh = make_mesh({"points": 1})
+    config = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=ba_iters,
+        accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+    )
+
+    def run():
+        calib = sharded_perspective_self_calibration(
+            mesh, x_fp, f0=1.0, tol=1e-2, method="dual"
+        )
+        res = bundle_adjust_chunked(
+            x_fp.transpose(1, 0, 2), calib.X, calib.K, calib.R, calib.t,
+            f0=1.0, axis="x-up_z-forward", config=config, chunk_size=chunk,
+        )
+        err = float(res.error)
+        status = int(calib.status)
+        _fetch(res.X)
+        return err, status, int(res.n_iter)
+
+    run()
+    start = time.perf_counter()
+    err, status, n_iter = run()
+    wall = time.perf_counter() - start
+    noise_floor = n_points * n_views * 2 * 0.005**2
+    assert np.isfinite(err), "pipeline diverged"
+    return {
+        "points": n_points, "views": n_views, "ba_iters": ba_iters,
+        "wall_s": round(wall, 3),
+        "calib_status": status,
+        "ba_n_iter": n_iter,
+        "reprojection_error": err,
+        "E_vs_noise_floor": round(err / noise_floor, 3),
+    }
 
 
 def bench_covariance(x, res, chunk=768):
@@ -291,41 +345,114 @@ def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=64,
     }
 
 
+def _emit(out):
+    """The one JSON line the driver parses. Exactly one, always."""
+    sys.stdout.write(json.dumps(out) + "\n")
+    sys.stdout.flush()
+
+
 def main():
-    # Wedge guard: the device tunnel on this class of machine can hang a
-    # client indefinitely; if a whole workload (incl. first compile,
-    # observed up to ~4 min) makes no progress for 15 min, dump stacks
-    # and exit 124 instead of hanging the driver.
+    # Outage protocol (round-3 postmortem: the tunnel was down at round
+    # end and the only artifact was a traceback — BENCH_r03.json rc=1):
+    #   1. arm the watchdog BEFORE any device touch, with an on_timeout
+    #      that still emits a parseable JSON line;
+    #   2. prove the backend alive from a subprocess (3 attempts,
+    #      backoff) — an in-process probe can wedge un-interruptibly;
+    #   3. on failure, pin this process to CPU and record CPU-labeled
+    #      fallback numbers on a reduced workload;
+    #   4. every extra workload is individually fenced: one failing
+    #      field degrades to an "error" entry, never the whole line.
+    from mvrecon_tpu.runtime.backend import require_backend_or_cpu
+    from mvrecon_tpu.runtime.cache import enable_compilation_cache
     from mvrecon_tpu.runtime.watchdog import Watchdog
 
-    dog = Watchdog(timeout_s=900).start()
-    wall = bench_headline()
+    out = {"metric": "error", "value": 0.0, "unit": "s", "vs_baseline": 0.0}
+
+    def on_wedge(elapsed_s):
+        import faulthandler
+
+        out.setdefault("error", f"device wedge: no progress for {elapsed_s:.0f}s")
+        _emit(out)
+        sys.stderr.write("[bench watchdog] thread stacks:\n")
+        faulthandler.dump_traceback(file=sys.stderr)
+        os._exit(124)
+
+    dog = Watchdog(timeout_s=900, on_timeout=on_wedge).start()
+
+    # Each probe attempt pets the watchdog: a wedged attempt is bounded by
+    # its own 420 s subprocess timeout (< the 900 s watchdog), and the
+    # watchdog clock restarts per attempt, so probing can never trip it.
+    backend = require_backend_or_cpu(
+        attempts=int(os.environ.get("MVRECON_PROBE_ATTEMPTS", "3")),
+        timeout_s=float(os.environ.get("MVRECON_PROBE_TIMEOUT", "420")),
+        backoff_s=30.0,
+        on_attempt=dog.pet,
+    )
     dog.pet()
-    out = {
-        "metric": f"ba_{N_POINTS}pts_{N_VIEWS}views_{N_ITERS}iter_wall",
-        "value": round(wall, 4),
-        "unit": "s",
-        "vs_baseline": round(REFERENCE_CPU_WALL_S / wall, 2),
-    }
-    if os.environ.get("MVRECON_BENCH_FAST") != "1":
-        out["northstar"], (ns_x, ns_res) = bench_northstar()
+    enable_compilation_cache()
+    on_device = backend["ok"]
+    out["backend"] = backend
+
+    def fenced(name, fn):
+        """Run one extra workload; degrade to an error field, not a crash."""
+        try:
+            out[name] = fn()
+        except Exception as e:  # noqa: BLE001 - the fence IS the contract
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
         dog.pet()
-        out["covariance"] = bench_covariance(ns_x, ns_res)
-        del ns_x, ns_res
+
+    try:
+        if on_device:
+            wall = bench_headline()
+            out.update(
+                metric=f"ba_{N_POINTS}pts_{N_VIEWS}views_{N_ITERS}iter_wall",
+                value=round(wall, 4),
+                vs_baseline=round(REFERENCE_CPU_WALL_S / wall, 2),
+            )
+        else:
+            # CPU fallback: the small reference workload (P=2000, F=50),
+            # labeled as such; vs_baseline compares against the
+            # reference's measured 651.36 s on the identical shape.
+            wall = bench_headline(n_points=2_000, n_views=50)
+            out.update(
+                metric="ba_2000pts_50views_10iter_wall_CPU_FALLBACK",
+                value=round(wall, 4),
+                vs_baseline=round(REFERENCE_CPU_WALL_SMALL_S / wall, 2),
+            )
         dog.pet()
-        out["batched"] = bench_batched(n_scenes=256)
-        dog.pet()
-        # run-to-convergence variant (the reference stopping contract,
-        # lib/bundle_adjustment.py:186-191): per-scene early exit at
-        # |dE| <= 1e-3, budget 40 — reports scenes/s-to-noise-floor
-        # alongside the fixed-budget throughput number above
-        out["batched_converged"] = bench_batched(
-            n_scenes=256, ba_iters=40, delta_tol=1e-3
-        )
-        dog.pet()
-        out["bal_sparse"] = bench_bal()
+        if os.environ.get("MVRECON_BENCH_FAST") != "1" and on_device:
+            ns_state = {}
+
+            def _northstar():
+                stats, (ns_x, ns_res) = bench_northstar()
+                ns_state["x"], ns_state["res"] = ns_x, ns_res
+                return stats
+
+            fenced("northstar", _northstar)
+            if "x" in ns_state:
+                fenced(
+                    "covariance",
+                    lambda: bench_covariance(ns_state["x"], ns_state["res"]),
+                )
+                ns_state.clear()
+            fenced("northstar_pipeline", bench_northstar_pipeline)
+            fenced("batched", lambda: bench_batched(n_scenes=256))
+            # run-to-convergence variant (the reference stopping contract,
+            # lib/bundle_adjustment.py:186-191): per-scene early exit at
+            # |dE| <= 1e-3, budget 40 — reports scenes/s-to-noise-floor
+            # alongside the fixed-budget throughput number above
+            fenced(
+                "batched_converged",
+                lambda: bench_batched(n_scenes=256, ba_iters=40, delta_tol=1e-3),
+            )
+            fenced("bal_sparse", bench_bal)
+    except Exception as e:  # noqa: BLE001 - last-resort: structured, rc=0
+        out["error"] = f"{type(e).__name__}: {e}"[:1000]
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
     dog.stop()
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":

@@ -51,9 +51,20 @@ def _machine_tag() -> str:
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
-    if jax.default_backend() == "cpu":
-        return  # see module docstring: XLA:CPU AOT (de)serialization is
-        # unreliable on this image, and CPU compiles are cheap anyway.
-    path = os.path.join(cache_dir or DEFAULT_CACHE_DIR, _machine_tag())
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    """Enable the on-disk compile cache for non-CPU backends. Never raises:
+    a cache is an optimization, and on this machine the backend-init probe
+    inside ``jax.default_backend()`` is itself a failure point (the axon
+    tunnel being down raises ``RuntimeError`` here — round 3's only bench
+    artifact was that traceback). Callers that need to *know* whether the
+    device is alive use :func:`mvrecon_tpu.runtime.backend.probe_backend`."""
+    try:
+        if jax.default_backend() == "cpu":
+            return  # see module docstring: XLA:CPU AOT (de)serialization is
+            # unreliable on this image, and CPU compiles are cheap anyway.
+        path = os.path.join(cache_dir or DEFAULT_CACHE_DIR, _machine_tag())
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:
+        import sys
+
+        sys.stderr.write(f"[mvrecon] compilation cache disabled: {e}\n")
