@@ -23,8 +23,20 @@ Workloads (all float32, full visibility):
    north-star reconstruction — per-point 3x3 + per-camera 9x9
    covariance blocks at P=100,000 x F=1,000 via the chunked
    camera-marginal Schur inverse (models/covariance.py).
+7. **northstar_pipeline** (extra field): the full flagship pipeline
+   (perspective self-calibration -> Euclidean upgrade -> chunked BA) at
+   100k points x 1000 views on one chip.
+8. **bal_large_sparse** (extra field): BAL-class sparse BA — 1M points
+   x 1,600 cameras x 10M observations (0.6% fill) on one chip via the
+   O(n_obs) observation-list core (bundle_adjustment_sparse.py).
 
-MVRECON_BENCH_FAST=1 skips workloads 2-5 (headline only).
+MVRECON_BENCH_FAST=1 skips the extra workloads (headline only). The
+entry protocol is outage-proof: the backend is probed from a subprocess
+(retries + backoff), a watchdog armed before any device touch emits a
+parseable JSON line even on a wedge, and each extra workload degrades
+to an {"error": ...} field instead of killing the run; with the device
+down the output is a CPU-labeled fallback headline plus the structured
+outage record under "backend".
 """
 
 import json
@@ -299,6 +311,72 @@ def bench_bal(n_points=20_000, n_cams=100, vis_frac=0.2, outlier_frac=0.02):
     }
 
 
+def bench_bal_large(n_points=1_000_000, n_cams=1_600, window=10):
+    """BAL-class sparse BA (VERDICT r3 #2): 1M points x 1,600 cameras x
+    10M observations at 0.6% fill on one chip via the O(n_obs)
+    observation-list core — a problem no dense-mask core can hold
+    (the (P, F, 2) array alone would be 13 GB)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_bal_sparse",
+        os.path.join(os.path.dirname(__file__), "scripts",
+                     "bench_bal_sparse.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from mvrecon_tpu.models.bundle_adjustment_sparse import (
+        SparseObs, bundle_adjust_sparse,
+    )
+    from mvrecon_tpu.ops.procrustes import aligned_rmse
+
+    point_idx, cam_idx, xy, X_gt, K, R, t = mod.make_sparse_problem(
+        n_points, n_cams, window, outlier_frac=0.02
+    )
+    n_obs = point_idx.shape[0]
+    n_points = X_gt.shape[0]
+    dtype = jnp.float32
+    obs = SparseObs(
+        point_idx=jnp.asarray(point_idx, jnp.int32),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        xy=jnp.asarray(xy, dtype),
+        weights=jnp.ones((n_obs,), dtype),
+    )
+    rng = np.random.default_rng(1)
+    X0 = jnp.asarray(X_gt + 0.05 * rng.standard_normal(X_gt.shape), dtype)
+    t0 = jnp.asarray(t + 0.05 * rng.standard_normal(t.shape), dtype)
+    config = LMConfig(
+        scale_factor=4.0, delta_tol=1e-4, max_iter=30,
+        accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+        robust="huber", huber_delta=0.02,
+    )
+
+    def run():
+        res = bundle_adjust_sparse(
+            obs, X0, jnp.asarray(K, dtype), jnp.asarray(R, dtype), t0,
+            f0=1.0, axis="x-up_z-forward", config=config,
+            cg_tol=1e-2, cg_max_iter=100,
+        )
+        _fetch(res.X)
+        return res
+
+    run()
+    start = time.perf_counter()
+    res = run()
+    wall = time.perf_counter() - start
+    return {
+        "cams": n_cams, "points": n_points, "observations": n_obs,
+        "fill_frac": round(n_obs / (n_points * n_cams), 5),
+        "wall_s": round(wall, 3),
+        "n_iter": int(res.n_iter),
+        "cg_iters_total": int(res.log["cg_iters_total"]),
+        "aligned_rmse_vs_gt": round(
+            float(aligned_rmse(res.X, jnp.asarray(X_gt, dtype))), 5
+        ),
+    }
+
+
 def bench_batched(n_scenes=64, n_views=100, ba_iters=15, scene_chunk=64,
                   delta_tol=0.0):
     from mvrecon_tpu.parallel.batched import batched_euclidean_reconstruction
@@ -446,6 +524,7 @@ def main():
                 lambda: bench_batched(n_scenes=256, ba_iters=40, delta_tol=1e-3),
             )
             fenced("bal_sparse", bench_bal)
+            fenced("bal_large_sparse", bench_bal_large)
     except Exception as e:  # noqa: BLE001 - last-resort: structured, rc=0
         out["error"] = f"{type(e).__name__}: {e}"[:1000]
         import traceback

@@ -76,27 +76,38 @@ def load_bal(path: str) -> dict[str, np.ndarray]:
       refit. Ignoring it (``distortion=None``) reproduces the pinhole
       model, which converges to a distortion-limited error floor.
     """
-    with open(path) as fh:
-        tokens = fh.read().split()
-    it = iter(tokens)
-    nf, npts, nobs = int(next(it)), int(next(it)), int(next(it))
-    cam_idx = np.empty(nobs, np.int64)
-    pt_idx = np.empty(nobs, np.int64)
-    uv = np.empty((nobs, 2), np.float64)
-    for i in range(nobs):
-        cam_idx[i] = int(next(it))
-        pt_idx[i] = int(next(it))
-        uv[i, 0] = float(next(it))
-        uv[i, 1] = float(next(it))
-    cams = np.array([float(next(it)) for _ in range(9 * nf)]).reshape(nf, 9)
-    pts = np.array([float(next(it)) for _ in range(3 * npts)]).reshape(npts, 3)
-
+    nf, npts, cam_idx, pt_idx, uv, cams, pts = _parse_bal_tokens(path)
     x = np.zeros((nf, npts, 2))
     vis = np.zeros((npts, nf))
     x[cam_idx, pt_idx] = -uv  # negation absorbs BAL's -z projection
     vis[pt_idx, cam_idx] = 1.0
+    out = _bal_cams_to_framework(cams)
+    out.update(x=x, visibility=vis, X=pts, f0=np.asarray(1.0))
+    return out
 
-    # Rodrigues -> R_bal, then to this framework's convention.
+
+def _parse_bal_tokens(path: str):
+    """Shared BAL text parser: header, observation triplets, camera and
+    point parameter blocks (format docs in :func:`load_bal`)."""
+    with open(path) as fh:
+        tokens = fh.read().split()
+    nf, npts, nobs = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    body = np.asarray(tokens[3:3 + 4 * nobs])
+    quad = body.reshape(nobs, 4)
+    cam_idx = quad[:, 0].astype(np.int64)
+    pt_idx = quad[:, 1].astype(np.int64)
+    uv = quad[:, 2:4].astype(np.float64)
+    rest = np.asarray(tokens[3 + 4 * nobs:], dtype=np.float64)
+    cams = rest[: 9 * nf].reshape(nf, 9)
+    pts = rest[9 * nf: 9 * nf + 3 * npts].reshape(npts, 3)
+    return nf, npts, cam_idx, pt_idx, uv, cams, pts
+
+
+def _bal_cams_to_framework(cams: np.ndarray) -> dict[str, np.ndarray]:
+    """BAL 9-parameter cameras (Rodrigues w, t_bal, f, k1, k2) -> this
+    framework's (R, t, K, f, distortion) (conversion docs in
+    :func:`load_bal`)."""
+    nf = cams.shape[0]
     w = cams[:, :3]
     theta = np.linalg.norm(w, axis=1, keepdims=True)
     with np.errstate(invalid="ignore"):
@@ -119,10 +130,29 @@ def load_bal(path: str) -> dict[str, np.ndarray]:
     k_mats[:, 0, 0] = f
     k_mats[:, 1, 1] = f
     k_mats[:, 2, 2] = 1.0
-    return {
-        "x": x, "visibility": vis, "X": pts, "R": r, "t": t, "K": k_mats,
-        "f": f, "distortion": cams[:, 7:9], "f0": np.asarray(1.0),
-    }
+    return {"R": r, "t": t, "K": k_mats, "f": f,
+            "distortion": cams[:, 7:9]}
+
+
+def load_bal_sparse(path: str) -> dict[str, np.ndarray]:
+    """Parse a BAL problem straight into the observation-list layout of
+    :mod:`mvrecon_tpu.models.bundle_adjustment_sparse` — the dense
+    (F, P, 2) arrays of :func:`load_bal` are never materialized, so
+    BAL-class problems (thousands of cameras, millions of points, <1%
+    fill) load in O(n_observations) host memory.
+
+    Returns ``point_idx``/``cam_idx``/``xy`` (point-sorted; the pixel
+    negation and camera conversion of :func:`load_bal` applied) plus the
+    same ``X``/``R``/``t``/``K``/``f``/``distortion``/``f0`` arrays."""
+    nf, npts, cam_idx, pt_idx, uv, cams, pts = _parse_bal_tokens(path)
+    order = np.argsort(pt_idx, kind="stable")
+    out = _bal_cams_to_framework(cams)
+    out.update(
+        point_idx=pt_idx[order], cam_idx=cam_idx[order], xy=-uv[order],
+        X=pts, f0=np.asarray(1.0),
+        n_cameras=np.asarray(nf), n_points=np.asarray(npts),
+    )
+    return out
 
 
 def save_bal(path: str, x, visibility, X, R, t, f, distortion=None) -> None:

@@ -1,0 +1,214 @@
+"""Sparse observation-list BA core (models/bundle_adjustment_sparse.py):
+parity against the dense-mask core (the reference-semantics oracle chain:
+dense core == reference, pinned in test_bundle_adjustment.py), protocol
+contracts, and O(n_obs)-layout invariants."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvrecon_tpu.config import LMConfig
+from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
+from mvrecon_tpu.models.bundle_adjustment_sparse import (
+    SparseObs,
+    bundle_adjust_sparse,
+    dense_to_sparse_obs,
+    make_sparse_obs,
+)
+
+F64 = jnp.float64
+
+
+def _problem(n_images=8, n_slices=10, vis_frac=0.6, seed=0, noise=0.02):
+    key = jax.random.key(seed)
+    scene = make_synthetic_scene(
+        key, n_images=n_images, n_slices=n_slices, n_angles=20, dtype=F64
+    )
+    k1, k2 = jax.random.split(key)
+    X0 = scene.X + noise * jax.random.normal(k1, scene.X.shape, dtype=F64)
+    t0 = scene.t + noise * jax.random.normal(k2, scene.t.shape, dtype=F64)
+    x = scene.x.transpose(1, 0, 2)  # (P, F, 2)
+    rng = np.random.default_rng(seed)
+    vis = (rng.random(x.shape[:2]) < vis_frac).astype(np.float64)
+    return x, vis, X0, scene.K, scene.R, t0
+
+
+CFG = LMConfig(
+    scale_factor=4.0, delta_tol=0.0, max_iter=8, accept_divisor=1.0,
+    init_damping=3e-3, damping="nielsen",
+)
+
+
+def _run_both(x, vis, X0, K, R, t0, config=CFG, distortion=None,
+              cg_tol=1e-12, cg_max_iter=500):
+    res_d = bundle_adjust(
+        x, X0, K, R, t0, f0=1.0, axis="x-up_z-forward", config=config,
+        visibility=jnp.asarray(vis), distortion=distortion,
+    )
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    res_s = bundle_adjust_sparse(
+        obs, X0, K, R, t0, f0=1.0, axis="x-up_z-forward", config=config,
+        cg_tol=cg_tol, cg_max_iter=cg_max_iter, distortion=distortion,
+    )
+    return res_d, res_s
+
+
+def test_parity_vs_dense_masked():
+    res_d, res_s = _run_both(*_problem())
+    assert float(res_s.error) == pytest.approx(float(res_d.error), rel=1e-10)
+    np.testing.assert_allclose(res_s.X, res_d.X, atol=1e-9)
+    np.testing.assert_allclose(res_s.R, res_d.R, atol=1e-9)
+    np.testing.assert_allclose(res_s.t, res_d.t, atol=1e-9)
+    np.testing.assert_allclose(res_s.K, res_d.K, atol=1e-9)
+    assert int(res_s.n_iter) == int(res_d.n_iter)
+    assert int(res_s.log["cg_iters_total"]) > 0
+
+
+def test_parity_reference_damping_protocol():
+    cfg = LMConfig(scale_factor=2.0, delta_tol=1e-10, max_iter=10)
+    res_d, res_s = _run_both(*_problem(), config=cfg)
+    assert float(res_s.error) == pytest.approx(float(res_d.error), rel=1e-9)
+    np.testing.assert_allclose(res_s.X, res_d.X, atol=1e-8)
+
+
+@pytest.mark.parametrize("robust", ["huber", "cauchy"])
+def test_parity_robust_losses(robust):
+    x, vis, X0, K, R, t0 = _problem()
+    # inject gross outliers into visible entries
+    x = np.asarray(x).copy()
+    rng = np.random.default_rng(3)
+    pi, ci = np.nonzero(vis > 0)
+    sel = rng.choice(len(pi), size=len(pi) // 50, replace=False)
+    x[pi[sel], ci[sel]] += 0.3
+    cfg = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=6, accept_divisor=1.0,
+        init_damping=3e-3, damping="nielsen", robust=robust,
+        huber_delta=0.02,
+    )
+    res_d, res_s = _run_both(jnp.asarray(x), vis, X0, K, R, t0, config=cfg)
+    assert float(res_s.error) == pytest.approx(float(res_d.error), rel=1e-9)
+    np.testing.assert_allclose(res_s.X, res_d.X, atol=1e-8)
+
+
+def test_parity_radial_distortion_refit():
+    x, vis, X0, K, R, t0 = _problem()
+    cfg = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=4, accept_divisor=1.0,
+        init_damping=3e-3, damping="nielsen", distortion_rounds=2,
+    )
+    res_d, res_s = _run_both(x, vis, X0, K, R, t0, config=cfg)
+    assert float(res_s.error) == pytest.approx(float(res_d.error), rel=1e-8)
+    np.testing.assert_allclose(res_s.distortion, res_d.distortion, atol=1e-8)
+    np.testing.assert_allclose(res_s.X, res_d.X, atol=1e-7)
+
+
+@pytest.mark.parametrize("model,ncols", [("fisheye", 4), ("opencv", 4),
+                                          ("fov", 1)])
+def test_parity_fixed_distortion_families(model, ncols):
+    x, vis, X0, K, R, t0 = _problem(n_images=6, n_slices=8)
+    nf = K.shape[0]
+    rng = np.random.default_rng(7)
+    if model == "fov":
+        dist = jnp.asarray(np.full((nf, 1), 0.4))
+    else:
+        dist = jnp.asarray(0.01 * rng.standard_normal((nf, ncols)))
+    cfg = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=4, accept_divisor=1.0,
+        init_damping=3e-3, damping="nielsen", distortion_model=model,
+    )
+    res_d, res_s = _run_both(x, vis, X0, K, R, t0, config=cfg,
+                             distortion=dist)
+    assert float(res_s.error) == pytest.approx(float(res_d.error), rel=1e-8)
+    np.testing.assert_allclose(res_s.X, res_d.X, atol=1e-7)
+
+
+def test_zero_weight_padding_is_invisible():
+    x, vis, X0, K, R, t0 = _problem()
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    n = obs.point_idx.shape[0]
+    npts = X0.shape[0]
+    padded = SparseObs(
+        point_idx=jnp.concatenate(
+            [obs.point_idx, jnp.full((17,), npts - 1, jnp.int32)]
+        ),
+        cam_idx=jnp.concatenate(
+            [obs.cam_idx, jnp.full((17,), K.shape[0] - 1, jnp.int32)]
+        ),
+        xy=jnp.concatenate([obs.xy, jnp.full((17, 2), 1e6, F64)]),
+        weights=jnp.concatenate([obs.weights, jnp.zeros((17,), F64)]),
+    )
+    r1 = bundle_adjust_sparse(obs, X0, K, R, t0, f0=1.0,
+                              axis="x-up_z-forward", config=CFG)
+    r2 = bundle_adjust_sparse(padded, X0, K, R, t0, f0=1.0,
+                              axis="x-up_z-forward", config=CFG)
+    assert float(r1.error) == pytest.approx(float(r2.error), rel=1e-12)
+    np.testing.assert_allclose(r1.X, r2.X, atol=1e-10)
+    assert padded.point_idx.shape[0] == n + 17
+
+
+def test_make_sparse_obs_sorts_stably():
+    pi = np.array([3, 0, 2, 0, 3])
+    ci = np.array([1, 2, 0, 1, 0])
+    xy = np.arange(10.0).reshape(5, 2)
+    obs = make_sparse_obs(pi, ci, xy)
+    assert list(np.asarray(obs.point_idx)) == [0, 0, 2, 3, 3]
+    # stable: point 0 keeps (2, then 1) camera order of appearance
+    assert list(np.asarray(obs.cam_idx)) == [2, 1, 0, 1, 0]
+    np.testing.assert_allclose(
+        np.asarray(obs.xy)[0], xy[1]  # first sorted obs was input row 1
+    )
+
+
+def test_unseen_point_is_fixed():
+    x, vis, X0, K, R, t0 = _problem()
+    vis = vis.copy()
+    vis[5, :] = 0.0  # point 5 observed nowhere
+    res_d, res_s = _run_both(x, vis, X0, K, R, t0)
+    # the unseen point moves only by the gauge normalization round-trip
+    np.testing.assert_allclose(res_s.X[5], res_d.X[5], atol=1e-9)
+    assert float(res_s.error) == pytest.approx(float(res_d.error), rel=1e-9)
+
+
+def test_segmented_resume_matches_continuous():
+    x, vis, X0, K, R, t0 = _problem()
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    cfg_full = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=6, accept_divisor=1.0,
+        init_damping=3e-3, damping="nielsen",
+    )
+    full = bundle_adjust_sparse(obs, X0, K, R, t0, f0=1.0,
+                                axis="x-up_z-forward", config=cfg_full)
+    import dataclasses
+
+    cfg_a = dataclasses.replace(cfg_full, max_iter=3)
+    a = bundle_adjust_sparse(obs, X0, K, R, t0, f0=1.0,
+                             axis="x-up_z-forward", config=cfg_a)
+    b = bundle_adjust_sparse(
+        obs, a.X, a.K, a.R, a.t, f0=1.0, axis="x-up_z-forward",
+        config=cfg_a, init_c=a.log["c"], init_nu=a.log["nu"],
+    )
+    assert float(b.error) == pytest.approx(float(full.error), rel=1e-8)
+    np.testing.assert_allclose(b.X, full.X, atol=1e-7)
+
+
+def test_loose_cg_still_converges():
+    """The production configuration (cg_tol 1e-2, few CG iters) must
+    still reach the same optimum — LM only needs descent directions."""
+    x, vis, X0, K, R, t0 = _problem()
+    cfg = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=20, accept_divisor=1.0,
+        init_damping=3e-3, damping="nielsen",
+    )
+    res_d = bundle_adjust(
+        x, X0, K, R, t0, f0=1.0, axis="x-up_z-forward", config=cfg,
+        visibility=jnp.asarray(vis),
+    )
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    res_s = bundle_adjust_sparse(
+        obs, X0, K, R, t0, f0=1.0, axis="x-up_z-forward", config=cfg,
+        cg_tol=1e-2, cg_max_iter=50,
+    )
+    assert float(res_s.error) <= 1.02 * float(res_d.error)
