@@ -20,6 +20,10 @@ class BundleAdjuster:
     """Drop-in replacement for the reference class
     (``lib/bundle_adjustment.py:10-206``)."""
 
+    # dense-core budget: beyond this coupling-block size, dispatch to the
+    # chunk-streamed core (class attribute so tests can lower it)
+    CHUNKED_THRESHOLD_BYTES = 1_500_000_000
+
     def __init__(
         self,
         x,
@@ -62,10 +66,14 @@ class BundleAdjuster:
 
         # Auto-dispatch: the dense core materializes (P, F, 9)-class
         # tensors; beyond ~1.5 GB of coupling block switch to the
-        # chunk-streamed core (identical protocol; no iteration log).
+        # chunk-streamed core (identical protocol). With is_debug at
+        # that scale the log degrades to the scalar error curve — the
+        # full-state animation log is itself a (max_iter, P, 3)-class
+        # tensor, which would defeat the chunked core's memory contract
+        # (it used to silently fall back to the dense core and OOM).
         npts, nf = self._x.shape[0], init_R.shape[0]
         coupling_bytes = npts * nf * 27 * self._x.dtype.itemsize
-        use_chunked = coupling_bytes > 1_500_000_000 and not is_debug
+        use_chunked = coupling_bytes > self.CHUNKED_THRESHOLD_BYTES
         if use_chunked:
             from .models.bundle_adjustment_chunked import bundle_adjust_chunked
 
@@ -93,9 +101,14 @@ class BundleAdjuster:
                 config=config,
             )
         if is_debug and res.log is not None:
-            from .runtime.logging import device_log_to_records
+            if use_chunked:
+                from .runtime.logging import scalar_log_to_records
 
-            self._log = device_log_to_records(res.log, res.n_iter)
+                self._log = scalar_log_to_records(res.log, res.n_iter)
+            else:
+                from .runtime.logging import device_log_to_records
+
+                self._log = device_log_to_records(res.log, res.n_iter)
         self.result = res
         return res.X, res.K, res.R, res.t
 
@@ -103,5 +116,7 @@ class BundleAdjuster:
         """Reference ``get_log`` (``bundle_adjustment.py:204-206``).
 
         Note: the recorded (points, basis, pos) are in the normalized gauge
-        frame, matching the reference which logs pre-restore state."""
+        frame, matching the reference which logs pre-restore state. At
+        chunked scale (see ``optimize``) each record carries only
+        ``reprojection_error`` — the state trajectory is not held."""
         return self._log

@@ -441,7 +441,14 @@ def lm_optimize_chunked(
     ``init_c``/``init_nu`` resume the damping schedule: running k then m
     iterations with the carried (state, c, nu) equals one k+m-iteration
     run — the checkpoint/resume contract for the long 100k+-point runs
-    (VERDICT r1 missing #5)."""
+    (VERDICT r1 missing #5).
+
+    With ``config.record_log`` the last return value is a *scalar* log —
+    ``{"reprojection_error": (max_iter + 1,)}`` — O(max_iter) memory at
+    any problem size. The dense core's full-state animation log would be
+    (max_iter, P, 3)-class tensors, which is exactly what this core
+    exists to avoid; callers wanting state trajectories at chunked scale
+    should checkpoint segments instead (``runtime/elastic.py``)."""
     npts = x.shape[0]
     dt = x.dtype
     pad = (-npts) % chunk_size
@@ -480,6 +487,12 @@ def lm_optimize_chunked(
 
     cam0, X_ch0 = split(state0)
     e0 = error_of(cam0, X_ch0)
+
+    record = config.record_log
+    log0 = (
+        {"reprojection_error": jnp.zeros((config.max_iter + 1,), dt).at[0].set(e0)}
+        if record else {}
+    )
 
     nielsen = config.damping == "nielsen"
     robust_cfg = resolve_robust(config.robust)
@@ -560,27 +573,33 @@ def lm_optimize_chunked(
         return c_out, nu_out, e_new, e_base_out, trial_cam, X_new_ch, tries
 
     def cond(carry):
-        _, _, _, _, _, count, done, _ = carry
+        _, _, _, _, _, count, done, _, _ = carry
         return (~done) & (count < config.max_iter)
 
     def body(carry):
-        cam, X_ch_, e_prev, c, nu, count, _, retries = carry
+        cam, X_ch_, e_prev, c, nu, count, _, retries, log = carry
         c_new, nu_new, e_new, e_base, cam_new, X_ch_new, tries = inner(
             cam, X_ch_, e_prev, c, nu
         )
         done = jnp.abs(e_new - e_base) <= config.delta_tol
         c_out = c_new if nielsen else c_new / config.divisor
+        if record:
+            log = {"reprojection_error":
+                   log["reprojection_error"].at[count + 1].set(e_new)}
         return (cam_new, X_ch_new, e_new, c_out, nu_new, count + 1,
-                done, retries + tries)
+                done, retries + tries, log)
 
     c0 = jnp.asarray(config.init_damping, dt) if init_c is None else jnp.asarray(init_c, dt)
     nu0 = jnp.asarray(2.0, dt) if init_nu is None else jnp.asarray(init_nu, dt)
-    cam_f, X_ch_f, e_f, c_f, nu_f, n_iter, _, n_retries = jax.lax.while_loop(
+    (cam_f, X_ch_f, e_f, c_f, nu_f, n_iter, _, n_retries,
+     log_f) = jax.lax.while_loop(
         cond, body,
-        (cam0, X_ch0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)),
+        (cam0, X_ch0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False),
+         jnp.asarray(0), log0),
     )
     X_full = X_ch_f.reshape(-1, 3)[:npts]
-    return cam_f._replace(X=X_full), e_f, c_f, nu_f, n_iter, n_retries
+    return (cam_f._replace(X=X_full), e_f, c_f, nu_f, n_iter, n_retries,
+            log_f if record else None)
 
 
 def fit_distortion_chunked(
@@ -736,21 +755,24 @@ def bundle_adjust_chunked(
             robust_kind=(resolve_robust(config.robust) or "huber"),
         )
         seg_cfg = dataclasses.replace(config, record_log=False)
-        state0, _, c_seg, nu_seg, n_seg, _ = lm_optimize_chunked(
+        state0, _, c_seg, nu_seg, n_seg, _, _ = lm_optimize_chunked(
             x, state0, vis, free, f0, seg_cfg, chunk_size,
             init_c=c_seg, init_nu=nu_seg, dist=dist,
         )
         n_total = n_total + n_seg
 
-    final, e, c_f, nu_f, n_iter, n_retries = lm_optimize_chunked(
+    final, e, c_f, nu_f, n_iter, n_retries, scalar_log = lm_optimize_chunked(
         x, state0, vis, free, f0, config, chunk_size,
         init_c=c_seg, init_nu=nu_seg, dist=dist,
     )
 
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
+    log = {"n_solver_retries": n_retries, "c": c_f, "nu": nu_f}
+    if scalar_log is not None:
+        log.update(scalar_log)
     return BAResult(
         X=Xg, K=build_K(final.f, final.u, f0), R=Rg, t=tg, error=e,
         n_iter=n_iter + n_total,
-        log={"n_solver_retries": n_retries, "c": c_f, "nu": nu_f},
+        log=log,
         distortion=dist,
     )

@@ -125,12 +125,12 @@ def sharded_bundle_adjust_chunked(
                 robust_kind=(resolve_robust(config.robust) or "huber"),
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
-            st0, _, c_r, nu_r, n_seg, _ = lm_optimize_chunked(
+            st0, _, c_r, nu_r, n_seg, _, _ = lm_optimize_chunked(
                 x_l, st0, vis_l, free_r, f0, seg_cfg, chunk_size,
                 axis_name=POINTS_AXIS, init_c=c_r, init_nu=nu_r, dist=dist,
             )
             n_total = n_total + n_seg
-        final, e, c_f, nu_f, n_iter, n_retries = lm_optimize_chunked(
+        final, e, c_f, nu_f, n_iter, n_retries, _ = lm_optimize_chunked(
             x_l, st0, vis_l, free_r, f0, config, chunk_size,
             axis_name=POINTS_AXIS, init_c=c_r, init_nu=nu_r, dist=dist,
         )

@@ -33,6 +33,16 @@ def device_log_to_records(log: dict, n_iter: int) -> list[dict[str, Any]]:
     ]
 
 
+def scalar_log_to_records(log: dict, n_iter: int) -> list[dict[str, Any]]:
+    """Scalar (chunked-core) device log -> per-iteration records. Only
+    ``reprojection_error`` is available: the chunked core's O(max_iter)
+    log keeps no state trajectory (see
+    ``lm_optimize_chunked(record_log=True)``)."""
+    n = int(n_iter) + 1
+    errs = np.asarray(log["reprojection_error"])
+    return [{"reprojection_error": float(errs[i])} for i in range(n)]
+
+
 def convergence_curve(log: dict, n_iter: int) -> np.ndarray:
     """(n_iter+1,) reprojection-error trajectory."""
     return np.asarray(log["reprojection_error"])[: int(n_iter) + 1]

@@ -169,9 +169,9 @@ def test_segmented_chunked_lm_resume_matches_continuous(ref, quiet):
         cfg6 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=6, damping=damping)
         cfg3 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=3, damping=damping)
 
-        s6, e6, c6, nu6, n6, _ = lm_optimize_chunked(x, state, vis, free, 1.0, cfg6, 64)
-        s3, e3, c3, nu3, n3, _ = lm_optimize_chunked(x, state, vis, free, 1.0, cfg3, 64)
-        s33, e33, c33, nu33, n33, _ = lm_optimize_chunked(
+        s6, e6, c6, nu6, n6, _, _ = lm_optimize_chunked(x, state, vis, free, 1.0, cfg6, 64)
+        s3, e3, c3, nu3, n3, _, _ = lm_optimize_chunked(x, state, vis, free, 1.0, cfg3, 64)
+        s33, e33, c33, nu33, n33, _, _ = lm_optimize_chunked(
             x, s3, vis, free, 1.0, cfg3, 64, init_c=c3, init_nu=nu3
         )
         np.testing.assert_allclose(float(e33), float(e6), rtol=1e-10)
@@ -515,3 +515,48 @@ def test_cli_bal_accepts_colmap_dir(capsys):
     pts = np.array([[float(v) for v in ln.split()[:3]] for ln in body])
     np.testing.assert_allclose(pts[:npts], np.asarray(r["X"]), atol=1e-12)
     np.testing.assert_allclose(pts[npts:], np.asarray(r["t"]), atol=1e-12)
+
+
+def test_chunked_scalar_log_matches_dense_curve():
+    """VERDICT r3 weak #6: is_debug at chunked scale must not silently
+    dispatch to the dense core (OOM risk); the chunked core instead
+    records a scalar error curve identical to the dense core's."""
+    import dataclasses
+
+    from mvrecon_tpu.config import LMConfig
+    from mvrecon_tpu.models.bundle_adjustment import bundle_adjust
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.runtime.logging import scalar_log_to_records
+    import pytest
+
+    sc = make_synthetic_scene(jax.random.key(0), n_images=8,
+                              dtype=jnp.float64)
+    k1, k2 = jax.random.split(jax.random.key(3))
+    X0 = sc.X + 0.02 * jax.random.normal(k1, sc.X.shape, dtype=jnp.float64)
+    t0 = sc.t + 0.02 * jax.random.normal(k2, sc.t.shape, dtype=jnp.float64)
+    x, K, R = sc.x.transpose(1, 0, 2), sc.K, sc.R
+    cfg = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=5,
+                   record_log=True)
+    res_d = bundle_adjust(x, X0, K, R, t0, f0=1.0,
+                          axis="x-up_z-forward", config=cfg)
+    res_c = bundle_adjust_chunked(x, X0, K, R, t0, f0=1.0,
+                                  axis="x-up_z-forward", config=cfg,
+                                  chunk_size=64)
+    curve_d = np.asarray(res_d.log["reprojection_error"])
+    curve_c = np.asarray(res_c.log["reprojection_error"])
+    np.testing.assert_allclose(curve_c, curve_d, rtol=1e-8)
+    recs = scalar_log_to_records(res_c.log, res_c.n_iter)
+    assert len(recs) == int(res_c.n_iter) + 1
+    assert recs[-1]["reprojection_error"] == pytest.approx(
+        float(res_c.error)
+    )
+    # a non-logging run is unchanged by the feature
+    cfg_off = dataclasses.replace(cfg, record_log=False)
+    res_off = bundle_adjust_chunked(x, X0, K, R, t0, f0=1.0,
+                                    axis="x-up_z-forward", config=cfg_off,
+                                    chunk_size=64)
+    assert "reprojection_error" not in res_off.log
+    assert float(res_off.error) == pytest.approx(float(res_c.error))
