@@ -61,6 +61,7 @@ from .bundle_adjustment import (
     _apply_distortion_chain,
     _apply_update,
     _distorted_residual,
+    _psum,
     _distortion_lsq_terms,
     _fov_gn_terms,
     _full_opencv_lsq_terms,
@@ -224,7 +225,7 @@ def _obs_factors(cam: BAState, X: jax.Array, obs: SparseObs, f0: float,
 
 
 def _trial_error(cam: BAState, X: jax.Array, obs: SparseObs, w: jax.Array,
-                 f0: float, dist, model):
+                 f0: float, dist, model, axis_name=None):
     """Sum of w-weighted squared residuals at (cam, X); ``w`` carries the
     IRLS weights of the *current* state (chunked-core convention)."""
     pi, ci = obs.point_idx, obs.cam_idx
@@ -239,7 +240,7 @@ def _trial_error(cam: BAState, X: jax.Array, obs: SparseObs, w: jax.Array,
         cam_n, p[None], q[None], r[None], obs.xy[None], f0,
         None if dist is None else dist[ci], model,
     )
-    return jnp.sum(w * (res_p[0] ** 2 + res_q[0] ** 2))
+    return _psum(jnp.sum(w * (res_p[0] ** 2 + res_q[0] ** 2)), axis_name)
 
 
 def _segment_cam_sum(vals: jax.Array, perm: jax.Array, ci_sorted: jax.Array,
@@ -251,7 +252,8 @@ def _segment_cam_sum(vals: jax.Array, perm: jax.Array, ci_sorted: jax.Array,
     )
 
 
-def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk):
+def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
+                        axis_name=None):
     """(F, 9, 9) camera blocks G and the preconditioner's correction
     C_c = sum_n alpha11 b1 b1^T + alpha12 (b1 b2^T + b2 b1^T) + alpha22
     b2 b2^T, accumulated over observation chunks so the (chunk, 9, 9)
@@ -289,7 +291,11 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk):
         )
         return (g_acc + seg(g_c), c_acc + seg(c_c)), None
 
-    init = (jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf, 9, 9), dt))
+    from .bundle_adjustment_chunked import _vary
+
+    init = _vary(
+        (jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf, 9, 9), dt)), axis_name
+    )
     (g, c), _ = jax.lax.scan(
         body, init,
         tuple(map(chunked, (b1s, b2s, a11, a12, a22, w2s, cis))),
@@ -298,17 +304,24 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk):
 
 
 def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
-                         huber_delta, dist, model, robust_kind, obs_chunk):
+                         huber_delta, dist, model, robust_kind, obs_chunk,
+                         axis_name=None):
     """One damped build: point blocks + gradients + camera blocks +
     block-Jacobi preconditioner + rhs. Returns everything the CG solve
     and back-substitution need, plus the weighted error at the current
-    state."""
+    state.
+
+    With ``axis_name`` (inside shard_map over a point-partitioned
+    observation list) the camera-side accumulations (d_F, matG, the
+    preconditioner correction, rhs, error) psum across devices;
+    everything point-side stays shard-local — the same split as the
+    chunked core's sharding (``parallel/sharded_ba.py``)."""
     npts, nf = X.shape[0], cam.f.shape[0]
     dt = X.dtype
     a1, a2, b1, b2, res_p, res_q, w = _obs_factors(
         cam, X, obs, f0, huber_delta, dist, model, robust_kind
     )
-    e_now = jnp.sum(w * (res_p**2 + res_q**2))
+    e_now = _psum(jnp.sum(w * (res_p**2 + res_q**2)), axis_name)
     w2 = 2.0 * w
     pi = obs.point_idx
 
@@ -330,10 +343,13 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     einv = inv3x3(matEc)
 
     # camera gradient d_F (9F,)
-    d_F = _segment_cam_sum(
-        w2[:, None] * (res_p[:, None] * b1 + res_q[:, None] * b2),
-        perm, ci_sorted, nf,
-    ).reshape(9 * nf) * free
+    d_F = _psum(
+        _segment_cam_sum(
+            w2[:, None] * (res_p[:, None] * b1 + res_q[:, None] * b2),
+            perm, ci_sorted, nf,
+        ).reshape(9 * nf),
+        axis_name,
+    ) * free
 
     # alpha scalars for the SCHUR_JACOBI correction: a_i^T Einv a_j per
     # observation (Einv gathered per point). The w2 weighting enters each
@@ -347,11 +363,14 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     al22 = w2 * w2 * jnp.sum(a2 * ea2, -1)
 
     matG, corr = _camera_blocks_scan(
-        b1, b2, (al11, al12, al22), w2, perm, ci_sorted, nf, obs_chunk
+        b1, b2, (al11, al12, al22), w2, perm, ci_sorted, nf, obs_chunk,
+        axis_name,
     )
+    matG = _psum(matG, axis_name)
+    corr = _psum(corr, axis_name)
     matGc = matG + c * matG * jnp.eye(9, dtype=dt)[None]
     seen_c = (
-        _segment_cam_sum(w, perm, ci_sorted, nf) > 0
+        _psum(_segment_cam_sum(w, perm, ci_sorted, nf), axis_name) > 0
     ).astype(dt)
 
     # block-Jacobi preconditioner: the true Schur diagonal blocks,
@@ -370,9 +389,12 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     wp_g = wp[pi]
     r1 = w2 * jnp.sum(a1 * wp_g, -1)
     r2 = w2 * jnp.sum(a2 * wp_g, -1)
-    b_f = _segment_cam_sum(
-        r1[:, None] * b1 + r2[:, None] * b2, perm, ci_sorted, nf
-    ).reshape(9 * nf)
+    b_f = _psum(
+        _segment_cam_sum(
+            r1[:, None] * b1 + r2[:, None] * b2, perm, ci_sorted, nf
+        ).reshape(9 * nf),
+        axis_name,
+    )
     rhs = (b_f - d_F) * free
 
     diag_g = jnp.diagonal(matG, axis1=-2, axis2=-1).reshape(-1)  # undamped
@@ -381,9 +403,13 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     return factors, matGc, m_inv, rhs, d_F, diag_g, e_now, matE, seen_c
 
 
-def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c):
+def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
+                  axis_name=None):
     """S v for the damped, gauge-projected Schur complement — matrix-free,
-    O(n_obs). v is (9F,)."""
+    O(n_obs). v is (9F,). Under sharding only the F^T Einv F correction
+    psums (one (9F,) vector per CG iteration — the entire cross-device
+    traffic of a camera step); the Gc v product uses the already-reduced
+    camera blocks, replicated."""
     a1, a2, b1, b2, w2, einv, _ = factors
     nf = matGc.shape[0]
     vm = (v * free).reshape(nf, 9)
@@ -399,8 +425,11 @@ def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c):
     w_g = w_p[pi]
     r1 = w2 * jnp.sum(a1 * w_g, -1)
     r2 = w2 * jnp.sum(a2 * w_g, -1)
-    fe_fv = _segment_cam_sum(
-        r1[:, None] * b1 + r2[:, None] * b2, perm, ci_sorted, nf
+    fe_fv = _psum(
+        _segment_cam_sum(
+            r1[:, None] * b1 + r2[:, None] * b2, perm, ci_sorted, nf
+        ),
+        axis_name,
     )
     gv = jnp.einsum("fij,fj->fi", matGc, vm, precision=HIGHEST)
     sv = ((gv + (1.0 - seen_c)[:, None] * vm - fe_fv).reshape(-1)) * free
@@ -455,11 +484,17 @@ def lm_optimize_sparse(
     init_c: jax.Array | None = None,
     init_nu: jax.Array | None = None,
     dist: jax.Array | None = None,
+    axis_name: str | None = None,
 ):
     """Observation-list LM with the dense core's exact protocol
     (reference ``bundle_adjustment.py:77-195``), the camera step solved
     by SCHUR_JACOBI-preconditioned CG. Returns
     (state, error, c, nu, n_iter, total_solver_retries, cg_iters_total).
+
+    With ``axis_name`` set (inside shard_map over a point-partitioned
+    observation list; see ``parallel/sharded_ba_sparse.py``) the camera-
+    side quantities psum across devices; per CG iteration the entire
+    cross-device traffic is one (9F,) psum.
     """
     dt = obs.xy.dtype
     npts, nf = state0.X.shape[0], state0.f.shape[0]
@@ -486,10 +521,12 @@ def lm_optimize_sparse(
         return w
 
     def error_of(cam, X):
-        return _trial_error(cam, X, obs, weights_at(cam, X), f0, dist, model)
+        return _trial_error(cam, X, obs, weights_at(cam, X), f0, dist,
+                            model, axis_name)
 
     cam0, X0 = split(state0)
-    e0 = _trial_error(cam0, X0, obs, obs.weights, f0, dist, model) \
+    e0 = _trial_error(cam0, X0, obs, obs.weights, f0, dist, model,
+                      axis_name) \
         if huber_delta is None else error_of(cam0, X0)
 
     def inner(cam, X, e_prev, c, nu):
@@ -503,11 +540,13 @@ def lm_optimize_sparse(
              ) = _build_sparse_system(
                 cam, X, obs, perm, ci_sorted, free, f0, c_cur,
                 huber_delta, dist, model, robust_kind, obs_chunk,
+                axis_name,
             )
 
             def mv(v):
                 return _schur_matvec(
-                    v, factors, matGc, obs, perm, ci_sorted, free, seen_c
+                    v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
+                    axis_name,
                 )
 
             def pc(v):
@@ -538,16 +577,19 @@ def lm_optimize_sparse(
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             w_cur = weights_at(cam, X)
             e_trial = _trial_error(trial_cam, X_new, obs, w_cur, f0, dist,
-                                   model)
+                                   model, axis_name)
             e_base = e_w if huber_delta is not None else e_prev
             accepted = e_trial <= e_base
             if nielsen:
                 diag_e = jnp.diagonal(matE, axis1=-2, axis2=-1)
                 dDd = (
-                    jnp.sum(delta_X * diag_e * delta_X)
+                    _psum(jnp.sum(delta_X * diag_e * delta_X), axis_name)
                     + jnp.sum(delta_xi * diag_g * delta_xi)
                 )
-                g_d = jnp.sum(d_P * delta_X) + jnp.sum(d_F * delta_xi)
+                g_d = (
+                    _psum(jnp.sum(d_P * delta_X), axis_name)
+                    + jnp.sum(d_F * delta_xi)
+                )
                 pred = 0.5 * (c_cur * dDd - g_d)
                 rho = (e_base - e_trial) / jnp.maximum(pred, 1e-30)
                 shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
@@ -606,11 +648,13 @@ def fit_distortion_sparse(
     state: BAState, obs: SparseObs, f0: float, shared: bool = False,
     huber_delta: float | None = None, dist=None,
     model: str | None = None, robust_kind: str = "huber",
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Closed-form distortion refit on the observation list: the dense
     core's per-camera normal-equation accumulands (every family) are
     per-observation quantities under the virtual-camera trick, then one
-    camera-segment-sum replaces the dense per-point reduction."""
+    camera-segment-sum (psum-reduced under sharding) replaces the dense
+    per-point reduction."""
     if model is None:
         model = resolve_distortion_model(dist, "auto")
     pi, ci = obs.point_idx, obs.cam_idx
@@ -637,7 +681,9 @@ def fit_distortion_sparse(
 
     def seg(per_obs_terms):
         # terms arrive (N, k) from the (1, N) virtual-camera evaluation
-        return _segment_cam_sum(per_obs_terms, perm, ci_sorted, nf)
+        return _psum(
+            _segment_cam_sum(per_obs_terms, perm, ci_sorted, nf), axis_name
+        )
 
     x_n = obs.xy[None]
     vis_n = w[None]

@@ -212,3 +212,45 @@ def test_loose_cg_still_converges():
         cg_tol=1e-2, cg_max_iter=50,
     )
     assert float(res_s.error) <= 1.02 * float(res_d.error)
+
+
+def test_sharded_sparse_matches_single_device():
+    """Point-partitioned sparse BA over a 4-device mesh == the
+    single-device sparse core (which is pinned against the dense core),
+    including the psum-reduced distortion refit."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba_sparse import (
+        partition_sparse_obs,
+        sharded_bundle_adjust_sparse,
+    )
+
+    x, vis, X0, K, R, t0 = _problem()
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    cfg = LMConfig(
+        scale_factor=4.0, delta_tol=0.0, max_iter=6, accept_divisor=1.0,
+        init_damping=3e-3, damping="nielsen", distortion_rounds=1,
+    )
+    r1 = bundle_adjust_sparse(obs, X0, K, R, t0, f0=1.0,
+                              axis="x-up_z-forward", config=cfg,
+                              cg_tol=1e-10, cg_max_iter=400)
+    mesh = make_mesh({"points": 4})
+    r4 = sharded_bundle_adjust_sparse(
+        mesh, np.asarray(obs.point_idx), np.asarray(obs.cam_idx),
+        np.asarray(obs.xy), X0, K, R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg, cg_tol=1e-10, cg_max_iter=400,
+    )
+    assert float(r4.error) == pytest.approx(float(r1.error), rel=1e-8)
+    np.testing.assert_allclose(r4.X, r1.X, atol=1e-7)
+    np.testing.assert_allclose(r4.distortion, r1.distortion, atol=1e-10)
+
+    # the partition splits at point boundaries: no point straddles shards
+    obs_flat, pps = partition_sparse_obs(
+        np.asarray(obs.point_idx), np.asarray(obs.cam_idx),
+        np.asarray(obs.xy), X0.shape[0], 4,
+    )
+    n_max = obs_flat.point_idx.shape[0] // 4
+    pi = np.asarray(obs_flat.point_idx).reshape(4, n_max)
+    w = np.asarray(obs_flat.weights).reshape(4, n_max)
+    for s in range(4):
+        real = pi[s][w[s] > 0]
+        assert real.min() >= 0 and real.max() < pps
