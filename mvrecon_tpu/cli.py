@@ -194,6 +194,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard the points axis over N devices (dense core, or the "
              "chunk-streamed core when combined with --chunk-size)",
     )
+    p_bal.add_argument(
+        "--sparse", action="store_true",
+        help="O(n_observations)-memory observation-list core (for "
+             "BAL-class sparsity, <1%% fill, where the dense (P, F) "
+             "layout cannot hold the problem); composes with "
+             "--shard-points, --huber, --optimize-distortion. Outputs: "
+             "--output-ply / --output-bal",
+    )
+    p_bal.add_argument(
+        "--cg-max-iter", type=int, default=100, metavar="K",
+        help="(--sparse) CG iteration cap of the matrix-free camera "
+             "step",
+    )
 
     p_bench = sub.add_parser("bench-ba", help="time bundle adjustment")
     _common(p_bench)
@@ -204,6 +217,99 @@ def build_parser() -> argparse.ArgumentParser:
     p_bench.add_argument("--chunk-size", type=int, default=4096)
 
     return parser
+
+
+def _cmd_bal_sparse(args, out: dict, dtype) -> None:
+    """``bal --sparse``: the O(n_obs) observation-list pipeline — load
+    straight into triples (dense arrays never materialize), optimize
+    with the matrix-free CG core, write PLY/BAL from the triples."""
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .config import LMConfig
+    from .runtime.io import load_bal_sparse, save_bal_sparse, save_ply
+
+    if os.path.isdir(args.input):
+        raise SystemExit(
+            "--sparse reads BAL files; COLMAP models load dense "
+            "(drop --sparse or convert with save_bal first)"
+        )
+    d = load_bal_sparse(args.input)
+    npts, nf = int(d["n_points"]), int(d["n_cameras"])
+    cfg = LMConfig(
+        scale_factor=args.scale_factor,
+        delta_tol=args.delta_tol,
+        max_iter=args.max_iter,
+        damping=args.damping,
+        robust=args.robust_loss if args.huber is not None else None,
+        huber_delta=args.huber if args.huber is not None else 0.05,
+        distortion_rounds=args.optimize_distortion,
+        distortion_shared=args.shared_k,
+    )
+    dist = (
+        None if args.ignore_distortion
+        else jnp.asarray(d["distortion"], dtype)
+    )
+    X0 = jnp.asarray(d["X"], dtype)
+    K0 = jnp.asarray(d["K"], dtype)
+    R0 = jnp.asarray(d["R"], dtype)
+    t0 = jnp.asarray(d["t"], dtype)
+    if args.shard_points > 0:
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded_ba_sparse import sharded_bundle_adjust_sparse
+
+        mesh = make_mesh({"points": args.shard_points})
+        res = sharded_bundle_adjust_sparse(
+            mesh, d["point_idx"], d["cam_idx"], np.asarray(d["xy"], dtype),
+            X0, K0, R0, t0, f0=float(d["f0"]), axis="x-up_z-forward",
+            config=cfg, cg_max_iter=args.cg_max_iter, distortion=dist,
+        )
+        out["shard_points"] = args.shard_points
+    else:
+        from .models.bundle_adjustment_sparse import (
+            SparseObs, bundle_adjust_sparse,
+        )
+
+        obs = SparseObs(
+            point_idx=jnp.asarray(d["point_idx"], jnp.int32),
+            cam_idx=jnp.asarray(d["cam_idx"], jnp.int32),
+            xy=jnp.asarray(d["xy"], dtype),
+            weights=jnp.ones(d["point_idx"].shape, dtype),
+        )
+        res = bundle_adjust_sparse(
+            obs, X0, K0, R0, t0, f0=float(d["f0"]), axis="x-up_z-forward",
+            config=cfg, cg_max_iter=args.cg_max_iter, distortion=dist,
+        )
+    out.update(
+        format="bal", sparse=True,
+        cams=nf, points=npts,
+        observations=int(d["point_idx"].shape[0]),
+        ba_iterations=int(res.n_iter),
+        cg_iterations=int(res.log["cg_iters_total"]),
+        reprojection_error=float(res.error),
+    )
+    if res.distortion is not None:
+        dmat = np.asarray(res.distortion)
+        out["k1_mean"] = float(dmat[:, 0].mean())
+        out["k2_mean"] = float(dmat[:, 1].mean())
+    if args.output_ply:
+        save_ply(args.output_ply, np.asarray(res.X),
+                 cameras=np.asarray(res.t))
+        out["output_ply"] = args.output_ply
+    if args.output_bal:
+        dist_out = (
+            np.asarray(res.distortion) if res.distortion is not None
+            else (None if args.ignore_distortion else d["distortion"])
+        )
+        save_bal_sparse(
+            args.output_bal, d["point_idx"], d["cam_idx"],
+            np.asarray(d["xy"]), npts,
+            np.asarray(res.X), np.asarray(res.R), np.asarray(res.t),
+            np.asarray(res.K)[:, 0, 0], distortion=dist_out,
+        )
+        out["output_bal"] = args.output_bal
 
 
 def main(argv=None) -> None:
@@ -437,6 +543,11 @@ def main(argv=None) -> None:
         import os
 
         from .runtime.io import load_bal, load_colmap
+
+        if args.sparse:
+            _cmd_bal_sparse(args, out, dtype)
+            print(json.dumps(out))
+            return
 
         if args.shard_points > 0:
             from .parallel.mesh import make_mesh

@@ -169,15 +169,33 @@ def save_bal(path: str, x, visibility, X, R, t, f, distortion=None) -> None:
         )
     x = np.asarray(x)
     vis = np.asarray(visibility)
-    nf, npts = x.shape[0], x.shape[1]
     pt_i, cam_i = np.nonzero(vis > 0)
+    save_bal_sparse(path, pt_i, cam_i, x[cam_i, pt_i], x.shape[1],
+                    X, R, t, f, distortion=distortion)
+
+
+def save_bal_sparse(path: str, point_idx, cam_idx, xy, n_points,
+                    X, R, t, f, distortion=None) -> None:
+    """Observation-list variant of :func:`save_bal` (same conventions):
+    writes the BAL file straight from (point_idx, cam_idx, xy) triples,
+    so O(n_obs)-memory pipelines round-trip without ever building the
+    dense arrays."""
+    if distortion is not None and np.asarray(distortion).shape[-1] != 2:
+        raise ValueError(
+            "BAL files carry exactly (k1, k2); got a "
+            f"{np.asarray(distortion).shape[-1]}-column distortion - "
+            "write a COLMAP model instead (save_colmap)"
+        )
+    xy = np.asarray(xy)
+    pt_i = np.asarray(point_idx)
+    cam_i = np.asarray(cam_idx)
+    f = np.asarray(f)
+    nf, npts = f.shape[0], int(n_points)
     lines = [f"{nf} {npts} {len(pt_i)}"]
-    for p, c in zip(pt_i, cam_i):
-        u, v = -x[c, p]
-        lines.append(f"{c} {p} {float(u)!r} {float(v)!r}")
+    for p, c, uv in zip(pt_i, cam_i, xy):
+        lines.append(f"{c} {p} {float(-uv[0])!r} {float(-uv[1])!r}")
     R = np.asarray(R)
     t = np.asarray(t)
-    f = np.asarray(f)
     dist = np.zeros((nf, 2)) if distortion is None else np.asarray(distortion)
     for i in range(nf):
         r_bal = R[i].T

@@ -254,3 +254,55 @@ def test_sharded_sparse_matches_single_device():
     for s in range(4):
         real = pi[s][w[s] > 0]
         assert real.min() >= 0 and real.max() < pps
+
+
+def test_cli_bal_sparse(tmp_path, capsys):
+    """`mvrecon_tpu bal problem.txt --sparse` runs the O(n_obs) pipeline
+    end-to-end: BAL triples in, PLY + BAL out, dense arrays never built;
+    the refined geometry agrees with the dense CLI path."""
+    import json
+
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.runtime.io import load_bal, save_bal
+
+    x, vis, X0, K, R, t0 = _problem(n_images=6, n_slices=8, vis_frac=0.5)
+    path = str(tmp_path / "problem.txt")
+    save_bal(
+        path, np.asarray(x).transpose(1, 0, 2), vis, np.asarray(X0),
+        np.asarray(R), np.asarray(t0), np.asarray(K[:, 0, 0]),
+    )
+    ply = str(tmp_path / "cloud.ply")
+    out_bal = str(tmp_path / "refined.txt")
+    argv = [
+        "bal", path, "--float64", "--max-iter", "8", "--delta-tol", "0",
+        "--damping", "nielsen", "--output-ply", ply,
+        "--output-bal", out_bal,
+    ]
+    main(argv + ["--sparse"])
+    rec_s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(argv)
+    rec_d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec_s["sparse"] and rec_s["observations"] == int(vis.sum())
+    assert rec_s["cg_iterations"] > 0
+    assert rec_s["reprojection_error"] == pytest.approx(
+        rec_d["reprojection_error"], rel=1e-2
+    )
+    assert "ply" in open(ply).read(16)
+    refined = load_bal(out_bal)
+    assert refined["X"].shape == (X0.shape[0], 3)
+    assert int(refined["visibility"].sum()) == int(vis.sum())
+
+
+def test_save_bal_sparse_matches_dense_writer(tmp_path):
+    from mvrecon_tpu.runtime.io import save_bal, save_bal_sparse
+
+    x, vis, X0, K, R, t0 = _problem(n_images=5, n_slices=6, vis_frac=0.4)
+    xd = np.asarray(x).transpose(1, 0, 2)
+    p1 = str(tmp_path / "dense.txt")
+    p2 = str(tmp_path / "sparse.txt")
+    save_bal(p1, xd, vis, np.asarray(X0), np.asarray(R), np.asarray(t0),
+             np.asarray(K[:, 0, 0]))
+    pi, ci = np.nonzero(vis > 0)
+    save_bal_sparse(p2, pi, ci, xd[ci, pi], X0.shape[0], np.asarray(X0),
+                    np.asarray(R), np.asarray(t0), np.asarray(K[:, 0, 0]))
+    assert open(p1).read() == open(p2).read()
