@@ -106,6 +106,13 @@ class LMConfig:
     # theta on the equidistant projection). "radial"/"opencv" pin the
     # auto choices explicitly.
     distortion_model: str = "auto"
+    # symmetric Jacobi (diagonal) scaling of the reduced camera system
+    # before its Cholesky solve: A' = D A D, D = diag(A)^-1/2. Exact in
+    # real arithmetic; in f32 it equalizes the f/u/t/omega column scales
+    # (which differ by orders of magnitude), reducing rounding in the
+    # factorization - a candidate lever on the LM retry count at the
+    # 100k x 1000 north star (VERDICT r3 #4). Chunked core only.
+    jacobi_scaling: bool = False
 
     @property
     def divisor(self) -> float:

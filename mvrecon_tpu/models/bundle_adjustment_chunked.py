@@ -514,6 +514,17 @@ def lm_optimize_chunked(
             _, _, _, _, _, _, accepted, tries = carry
             return (~accepted) & (tries < config.max_inner_retries)
 
+        def solve_cam(a, b):
+            """Damped camera solve; with ``config.jacobi_scaling`` the
+            system is symmetrically diag-scaled first (identity rows keep
+            diag == 1, so padding/fixed coords are untouched)."""
+            if config.jacobi_scaling:
+                s = jax.lax.rsqrt(jnp.diagonal(a))
+                a = a * (s[:, None] * s[None, :])
+                b = b * s
+            sol = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), b)
+            return sol * s if config.jacobi_scaling else sol
+
         def body(carry):
             c_cur, nu_cur, _, _, _, _, _, tries = carry
             if fused:
@@ -521,18 +532,14 @@ def lm_optimize_chunked(
                     cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, huber_delta,
                     dist, robust_kind,
                 )
-                delta_tm = jax.scipy.linalg.cho_solve(
-                    jax.scipy.linalg.cho_factor(a), b
-                ) * free_tm
+                delta_tm = solve_cam(a, b) * free_tm
                 delta_xi = type_major_to_camera_major(delta_tm, nf, f_pad_tm)
             else:
                 a, b, e_w, (diag_g, d_f) = _build_system(
                     cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, axis_name,
                     huber_delta, dist, model, robust_kind,
                 )
-                delta_xi = jax.scipy.linalg.cho_solve(
-                    jax.scipy.linalg.cho_factor(a), b
-                ) * free
+                delta_xi = solve_cam(a, b) * free
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             X_new_ch, e_trial, dDd_pts, gd_pts = _backsub_and_trial(
                 cam, trial_cam, X_ch_, x_ch, vis_ch, free, f0, c_cur, delta_xi,

@@ -90,3 +90,41 @@ def test_nielsen_damping_converges(ref, quiet):
                               config=nl_cfg, chunk_size=64).error
     )
     np.testing.assert_allclose(e_nl_ch, e_nl, rtol=1e-8)
+
+
+def test_jacobi_scaling_is_semantics_preserving():
+    """LMConfig.jacobi_scaling diag-scales the camera solve (a retry-
+    count lever on TPU f32); in f64 it must be numerically inert."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pytest
+
+    from mvrecon_tpu.config import LMConfig
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.models.bundle_adjustment_chunked import (
+        bundle_adjust_chunked,
+    )
+
+    sc = make_synthetic_scene(jax.random.key(0), n_images=8,
+                              dtype=jnp.float64)
+    k1, k2 = jax.random.split(jax.random.key(3))
+    X0 = sc.X + 0.02 * jax.random.normal(k1, sc.X.shape, dtype=jnp.float64)
+    t0 = sc.t + 0.02 * jax.random.normal(k2, sc.t.shape, dtype=jnp.float64)
+    x = sc.x.transpose(1, 0, 2)
+    base = dict(scale_factor=4.0, delta_tol=0.0, max_iter=5,
+                accept_divisor=1.0, init_damping=3e-3, damping="nielsen")
+    r_off = bundle_adjust_chunked(
+        x, X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=LMConfig(**base), chunk_size=64,
+    )
+    r_on = bundle_adjust_chunked(
+        x, X0, sc.K, sc.R, t0, f0=1.0, axis="x-up_z-forward",
+        config=LMConfig(**base, jacobi_scaling=True), chunk_size=64,
+    )
+    assert float(r_on.error) == pytest.approx(float(r_off.error), rel=1e-10)
+    np.testing.assert_allclose(r_on.X, r_off.X, atol=1e-8)
+    assert int(r_on.log["n_solver_retries"]) == int(
+        r_off.log["n_solver_retries"]
+    )
