@@ -112,8 +112,19 @@ def normalize_gauge(
 
     X_ = X - t[0]
     t_ = t - t[0]
-    j = jnp.zeros(3, dtype=X.dtype).at[ax].set(jnp.sign(t_[1, ax]))
-    s = jnp.einsum("i,ji,j->", j, R[0], t_[1], precision=STATE_HIGHEST)
+    # Deliberate deviation from the reference (``:226-235``): the sign is
+    # taken from the baseline's ax-component IN THE CAMERA-0 FRAME (the
+    # same frame ``c0c1_len`` measures), not the world frame. With the
+    # reference's world-frame sign, restore(normalize(state)) NEGATES the
+    # scene about camera 0 whenever the two frames' signs disagree — an
+    # E-invariant but cheirality-flipping mirror that breaks every
+    # composition (segmented resume, scene-compaction phases, checkpoint
+    # restart). With the camera-frame sign, s == c0c1_len exactly and
+    # restore ∘ normalize is the identity unconditionally; single-call
+    # results change only on inputs where the reference itself would
+    # return the mirrored scene.
+    comp = jnp.vdot(R[0, :, ax], t_[1], precision=STATE_HIGHEST)
+    s = jnp.abs(comp)
     X_ = jnp.matmul(X_, R[0], precision=STATE_HIGHEST) / s
     R_ = jnp.einsum("ji,fjk->fik", R[0], R, precision=STATE_HIGHEST)
     t_ = jnp.matmul(t_, R[0], precision=STATE_HIGHEST) / s
@@ -1451,7 +1462,8 @@ def lm_optimize(
     init_c: jax.Array | None = None,
     solver=None,
     dist: jax.Array | None = None,
-) -> tuple[BAState, jax.Array, jax.Array, jax.Array, dict | None]:
+    init_nu: jax.Array | None = None,
+) -> tuple[BAState, jax.Array, jax.Array, jax.Array, jax.Array, dict | None]:
     """Levenberg–Marquardt outer loop (reference ``optimize``, ``:77-195``).
 
     Protocol parity: damping starts at ``init_damping`` (``:100``); the
@@ -1459,14 +1471,17 @@ def lm_optimize(
     recomputing derivatives (``:118-167``); an accepted step divides c
     (``:195``); stop when |E' - E| <= delta_tol or max_iter (``:186-191``).
 
-    ``init_c`` overrides the starting damping (checkpoint/resume support:
-    pass the damping returned by a previous segment to continue exactly).
+    ``init_c``/``init_nu`` override the starting damping state
+    (checkpoint/resume support: pass the values returned by a previous
+    segment to continue exactly; ``init_nu`` matters only under
+    ``damping="nielsen"``).
 
     ``solver`` overrides the damped-system solver (signature and return of
     ``_damped_solve``) — the hook the cameras-axis-sharded CG solve plugs
     into (``parallel/sharded_ba_2d.py``).
 
-    Returns (final state, final error, final damping, n_iters, log).
+    Returns (final state, final error, final damping c, final nu,
+    n_iters, log).
     """
     solve = _damped_solve if solver is None else solver
     record = config.record_log
@@ -1567,11 +1582,11 @@ def lm_optimize(
         return trial, e_new, c_out, nu_new, count + 1, done, log
 
     c0 = jnp.asarray(config.init_damping, x.dtype) if init_c is None else init_c
-    nu0 = jnp.asarray(2.0, x.dtype)
-    final_state, e_final, c_final, _, n_iter, _, log = jax.lax.while_loop(
+    nu0 = jnp.asarray(2.0, x.dtype) if init_nu is None else init_nu
+    final_state, e_final, c_final, nu_final, n_iter, _, log = jax.lax.while_loop(
         cond, body, (state0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False), log0)
     )
-    return final_state, e_final, c_final, n_iter, (log if record else None)
+    return final_state, e_final, c_final, nu_final, n_iter, (log if record else None)
 
 
 @partial(jax.jit, static_argnames=("f0", "axis", "config"))
@@ -1586,9 +1601,15 @@ def bundle_adjust(
     axis: str = "x-right_z-forward",
     config: LMConfig = LMConfig(),
     distortion: jax.Array | None = None,
+    init_c: jax.Array | None = None,
+    init_nu: jax.Array | None = None,
 ) -> BAResult:
     """Full bundle adjustment: gauge-normalize, LM-optimize, restore
     (reference ``BundleAdjuster.__init__`` + ``optimize``).
+
+    ``init_c``/``init_nu`` resume the damping schedule (the returned
+    ``log`` always carries the final ``c``/``nu``), so segmented runs
+    continue exactly — the same contract as the chunked core.
 
     x: (P, F, 2) observations; init_K/R/t: (F, ...) camera init;
     visibility: optional (P, F) mask (reference ``:56-59``).
@@ -1629,7 +1650,7 @@ def bundle_adjust(
         dist = default_distortion(model, nf, dt)
 
     n_total = jnp.asarray(0)
-    c_seg = None
+    c_seg, nu_seg = init_c, init_nu
     for _ in range(config.distortion_rounds):
         # Refit FIRST: BAL-style problems come with a good geometry init,
         # and running pinhole LM before the first refit walks the free
@@ -1649,13 +1670,15 @@ def bundle_adjust(
                               shared=config.distortion_shared, model=model,
                               dist=dist)
         seg_cfg = dataclasses.replace(config, record_log=False)
-        state0, _, c_seg, n_seg, _ = lm_optimize(
-            x, state0, vis, free, f0, seg_cfg, init_c=c_seg, dist=dist
+        state0, _, c_seg, nu_seg, n_seg, _ = lm_optimize(
+            x, state0, vis, free, f0, seg_cfg, init_c=c_seg,
+            init_nu=nu_seg, dist=dist
         )
         n_total = n_total + n_seg
 
-    final, e, _, n_iter, log = lm_optimize(
-        x, state0, vis, free, f0, config, init_c=c_seg, dist=dist
+    final, e, c_f, nu_f, n_iter, log = lm_optimize(
+        x, state0, vis, free, f0, config, init_c=c_seg, init_nu=nu_seg,
+        dist=dist
     )
 
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
@@ -1666,6 +1689,6 @@ def bundle_adjust(
         t=tg,
         error=e,
         n_iter=n_iter + n_total,
-        log=log,
+        log={**(log or {}), "c": c_f, "nu": nu_f},
         distortion=dist,
     )

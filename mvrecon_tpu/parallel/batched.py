@@ -97,6 +97,7 @@ def batched_euclidean_to_convergence(
     scene_chunk: int | None = None,
     continuation_budget: int = 25,
     max_phases: int = 8,
+    carry_damping: bool = True,
 ) -> ReconstructionResult:
     """Run every scene to the reference stopping contract (per-scene
     |dE| <= config.delta_tol) via **scene compaction**: a vmapped
@@ -106,9 +107,14 @@ def batched_euclidean_to_convergence(
     and continued with BA-only phases until all reach the tolerance (or
     ``max_phases`` expires). Subset sizes round up to power-of-two
     buckets so continuation programs compile once per bucket, not per
-    subset. Damping restarts per phase (a fresh Nielsen schedule — the
-    continued trajectory differs from a continuous run but satisfies
-    the same stopping contract).
+    subset.
+
+    ``carry_damping`` resumes each scene's Nielsen (c, nu) across phases
+    (the per-scene damping state rides ``ba_log``), so the compacted
+    trajectory IS the continuous one — round 3 measured compaction
+    losing (15.1 vs 8.6 s) precisely because per-phase damping restarts
+    re-paid rejected retries on near-converged scenes; False restores
+    that behavior for comparison.
 
     Returns the merged per-scene results; ``n_iter`` counts TOTAL BA
     iterations across phases, and scenes still at the budget after
@@ -132,6 +138,8 @@ def batched_euclidean_to_convergence(
     err = np.array(res.error)
     n_iter = np.array(res.n_iter)
     status = np.asarray(res.status)
+    c_arr = np.array(res.ba_log["c"])
+    nu_arr = np.array(res.ba_log["nu"])
     x_pf = np.asarray(x).transpose(0, 2, 1, 3)  # (S, P, F, 2)
 
     import dataclasses
@@ -139,15 +147,18 @@ def batched_euclidean_to_convergence(
     cont_cfg = dataclasses.replace(config, max_iter=continuation_budget)
 
     @partial(jax.jit, static_argnames=())
-    def _continue(x_b, X_b, K_b, R_b, t_b):
-        def one(x1, X1, K1, R1, t1):
+    def _continue(x_b, X_b, K_b, R_b, t_b, c_b, nu_b):
+        def one(x1, X1, K1, R1, t1, c1, nu1):
             r = bundle_adjust(
                 x1, X1, K1, R1, t1, f0=f0, axis="x-up_z-forward",
                 config=cont_cfg,
+                init_c=c1 if carry_damping else None,
+                init_nu=nu1 if carry_damping else None,
             )
-            return r.X, r.K, r.R, r.t, r.error, r.n_iter
+            return (r.X, r.K, r.R, r.t, r.error, r.n_iter,
+                    r.log["c"], r.log["nu"])
 
-        return jax.vmap(one)(x_b, X_b, K_b, R_b, t_b)
+        return jax.vmap(one)(x_b, X_b, K_b, R_b, t_b, c_b, nu_b)
 
     # A phase that stops before exhausting its budget converged (the
     # per-lane while_loop only exits early on |dE| <= delta_tol or a
@@ -167,8 +178,9 @@ def batched_euclidean_to_convergence(
         outs = _continue(
             jnp.asarray(x_pf[idx]), jnp.asarray(X[idx]), jnp.asarray(K[idx]),
             jnp.asarray(R[idx]), jnp.asarray(t[idx]),
+            jnp.asarray(c_arr[idx]), jnp.asarray(nu_arr[idx]),
         )
-        Xn, Kn, Rn, tn, en, nin = (np.asarray(o) for o in outs)
+        Xn, Kn, Rn, tn, en, nin, cn, nun = (np.asarray(o) for o in outs)
         k = len(unconverged)
         X[unconverged] = Xn[:k]
         K[unconverged] = Kn[:k]
@@ -176,6 +188,8 @@ def batched_euclidean_to_convergence(
         t[unconverged] = tn[:k]
         err[unconverged] = en[:k]
         n_iter[unconverged] += nin[:k]
+        c_arr[unconverged] = cn[:k]
+        nu_arr[unconverged] = nun[:k]
         active[unconverged] = (
             (nin[:k] == continuation_budget) & np.isfinite(en[:k])
         )

@@ -276,12 +276,12 @@ def sharded_bundle_adjust(
                 axis_name=POINTS_AXIS, model=model, dist=dist,
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
-            st0, _, c_seg, n_seg, _ = lm_optimize(
+            st0, _, c_seg, _, n_seg, _ = lm_optimize(
                 x_l, st0, vis_l, free_r, f0, seg_cfg,
                 axis_name=POINTS_AXIS, init_c=c_seg, dist=dist,
             )
             n_total = n_total + n_seg
-        final, e, _, n_iter, _ = lm_optimize(
+        final, e, _, _, n_iter, _ = lm_optimize(
             x_l, st0, vis_l, free_r, f0, config, axis_name=POINTS_AXIS,
             init_c=c_seg, dist=dist,
         )

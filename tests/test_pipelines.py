@@ -82,9 +82,12 @@ def test_pipeline_records_ba_log_for_animation():
     assert all(b <= a + 1e-12 for a, b in zip(errs, errs[1:]))
     assert records[0]["points"].shape == (x.shape[1], 3)
 
-    # default config keeps the result log-free (no memory cost)
+    # default config keeps the result trajectory-free (no memory cost):
+    # only the O(1) damping carry (c, nu) remains, which the batched
+    # to-convergence compaction resumes from
     res2 = euclidean_reconstruction(
         x, f0=1.0, tol=1e-2, method="dual",
         config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=4),
     )
-    assert res2.ba_log is None
+    assert set(res2.ba_log) == {"c", "nu"}
+    assert np.asarray(res2.ba_log["c"]).shape == ()

@@ -64,11 +64,11 @@ def test_segmented_lm_resume_matches_continuous(ref, quiet):
     cfg8 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=8)
     cfg4 = LMConfig(scale_factor=2.0, delta_tol=0.0, max_iter=4)
 
-    s8, e8, c8, n8, _ = lm_optimize(x, state, vis, free, 1.0, cfg8)
+    s8, e8, c8, _, n8, _ = lm_optimize(x, state, vis, free, 1.0, cfg8)
 
-    s4, e4, c4, n4, _ = lm_optimize(x, state, vis, free, 1.0, cfg4)
+    s4, e4, c4, _, n4, _ = lm_optimize(x, state, vis, free, 1.0, cfg4)
     # resume: carry damping; the divide-on-accept already applied
-    s44, e44, c44, n44, _ = lm_optimize(x, s4, vis, free, 1.0, cfg4, init_c=c4)
+    s44, e44, c44, _, n44, _ = lm_optimize(x, s4, vis, free, 1.0, cfg4, init_c=c4)
 
     np.testing.assert_allclose(float(e44), float(e8), rtol=1e-10)
     for a, b in zip(s8, s44):
@@ -78,7 +78,7 @@ def test_segmented_lm_resume_matches_continuous(ref, quiet):
 def test_device_log_records(ref, quiet):
     x, state, vis, free = _ba_inputs(ref, quiet)
     cfg = LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=6, record_log=True)
-    s, e, c, n, log = lm_optimize(x, state, vis, free, 1.0, cfg)
+    s, e, c, _, n, log = lm_optimize(x, state, vis, free, 1.0, cfg)
     records = device_log_to_records(log, n)
     assert len(records) == int(n) + 1
     curve = convergence_curve(log, n)
