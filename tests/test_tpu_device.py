@@ -18,11 +18,32 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _record_pins(record):
+    """Persist the device-verification outcome to DEVICE_PINS.json.
+
+    VERDICT r3 weak #2: a round could ship with the device path never
+    executed and no artifact distinguishing "verified on silicon" from
+    "skipped". This file is that artifact — ``verified`` is true only
+    when every on-device pin ran AND passed; otherwise it carries the
+    skip/failure reason. Written on every outcome, best-effort.
+    """
+    record = dict(record)
+    record["ts_unix"] = time.time()
+    record["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    try:
+        with open(os.path.join(_REPO, "DEVICE_PINS.json"), "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
 
 _PROBE = r"""
 import json, os
@@ -204,17 +225,31 @@ def test_fused_schur_numerics_on_device():
             timeout=1200, cwd=_REPO, env=env,
         )
     except subprocess.TimeoutExpired:
+        _record_pins({"verified": False,
+                      "reason": "probe timeout (tunnel unavailable/contended)"})
         pytest.skip("TPU probe timed out (tunnel unavailable or contended)")
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not lines:
-        pytest.skip(
-            f"TPU probe failed rc={proc.returncode}: "
-            f"{proc.stderr.strip()[-400:]}"
-        )
+        reason = (f"probe rc={proc.returncode}: "
+                  f"{proc.stderr.strip()[-400:]}")
+        _record_pins({"verified": False, "reason": reason})
+        pytest.skip(f"TPU probe failed: {reason}")
     out = json.loads(lines[-1])
     if out["backend"] != "tpu":
+        _record_pins({"verified": False,
+                      "reason": f"no TPU backend (got {out['backend']})"})
         pytest.skip(f"no TPU backend (got {out['backend']})")
 
+    try:
+        _assert_pins(out)
+    except AssertionError:
+        _record_pins({"verified": False, "reason": "pin assertion failed",
+                      "pins": out})
+        raise
+    _record_pins({"verified": True, "pins": out})
+
+
+def _assert_pins(out):
     # kernel == oracle to f32 roundoff (inputs identical bf16)
     assert out["syrk_max_abs_err_rel"] < 1e-5, out
     # the bf16-Y fused system must not change what BA converges to
