@@ -207,6 +207,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="(--sparse) CG iteration cap of the matrix-free camera "
              "step",
     )
+    p_bal.add_argument(
+        "--triangulate-init", action="store_true",
+        help="(--sparse) ignore the file's 3D points and initialize by "
+             "observation-list DLT triangulation through the file's "
+             "cameras (for BAL files whose points are absent or "
+             "untrusted; distortion is ignored at init and absorbed by "
+             "the LM refinement)",
+    )
 
     p_bench = sub.add_parser("bench-ba", help="time bundle adjustment")
     _common(p_bench)
@@ -252,10 +260,21 @@ def _cmd_bal_sparse(args, out: dict, dtype) -> None:
         None if args.ignore_distortion
         else jnp.asarray(d["distortion"], dtype)
     )
-    X0 = jnp.asarray(d["X"], dtype)
     K0 = jnp.asarray(d["K"], dtype)
     R0 = jnp.asarray(d["R"], dtype)
     t0 = jnp.asarray(d["t"], dtype)
+    if args.triangulate_init:
+        from .ops.triangulation import triangulate_sparse
+
+        X0 = triangulate_sparse(
+            jnp.asarray(d["point_idx"], jnp.int32),
+            jnp.asarray(d["cam_idx"], jnp.int32),
+            jnp.asarray(d["xy"], dtype), npts, K0, R0, t0,
+            f0=float(d["f0"]),
+        )
+        out["triangulate_init"] = True
+    else:
+        X0 = jnp.asarray(d["X"], dtype)
     if args.shard_points > 0:
         from .parallel.mesh import make_mesh
         from .parallel.sharded_ba_sparse import sharded_bundle_adjust_sparse

@@ -11,5 +11,5 @@ from .linalg import (  # noqa: F401
     orthonormalize,
 )
 from .moments import fourth_moment_matrix, sym_pack, sym_unpack  # noqa: F401
-from .triangulation import triangulate  # noqa: F401
+from .triangulation import triangulate, triangulate_sparse  # noqa: F401
 from .procrustes import aligned_rmse, apply_similarity, umeyama  # noqa: F401

@@ -71,3 +71,55 @@ def triangulate(
     w = xh[..., 3:]
     w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
     return xh[..., :3] / w
+
+
+@partial(jax.jit, static_argnames=("n_points", "f0"))
+def triangulate_sparse(
+    point_idx: jax.Array,
+    cam_idx: jax.Array,
+    xy: jax.Array,
+    n_points: int,
+    K: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    weights: jax.Array | None = None,
+    f0: float = 1.0,
+) -> jax.Array:
+    """Observation-list DLT triangulation -> points (n_points, 3).
+
+    Same homogeneous DLT as :func:`triangulate`, but over a flat
+    observation list (``point_idx (N,)``, ``cam_idx (N,)``, ``xy (N, 2)``,
+    sorted by point id — the ``SparseObs`` layout of
+    ``models/bundle_adjustment_sparse.py``): per-observation design rows
+    by camera gathers, per-point 4x4 Gram matrices by sorted
+    ``segment_sum``, smallest eigenvector per point. O(n_obs) memory —
+    the initializer for BAL-class problems whose file points are absent
+    or untrusted. Optional per-observation ``weights`` scale each
+    observation's Gram contribution (zero = padding). Points with no
+    (weighted) observations come back at the origin.
+    """
+    pmat = _camera_matrix(K, R, t)  # (F, 3, 4)
+    pg = pmat[cam_idx]  # (N, 3, 4)
+    u = xy[..., 0] / f0  # (N,)
+    v = xy[..., 1] / f0
+    row_u = u[:, None] * pg[:, 2] - pg[:, 0]  # (N, 4)
+    row_v = v[:, None] * pg[:, 2] - pg[:, 1]
+    contrib = (
+        jnp.einsum("ni,nj->nij", row_u, row_u, precision=HIGHEST)
+        + jnp.einsum("ni,nj->nij", row_v, row_v, precision=HIGHEST)
+    )
+    if weights is not None:
+        contrib = weights[:, None, None] * contrib
+    gram = jax.ops.segment_sum(
+        contrib, point_idx, num_segments=n_points, indices_are_sorted=True
+    )
+    # unseen points: identity Gram -> eigh stays well-posed; the smallest
+    # eigenvector is then arbitrary, so zero those points explicitly
+    seen = jnp.trace(gram, axis1=-2, axis2=-1) > 0
+    eye = jnp.eye(4, dtype=gram.dtype)
+    gram = jnp.where(seen[:, None, None], gram, eye)
+    _, vecs = jnp.linalg.eigh(gram)
+    xh = vecs[..., :, 0]
+    w = xh[..., 3:]
+    w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+    return jnp.where(seen[:, None], xh[..., :3] / w, 0.0)

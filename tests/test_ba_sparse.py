@@ -293,6 +293,35 @@ def test_cli_bal_sparse(tmp_path, capsys):
     assert int(refined["visibility"].sum()) == int(vis.sum())
 
 
+def test_cli_bal_sparse_triangulate_init(tmp_path, capsys):
+    """`bal --sparse --triangulate-init` ignores the file's points and
+    initializes by observation-list DLT through the file's cameras —
+    the LM refinement must still reach the file-init run's error."""
+    import json
+
+    from mvrecon_tpu.cli import main
+    from mvrecon_tpu.runtime.io import save_bal
+
+    x, vis, X0, K, R, t0 = _problem(n_images=6, n_slices=8, vis_frac=0.5)
+    path = str(tmp_path / "problem.txt")
+    # poison the file's points: --triangulate-init must not read them
+    save_bal(
+        path, np.asarray(x).transpose(1, 0, 2), vis,
+        np.full_like(np.asarray(X0), 1e6),
+        np.asarray(R), np.asarray(t0), np.asarray(K[:, 0, 0]),
+    )
+    argv = [
+        "bal", path, "--sparse", "--float64", "--max-iter", "10",
+        "--delta-tol", "0", "--damping", "nielsen",
+    ]
+    main(argv + ["--triangulate-init"])
+    rec_t = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec_t["triangulate_init"]
+    # DLT init + 10 LM iters lands at the visibility noise floor
+    noise_floor = 2 * int(vis.sum()) * 0.005**2
+    assert rec_t["reprojection_error"] < 3.0 * noise_floor
+
+
 def test_save_bal_sparse_matches_dense_writer(tmp_path):
     from mvrecon_tpu.runtime.io import save_bal, save_bal_sparse
 
