@@ -529,6 +529,13 @@ def lm_optimize_sparse(
                       axis_name) \
         if huber_delta is None else error_of(cam0, X0)
 
+    # O(max_iter) scalar error curve — the chunked core's record_log
+    # contract (scale-aware debug logging; full-state animation logs are
+    # exactly what an O(n_obs) core exists to avoid)
+    record = config.record_log
+    log0 = (jnp.zeros((config.max_iter + 1,), dt).at[0].set(e0)
+            if record else jnp.zeros((0,), dt))
+
     def inner(cam, X, e_prev, c, nu):
         def cond(carry):
             accepted, tries = carry[-2], carry[-1]
@@ -622,26 +629,28 @@ def lm_optimize_sparse(
         return (~done) & (count < config.max_iter)
 
     def body(carry):
-        cam, X, e_prev, c, nu, count, _, retries, cg_tot = carry
+        cam, X, e_prev, c, nu, count, _, retries, cg_tot, log = carry
         (c_new, nu_new, e_new, e_base, cam_new, X_new, cg_in, tries) = inner(
             cam, X, e_prev, c, nu
         )
         done = jnp.abs(e_new - e_base) <= config.delta_tol
         c_out = c_new if nielsen else c_new / config.divisor
+        if record:
+            log = log.at[count + 1].set(e_new)
         return (cam_new, X_new, e_new, c_out, nu_new, count + 1, done,
-                retries + tries, cg_tot + cg_in)
+                retries + tries, cg_tot + cg_in, log)
 
     c0 = (jnp.asarray(config.init_damping, dt) if init_c is None
           else jnp.asarray(init_c, dt))
     nu0 = jnp.asarray(2.0, dt) if init_nu is None else jnp.asarray(init_nu, dt)
-    (cam_f, X_f, e_f, c_f, nu_f, n_iter, _, n_retries,
-     cg_total) = jax.lax.while_loop(
+    (cam_f, X_f, e_f, c_f, nu_f, n_iter, _, n_retries, cg_total,
+     log_f) = jax.lax.while_loop(
         cond, body,
         (cam0, X0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False),
-         jnp.asarray(0), jnp.asarray(0)),
+         jnp.asarray(0), jnp.asarray(0), log0),
     )
     return (cam_f._replace(X=X_f), e_f, c_f, nu_f, n_iter, n_retries,
-            cg_total)
+            cg_total, log_f if record else None)
 
 
 def fit_distortion_sparse(
@@ -756,21 +765,25 @@ def bundle_adjust_sparse(
             dist=dist, model=model, robust_kind=robust_cfg or "huber",
         )
         seg_cfg = dataclasses.replace(config, record_log=False)
-        state0, _, c_seg, nu_seg, n_seg, _, _ = lm_optimize_sparse(
+        state0, _, c_seg, nu_seg, n_seg, _, _, _ = lm_optimize_sparse(
             obs, state0, free, f0, seg_cfg, cg_tol, cg_max_iter, obs_chunk,
             init_c=c_seg, init_nu=nu_seg, dist=dist,
         )
         n_total = n_total + n_seg
 
-    final, e, c_f, nu_f, n_iter, n_retries, cg_total = lm_optimize_sparse(
+    (final, e, c_f, nu_f, n_iter, n_retries, cg_total,
+     scalar_log) = lm_optimize_sparse(
         obs, state0, free, f0, config, cg_tol, cg_max_iter, obs_chunk,
         init_c=c_seg, init_nu=nu_seg, dist=dist,
     )
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
+    log = {"n_solver_retries": n_retries, "c": c_f, "nu": nu_f,
+           "cg_iters_total": cg_total}
+    if scalar_log is not None:
+        log["reprojection_error"] = scalar_log
     return BAResult(
         X=Xg, K=build_K(final.f, final.u, f0), R=Rg, t=tg, error=e,
         n_iter=n_iter + n_total,
-        log={"n_solver_retries": n_retries, "c": c_f, "nu": nu_f,
-             "cg_iters_total": cg_total},
+        log=log,
         distortion=dist,
     )

@@ -179,42 +179,48 @@ def sharded_bundle_adjust_sparse(
                 axis_name=POINTS_AXIS,
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
-            state0, _, c_seg, nu_seg, n_seg, _, _ = lm_optimize_sparse(
+            state0, _, c_seg, nu_seg, n_seg, _, _, _ = lm_optimize_sparse(
                 obs_l, state0, free_r, f0, seg_cfg, cg_tol, cg_max_iter,
                 obs_chunk, init_c=c_seg, init_nu=nu_seg, dist=dist_l,
                 axis_name=POINTS_AXIS,
             )
             n_total = n_total + n_seg
-        final, e, c_f, nu_f, n_iter, n_retries, cg_total = lm_optimize_sparse(
+        (final, e, c_f, nu_f, n_iter, n_retries, cg_total,
+         scalar_log) = lm_optimize_sparse(
             obs_l, state0, free_r, f0, config, cg_tol, cg_max_iter,
             obs_chunk, init_c=c_seg, init_nu=nu_seg, dist=dist_l,
             axis_name=POINTS_AXIS,
         )
         dist_out = (dist_l if dist_l is not None
                     else jnp.zeros((nf, 0), dt))
+        if scalar_log is None:  # record_log static: structure is per-trace
+            scalar_log = jnp.zeros((0,), dt)
         return (final.X, final.f, final.u, final.t, final.R, e, c_f, nu_f,
-                n_iter + n_total, n_retries, cg_total, dist_out)
+                n_iter + n_total, n_retries, cg_total, dist_out, scalar_log)
 
     pt, rep = P(POINTS_AXIS), P()
     obs_specs = SparseObs(pt, pt, pt, pt)
     cam_specs = BAState(rep, rep, rep, rep, rep)
     (X_f, f_f, u_f, t_f, R_f, e, c_f, nu_f, n_iter, n_retries,
-     cg_total, dist_f) = jax.jit(
+     cg_total, dist_f, scalar_log) = jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(obs_specs, pt, cam_specs, rep),
             out_specs=(pt, rep, rep, rep, rep, rep, rep, rep, rep, rep,
-                       rep, rep),
+                       rep, rep, rep),
         )
     )(obs_s, X0, cam0, free)
 
     X_full = X_f.reshape(-1, 3)[:npts]
     Xg, Rg, tg = restore_gauge(info, X_full, R_f, t_f)
+    log = {"n_solver_retries": n_retries, "c": c_f, "nu": nu_f,
+           "cg_iters_total": cg_total}
+    if scalar_log.shape[0]:
+        log["reprojection_error"] = scalar_log
     return BAResult(
         X=Xg, K=build_K(f_f, u_f, f0), R=Rg, t=tg, error=e,
         n_iter=n_iter,
-        log={"n_solver_retries": n_retries, "c": c_f, "nu": nu_f,
-             "cg_iters_total": cg_total},
+        log=log,
         distortion=dist_f if dist_f.shape[-1] else None,
     )

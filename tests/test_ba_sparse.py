@@ -293,6 +293,53 @@ def test_cli_bal_sparse(tmp_path, capsys):
     assert int(refined["visibility"].sum()) == int(vis.sum())
 
 
+def test_sparse_record_log_curve_matches_dense():
+    """record_log on the sparse core yields the O(max_iter) scalar error
+    curve (the chunked core's scale-aware debug-logging contract), equal
+    to the dense core's per-iteration errors at tight CG tolerance."""
+    import dataclasses
+
+    x, vis, X0, K, R, t0 = _problem()
+    cfg = dataclasses.replace(CFG, record_log=True)
+    res_d, res_s = _run_both(x, vis, X0, K, R, t0, config=cfg)
+    assert int(res_s.n_iter) == int(res_d.n_iter)
+    n = int(res_s.n_iter) + 1
+    curve_s = np.asarray(res_s.log["reprojection_error"])[:n]
+    curve_d = np.asarray(res_d.log["reprojection_error"])[:n]
+    np.testing.assert_allclose(curve_s, curve_d, rtol=1e-9)
+    assert curve_s[0] > curve_s[-1]
+    assert float(curve_s[-1]) == pytest.approx(float(res_s.error))
+
+
+def test_sharded_sparse_record_log_curve():
+    """The point-partitioned sparse core emits the same replicated error
+    curve as the single-device sparse core."""
+    import dataclasses
+
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba_sparse import (
+        sharded_bundle_adjust_sparse,
+    )
+
+    x, vis, X0, K, R, t0 = _problem()
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    cfg = dataclasses.replace(CFG, record_log=True, max_iter=5)
+    r1 = bundle_adjust_sparse(obs, X0, K, R, t0, f0=1.0,
+                              axis="x-up_z-forward", config=cfg,
+                              cg_tol=1e-10, cg_max_iter=400)
+    mesh = make_mesh({"points": 4})
+    r4 = sharded_bundle_adjust_sparse(
+        mesh, np.asarray(obs.point_idx), np.asarray(obs.cam_idx),
+        np.asarray(obs.xy), X0, K, R, t0, f0=1.0, axis="x-up_z-forward",
+        config=cfg, cg_tol=1e-10, cg_max_iter=400,
+    )
+    n = int(r1.n_iter) + 1
+    np.testing.assert_allclose(
+        np.asarray(r4.log["reprojection_error"])[:n],
+        np.asarray(r1.log["reprojection_error"])[:n], rtol=1e-8,
+    )
+
+
 def test_cli_bal_sparse_triangulate_init(tmp_path, capsys):
     """`bal --sparse --triangulate-init` ignores the file's points and
     initializes by observation-list DLT through the file's cameras —
