@@ -57,7 +57,7 @@ def test_ba_parity_across_seeds_and_noise(ref, quiet, seed, noise):
         x.copy(), X_.copy(), K_.copy(), R_.copy(), t_.copy(), axis="x-up_z-forward"
     )
     with quiet():
-        X_ref, K_ref, _, _ = adjuster.optimize(2.0, 1e-8, max_iter=12)
+        X_ref, K_ref, _, t_ref = adjuster.optimize(2.0, 1e-8, max_iter=12)
     K_final = adjuster._get_K(adjuster._f, adjuster._u)
     _, p, q, r = adjuster._calc_pqr(adjuster._X, K_final, adjuster._R, adjuster._t)
     e_ref = adjuster._calc_reprojection_error(p, q, r)
@@ -68,4 +68,14 @@ def test_ba_parity_across_seeds_and_noise(ref, quiet, seed, noise):
         config=LMConfig(scale_factor=2.0, delta_tol=1e-8, max_iter=12),
     )
     np.testing.assert_allclose(float(res.error), e_ref, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(res.X), X_ref, atol=1e-4)
+    # parity up to the documented sign deviation (docs/PARITY.md #5: on
+    # scenes whose world/camera-0 baseline signs disagree, the
+    # reference's restore mirrors the scene about camera 0; flip == -1
+    # maps its output to ours exactly — see test_bundle_adjustment.py)
+    from test_bundle_adjustment import _gauge_flip
+
+    flip = _gauge_flip(R_, t_)
+    t0_ref = t_ref[0]
+    np.testing.assert_allclose(
+        np.asarray(res.X), t0_ref + flip * (X_ref - t0_ref), atol=1e-4
+    )
