@@ -117,9 +117,15 @@ def bench_headline(n_points=N_POINTS, n_views=N_VIEWS):
 def bench_northstar(n_points=100_000, n_views=1000, n_iters=10, chunk=768):
     from mvrecon_tpu.models.bundle_adjustment_chunked import bundle_adjust_chunked
 
+    # init_damping 1e-2: the VERDICT-r3 #4 retry lever, measured on
+    # device 2026-08-18 (scripts/sweep_retry.py): 10 retries / 3.645 s
+    # vs 13 / 4.71 s at the former 3e-3 — the Nielsen controller's first
+    # rejected builds came from starting under-damped at this scale.
+    # jacobi_scaling measured neutral (3.673 s); the basin is non-
+    # monotone in c0 (0.02 -> 14 retries, 0.03 -> 10, 0.05 -> 12).
     config = LMConfig(
         scale_factor=4.0, delta_tol=0.0, max_iter=n_iters,
-        accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+        accept_divisor=1.0, init_damping=1e-2, damping="nielsen",
     )
     x, X0, K, R, t0 = build_problem(n_points, n_views)
 
@@ -340,7 +346,8 @@ def bench_bal_large(n_points=1_000_000, n_cams=1_600, window=10):
     obs = SparseObs(
         point_idx=jnp.asarray(point_idx, jnp.int32),
         cam_idx=jnp.asarray(cam_idx, jnp.int32),
-        xy=jnp.asarray(xy, dtype),
+        # lane-major (2, N), transposed on host (see the core's docstring)
+        xy=jnp.asarray(np.ascontiguousarray(xy.T), dtype),
         weights=jnp.ones((n_obs,), dtype),
     )
     rng = np.random.default_rng(1)
@@ -471,12 +478,25 @@ def main():
     on_device = backend["ok"]
     out["backend"] = backend
 
-    def fenced(name, fn):
-        """Run one extra workload; degrade to an error field, not a crash."""
-        try:
-            out[name] = fn()
-        except Exception as e:  # noqa: BLE001 - the fence IS the contract
-            out[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    def fenced(name, fn, retries=1):
+        """Run one extra workload; degrade to an error field, not a crash.
+        Transient tunnel-side compile failures (the axon remote-compile
+        helper occasionally dies with HTTP 500 mid-batch — observed
+        2026-08-18) get one retry after a cooldown."""
+        for attempt in range(retries + 1):
+            try:
+                out[name] = fn()
+                break
+            except Exception as e:  # noqa: BLE001 - the fence IS the contract
+                msg = f"{type(e).__name__}: {e}"
+                transient = ("remote_compile" in msg or "HTTP 500" in msg
+                             or "DEADLINE" in msg)
+                if attempt < retries and transient:
+                    dog.pet()
+                    time.sleep(60.0)
+                    continue
+                out[name] = {"error": msg[:500],
+                             "attempts": attempt + 1}
         dog.pet()
 
     try:

@@ -294,7 +294,9 @@ def _cmd_bal_sparse(args, out: dict, dtype) -> None:
         obs = SparseObs(
             point_idx=jnp.asarray(d["point_idx"], jnp.int32),
             cam_idx=jnp.asarray(d["cam_idx"], jnp.int32),
-            xy=jnp.asarray(d["xy"], dtype),
+            # lane-major (2, N): transpose on host so the padded (N, 2)
+            # layout never reaches the device
+            xy=jnp.asarray(np.ascontiguousarray(np.asarray(d["xy"]).T), dtype),
             weights=jnp.ones(d["point_idx"].shape, dtype),
         )
         res = bundle_adjust_sparse(

@@ -10,15 +10,15 @@ production BA systems use: a flat observation list.
 TPU-native design (this is NOT a sparse-matrix port):
 
 - **Layout**: three static-shape arrays sorted by point id —
-  ``point_idx (N,) int32``, ``cam_idx (N,) int32``, ``xy (N, 2)`` —
+  ``point_idx (N,) int32``, ``cam_idx (N,) int32``, ``xy (2, N)`` —
   plus a camera-sorted permutation computed once per call. Static N,
   static everything: one compile per problem shape.
 - **Per-observation work is the virtual-camera trick**: the observation
   list is treated as ONE point seen by N per-observation "cameras"
   (camera parameters gathered per observation), so the whole model-
   generic distortion chain (six families), the robust-loss family, and
-  the residual formulas of the dense core apply verbatim on (1, N)-
-  shaped arrays — zero formula duplication.
+  the residual formulas of the dense core apply verbatim on (1, C)-
+  chunk views — zero formula duplication.
 - **Point side**: per-point 3x3 blocks and gradients via sorted
   ``segment_sum`` over point ids (points are the sorted axis).
 - **Camera side**: the reduced camera (Schur) system is NEVER formed.
@@ -35,11 +35,27 @@ TPU-native design (this is NOT a sparse-matrix port):
   via ``normalize_gauge``/``gauge_mask``), so segmented resume and the
   stopping contract (reference ``:186-191``) carry over.
 
-Memory: factors resident per retry are (N, 24) floats (a1, a2, b1, b2)
-plus (P, 3, 3) point blocks — ~1.1 GB at N=10M observations, P=1M
-points; transient (N, 81)-class products are bounded by ``obs_chunk``
-via ``lax.scan``. A dense mask at that scale would be 16 GB for the
-observations alone.
+**Lane-major layout (the TPU tile-padding contract).** XLA:TPU stores
+every array in (sublane, lane) = (8, 128)-class tiles over its two
+minormost dimensions, so an (N, 3) array physically occupies N x 128
+lanes — a 42x blowup that turns 10M observations' factor arrays into
+~5 GB *each* (measured: the AOT compiler refused an f32[10M, 3, 4]
+camera-matrix gather at 20.48 GB). Every per-observation array in this
+core is therefore **transposed**: the big N axis is minormost (lane)
+and the small component axis is the sublane, padding 3 -> 8 instead of
+3 -> 128. Concretely: ``SparseObs.xy`` is ``(2, N)``; Jacobian factors
+are ``a1, a2 (3, N)`` / ``b1, b2 (9, N)``; per-point quantities are
+row stacks ``(3, P)`` with the symmetric 3x3 point blocks held as six
+``(P,)`` rows (``_sym3_*``); segment reductions run row-by-row over
+1-D arrays. Rank-3 per-observation intermediates (the 9x9 camera-block
+outer products, the distortion chain's (C, k) evaluations) are bounded
+by ``obs_chunk`` inside ``lax.scan``.
+
+Memory: factors resident per retry are 24 rows of (N,) floats (a1, a2,
+b1, b2) plus six (P,) point-block rows — ~1 GB of *useful* bytes at
+N=10M, P=1M, and the tiled footprint is within 2.7x of useful (vs 42x
+for the naive (N, k) layout). A dense mask at that scale would be
+16 GB for the observations alone.
 """
 
 from __future__ import annotations
@@ -54,7 +70,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import HIGHEST, STATE_HIGHEST, LMConfig
-from ..ops.linalg import inv3x3, inv9_spd
+from ..ops.linalg import inv9_spd
 from .bundle_adjustment import (
     BAResult,
     BAState,
@@ -85,22 +101,33 @@ from .bundle_adjustment import (
 class SparseObs(NamedTuple):
     """Observation list sorted ascending by ``point_idx``.
 
+    ``xy`` is **lane-major** ``(2, N)`` (see the module docstring: an
+    (N, 2) array tile-pads 2 -> 128 lanes on TPU — 5 GB at N=10M).
     ``weights`` are optional per-observation confidences (multiplied into
     the IRLS weights); padding observations carry weight 0.
     """
 
     point_idx: jax.Array  # (N,) int32, sorted ascending
     cam_idx: jax.Array  # (N,) int32
-    xy: jax.Array  # (N, 2)
+    xy: jax.Array  # (2, N) lane-major
     weights: jax.Array  # (N,)
+
+    @property
+    def n_obs(self) -> int:
+        return self.point_idx.shape[0]
 
 
 def make_sparse_obs(point_idx, cam_idx, xy, weights=None) -> SparseObs:
     """Host-side constructor: sorts by point id (stable, so per-point
-    camera order is preserved) and validates shapes."""
+    camera order is preserved), validates shapes, and stores ``xy``
+    lane-major. Accepts ``xy`` as (N, 2) (the host convention) or
+    already-transposed (2, N)."""
     point_idx = np.asarray(point_idx)
     cam_idx = np.asarray(cam_idx)
     xy = np.asarray(xy)
+    n = point_idx.shape[0] if point_idx.ndim else 0
+    if xy.shape == (2, n) and n != 2:
+        xy = np.ascontiguousarray(xy.T)
     if not (point_idx.shape == cam_idx.shape == xy.shape[:-1]) or xy.shape[-1] != 2:
         raise ValueError(
             f"inconsistent observation shapes: {point_idx.shape}, "
@@ -111,7 +138,7 @@ def make_sparse_obs(point_idx, cam_idx, xy, weights=None) -> SparseObs:
     return SparseObs(
         point_idx=jnp.asarray(point_idx[order], jnp.int32),
         cam_idx=jnp.asarray(cam_idx[order], jnp.int32),
-        xy=jnp.asarray(xy[order]),
+        xy=jnp.asarray(np.ascontiguousarray(xy[order].T)),
         weights=jnp.asarray(w[order], xy.dtype),
     )
 
@@ -125,20 +152,8 @@ def dense_to_sparse_obs(x: np.ndarray, visibility: np.ndarray) -> SparseObs:
     return SparseObs(
         point_idx=jnp.asarray(pi, jnp.int32),
         cam_idx=jnp.asarray(ci, jnp.int32),
-        xy=jnp.asarray(x[pi, ci]),
+        xy=jnp.asarray(np.ascontiguousarray(x[pi, ci].T)),
         weights=jnp.asarray(vis[pi, ci], x.dtype),
-    )
-
-
-def _gathered_cam_state(cam: BAState, ci: jax.Array) -> BAState:
-    """Per-observation camera parameters: a BAState whose camera axis is
-    the observation axis (the virtual-camera trick)."""
-    return BAState(
-        X=cam.X,  # (0, 3) placeholder, unused downstream
-        f=cam.f[ci],
-        u=cam.u[ci],
-        t=cam.t[ci],
-        R=cam.R[ci],
     )
 
 
@@ -154,69 +169,176 @@ def _calc_pmat(cam: BAState, f0: float) -> jax.Array:
     )
 
 
-def _obs_factors(cam: BAState, X: jax.Array, obs: SparseObs, f0: float,
-                 huber_delta=None, dist=None, model: str | None = None,
-                 robust_kind: str = "huber"):
-    """Per-observation residuals and rank-2 Jacobian factors.
+# --------------------------------------------------------------------------
+# lane-major building blocks: symmetric 3x3 blocks as six (…,) rows in the
+# order (00, 11, 22, 01, 02, 12); per-row sorted segment reductions
+# --------------------------------------------------------------------------
 
-    Returns (a1, a2 (N, 3); b1, b2 (N, 9); res_p, res_q (N,); w (N,))
-    with w the effective weight (input weight x IRLS robust weight).
-    Same math as the dense core's ``_compute_derivs`` (reference
-    ``:291-427``), evaluated per observation via gathers.
-    """
+
+def _sym3_inv(e: jax.Array) -> jax.Array:
+    """Closed-form inverse of symmetric 3x3 blocks held as (6, ...) rows
+    (cofactor expansion — the lane-major twin of ``ops.linalg.inv3x3``)."""
+    a, d, f, b, c, ee = e[0], e[1], e[2], e[3], e[4], e[5]
+    adj00 = d * f - ee * ee
+    adj01 = c * ee - b * f
+    adj02 = b * ee - c * d
+    adj11 = a * f - c * c
+    adj12 = b * c - a * ee
+    adj22 = a * d - b * b
+    det = a * adj00 + b * adj01 + c * adj02
+    inv_det = 1.0 / det
+    return jnp.stack([adj00, adj11, adj22, adj01, adj02, adj12]) * inv_det
+
+
+def _sym3_matvec(e: jax.Array, v: jax.Array) -> jax.Array:
+    """(6, ...) symmetric rows @ (3, ...) vector rows -> (3, ...)."""
+    return jnp.stack([
+        e[0] * v[0] + e[3] * v[1] + e[4] * v[2],
+        e[3] * v[0] + e[1] * v[1] + e[5] * v[2],
+        e[4] * v[0] + e[5] * v[1] + e[2] * v[2],
+    ])
+
+
+def _seg_rows(rows: jax.Array, ids: jax.Array, n: int) -> jax.Array:
+    """Per-row sorted segment reduction: (k, N) -> (k, n). Each row is a
+    1-D segment_sum, so nothing (N, k)-shaped ever materializes."""
+    return jnp.stack([
+        jax.ops.segment_sum(rows[i], ids, num_segments=n,
+                            indices_are_sorted=True)
+        for i in range(rows.shape[0])
+    ])
+
+
+def _chain_state(f_g: jax.Array, u_g: jax.Array) -> BAState:
+    """Per-observation virtual-camera state for the distortion chain —
+    which reads only ``f`` and ``u`` (grep-checked); the other fields are
+    scalar placeholders so no (C, 3, 3)-class gather ever exists."""
+    z = jnp.zeros((), f_g.dtype)
+    return BAState(X=z, f=f_g, u=u_g, t=z, R=z)
+
+
+def _prep_chunks(a: jax.Array, chunk: int, nch: int) -> jax.Array:
+    """Zero-pad the lane (last) axis of a lane-major array to nch*chunk
+    and expose the chunk axis first: (k, N) -> (nch, k, C); (N,) ->
+    (nch, C)."""
+    pad = nch * chunk - a.shape[-1]
+    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    a = jnp.pad(a, widths)
+    a = a.reshape(a.shape[:-1] + (nch, chunk))
+    return jnp.moveaxis(a, -2, 0)
+
+
+def _scan_obs_chunks(body, init, row_arrays, obs_chunk):
+    """Scan ``body(acc, chunk_of_columns)`` over column chunks of
+    lane-major ``(k, N)`` / ``(N,)`` arrays, zero-padding the tail.
+    Returns (final acc, stacked per-chunk outputs matching body's second
+    return)."""
+    n = row_arrays[0].shape[-1]
+    nch = -(-n // obs_chunk)
+    acc, ys = jax.lax.scan(
+        body, init,
+        tuple(_prep_chunks(a, obs_chunk, nch) for a in row_arrays),
+    )
+    return acc, ys
+
+
+def _pqr_t(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float):
+    """Per-observation homogeneous coordinates (p, q, r), lane-major:
+    the camera matrix is gathered as (12, N) rows, never (N, 3, 4)."""
     pi, ci = obs.point_idx, obs.cam_idx
+    nf = cam.f.shape[0]
+    pm_t = _calc_pmat(cam, f0).reshape(nf, 12).T  # (12, F)
+    pm_g = pm_t[:, ci]  # (12, N)
+    X_g = X_t[:, pi]  # (3, N)
+    p = pm_g[0] * X_g[0] + pm_g[1] * X_g[1] + pm_g[2] * X_g[2] + pm_g[3]
+    q = pm_g[4] * X_g[0] + pm_g[5] * X_g[1] + pm_g[6] * X_g[2] + pm_g[7]
+    r = pm_g[8] * X_g[0] + pm_g[9] * X_g[1] + pm_g[10] * X_g[2] + pm_g[11]
+    return pm_g, X_g, p, q, r
+
+
+def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
+                 huber_delta=None, dist=None, model: str | None = None,
+                 robust_kind: str = "huber", obs_chunk: int = 1 << 16):
+    """Per-observation residuals and rank-2 Jacobian factors, lane-major.
+
+    Returns (a1, a2 (3, N); b1, b2 (9, N); res_p, res_q (N,); w (N,))
+    with w the effective weight (input weight x IRLS robust weight) and
+    ``X_t`` the (3, P) row-stacked points. Same math as the dense
+    core's ``_compute_derivs`` (reference ``:291-427``), evaluated per
+    observation via row gathers — rotation *columns* are gathered as
+    (3, N) rows, never an (N, 3, 3) tensor. The distortion chain (which
+    is written for (..., k)-minor factor layouts) runs inside a
+    ``lax.scan`` over ``obs_chunk`` columns, so its (C, k) views stay
+    bounded.
+    """
+    ci = obs.cam_idx
     w = obs.weights
-    pm = _calc_pmat(cam, f0)[ci]  # (N, 3, 4)
-    X_g = X[pi]  # (N, 3)
-    xh = jnp.concatenate([X_g, jnp.ones((X_g.shape[0], 1), X_g.dtype)], -1)
-    pqr = jnp.einsum("nca,na->nc", pm, xh, precision=STATE_HIGHEST)
-    p, q, r = pqr[:, 0], pqr[:, 1], pqr[:, 2]
+    pm_g, X_g, p, q, r = _pqr_t(cam, X_t, obs, f0)
     r = jnp.where(w > 0, r, jnp.ones_like(r))  # 0*inf guard (padding)
 
-    f_g, u_g = cam.f[ci], cam.u[ci]
-    R_g, t_g = cam.R[ci], cam.t[ci]
+    f_g = cam.f[ci]
+    u_t = cam.u.T  # (2, F)
+    u_g = u_t[:, ci]  # (2, N)
+    r0_g = cam.R[:, :, 0].T[:, ci]  # rotation columns as (3, N) rows
+    r1_g = cam.R[:, :, 1].T[:, ci]
+    r2_g = cam.R[:, :, 2].T[:, ci]
+    t_g = cam.t.T[:, ci]
 
-    res_p = p / r - obs.xy[:, 0] / f0
-    res_q = q / r - obs.xy[:, 1] / f0
+    res_p = p / r - obs.xy[0] / f0
+    res_q = q / r - obs.xy[1] / f0
 
     # point rows: dX of (p, q, r) are the pmat rows (reference :309-322)
-    dpdX, dqdX, drdX = pm[:, 0, :3], pm[:, 1, :3], pm[:, 2, :3]
+    dpdX, dqdX, drdX = pm_g[0:3], pm_g[4:7], pm_g[8:11]
     inv_r2 = 1.0 / (r * r)
-    a1 = (r[:, None] * dpdX - p[:, None] * drdX) * inv_r2[:, None]
-    a2 = (r[:, None] * dqdX - q[:, None] * drdX) * inv_r2[:, None]
+    a1 = (r * dpdX - p * drdX) * inv_r2
+    a2 = (r * dqdX - q * drdX) * inv_r2
 
     # camera rows, per observation (reference :324-398)
-    dpdf = (p - (u_g[:, 0] / f0) * r) / f_g
-    dqdf = (q - (u_g[:, 1] / f0) * r) / f_g
+    dpdf = (p - (u_g[0] / f0) * r) / f_g
+    dqdf = (q - (u_g[1] / f0) * r) / f_g
     zeros = jnp.zeros_like(r)
     r_f0 = r / f0
-    dpdu = jnp.stack([r_f0, zeros], -1)
-    dqdu = jnp.stack([zeros, r_f0], -1)
-    dpdt = -(f_g[:, None] * R_g[:, :, 0] + u_g[:, :1] * R_g[:, :, 2])
-    dqdt = -(f_g[:, None] * R_g[:, :, 1] + u_g[:, 1:2] * R_g[:, :, 2])
-    drdt = -f0 * R_g[:, :, 2]
+    dpdu = jnp.stack([r_f0, zeros])  # (2, N)
+    dqdu = jnp.stack([zeros, r_f0])
+    dpdt = -(f_g * r0_g + u_g[0] * r2_g)  # (3, N)
+    dqdt = -(f_g * r1_g + u_g[1] * r2_g)
+    drdt = -f0 * r2_g
     x_m_t = X_g - t_g
-    dpdw = jnp.cross(-dpdt, x_m_t)
-    dqdw = jnp.cross(-dqdt, x_m_t)
-    drdw = jnp.cross(-drdt, x_m_t)
-    dp = jnp.concatenate([dpdf[:, None], dpdu, dpdt, dpdw], -1)  # (N, 9)
-    dq = jnp.concatenate([dqdf[:, None], dqdu, dqdt, dqdw], -1)
-    dr = jnp.concatenate([zeros[:, None], jnp.zeros_like(dpdu), drdt, drdw], -1)
-    b1 = (r[:, None] * dp - p[:, None] * dr) * inv_r2[:, None]
-    b2 = (r[:, None] * dq - q[:, None] * dr) * inv_r2[:, None]
+    dpdw = jnp.cross(-dpdt, x_m_t, axis=0)
+    dqdw = jnp.cross(-dqdt, x_m_t, axis=0)
+    drdw = jnp.cross(-drdt, x_m_t, axis=0)
+    dp = jnp.concatenate([dpdf[None], dpdu, dpdt, dpdw])  # (9, N)
+    dq = jnp.concatenate([dqdf[None], dqdu, dqdt, dqdw])
+    dr = jnp.concatenate([zeros[None], jnp.zeros_like(dpdu), drdt, drdw])
+    b1 = (r * dp - p * dr) * inv_r2
+    b2 = (r * dq - q * dr) * inv_r2
 
     if dist is not None:
-        # virtual-camera trick: (1, N)-shaped arrays + per-observation
-        # camera/distortion rows run the model-generic chain verbatim
-        cam_n = _gathered_cam_state(cam, ci)
-        res_p, res_q, a1, a2, b1, b2 = jax.tree.map(
-            lambda t: t[0],
-            _apply_distortion_chain(
-                cam_n, p[None], q[None], r[None], f0, dist[ci],
-                res_p[None], res_q[None], a1[None], a2[None],
-                b1[None], b2[None], model,
-            ),
+        dist_g = dist.T[:, ci]  # (k, N)
+
+        def chain_chunk(_, cols):
+            p_c, q_c, r_c, rp_c, rq_c, a1_c, a2_c, b1_c, b2_c, f_c, u_c, \
+                d_c = cols
+            rp_o, rq_o, a1_o, a2_o, b1_o, b2_o = _apply_distortion_chain(
+                _chain_state(f_c, u_c.T), p_c[None], q_c[None], r_c[None],
+                f0, d_c.T, rp_c[None], rq_c[None], a1_c.T[None],
+                a2_c.T[None], b1_c.T[None], b2_c.T[None], model,
+            )
+            return (), (rp_o[0], rq_o[0], a1_o[0].T, a2_o[0].T,
+                        b1_o[0].T, b2_o[0].T)
+
+        n = p.shape[0]
+        _, ys = _scan_obs_chunks(
+            chain_chunk, (),
+            (p, q, r, res_p, res_q, a1, a2, b1, b2, f_g, u_g, dist_g),
+            min(obs_chunk, max(n, 1)),
         )
+
+        def unchunk(y):  # (nch, C) / (nch, k, C) -> (N,) / (k, N)
+            y = jnp.moveaxis(y, 0, -2)
+            return y.reshape(y.shape[:-2] + (-1,))[..., :n]
+
+        res_p, res_q, a1, a2, b1, b2 = (unchunk(y) for y in ys)
 
     if huber_delta is not None:
         mag = jnp.sqrt(res_p**2 + res_q**2)
@@ -224,32 +346,59 @@ def _obs_factors(cam: BAState, X: jax.Array, obs: SparseObs, f0: float,
     return a1, a2, b1, b2, res_p, res_q, w
 
 
-def _trial_error(cam: BAState, X: jax.Array, obs: SparseObs, w: jax.Array,
-                 f0: float, dist, model, axis_name=None):
-    """Sum of w-weighted squared residuals at (cam, X); ``w`` carries the
-    IRLS weights of the *current* state (chunked-core convention)."""
-    pi, ci = obs.point_idx, obs.cam_idx
-    pm = _calc_pmat(cam, f0)[ci]
-    X_g = X[pi]
-    xh = jnp.concatenate([X_g, jnp.ones((X_g.shape[0], 1), X_g.dtype)], -1)
-    pqr = jnp.einsum("nca,na->nc", pm, xh, precision=STATE_HIGHEST)
-    p, q, r = pqr[:, 0], pqr[:, 1], pqr[:, 2]
+def _residuals_t(cam: BAState, X_t: jax.Array, obs: SparseObs, w: jax.Array,
+                 f0: float, dist, model, obs_chunk: int = 1 << 16):
+    """(res_p, res_q) (N,) at (cam, X_t) — the cheap residual-only pass
+    (no Jacobian factors); the distortion chain runs chunk-scanned."""
+    ci = obs.cam_idx
+    _, _, p, q, r = _pqr_t(cam, X_t, obs, f0)
     r = jnp.where(w > 0, r, jnp.ones_like(r))
-    cam_n = _gathered_cam_state(cam, ci)
-    res_p, res_q = _distorted_residual(
-        cam_n, p[None], q[None], r[None], obs.xy[None], f0,
-        None if dist is None else dist[ci], model,
+    if dist is None:
+        return p / r - obs.xy[0] / f0, q / r - obs.xy[1] / f0
+
+    f_g = cam.f[ci]
+    u_g = cam.u.T[:, ci]
+    dist_g = dist.T[:, ci]
+
+    def res_chunk(_, cols):
+        p_c, q_c, r_c, xy_c, f_c, u_c, d_c = cols
+        rp, rq = _distorted_residual(
+            _chain_state(f_c, u_c.T), p_c[None], q_c[None], r_c[None],
+            xy_c.T[None], f0, d_c.T, model,
+        )
+        return (), (rp[0], rq[0])
+
+    n = p.shape[0]
+    _, (rp, rq) = _scan_obs_chunks(
+        res_chunk, (), (p, q, r, obs.xy, f_g, u_g, dist_g),
+        min(obs_chunk, max(n, 1)),
     )
-    return _psum(jnp.sum(w * (res_p[0] ** 2 + res_q[0] ** 2)), axis_name)
+    return rp.reshape(-1)[:n], rq.reshape(-1)[:n]
 
 
-def _segment_cam_sum(vals: jax.Array, perm: jax.Array, ci_sorted: jax.Array,
-                     nf: int) -> jax.Array:
-    """Per-camera sum of per-observation values: permute into camera-
-    sorted order (one gather), then a sorted segment reduction."""
-    return jax.ops.segment_sum(
-        vals[perm], ci_sorted, num_segments=nf, indices_are_sorted=True
-    )
+def _trial_error(cam: BAState, X_t: jax.Array, obs: SparseObs, w: jax.Array,
+                 f0: float, dist, model, axis_name=None,
+                 obs_chunk: int = 1 << 16):
+    """Sum of w-weighted squared residuals at (cam, X_t); ``w`` carries
+    the IRLS weights of the *current* state (chunked-core convention)."""
+    res_p, res_q = _residuals_t(cam, X_t, obs, w, f0, dist, model, obs_chunk)
+    return _psum(jnp.sum(w * (res_p**2 + res_q**2)), axis_name)
+
+
+def _segment_cam_rows(rows: jax.Array, perm: jax.Array, ci_sorted: jax.Array,
+                      nf: int) -> jax.Array:
+    """Per-camera sum of per-observation row stacks: (k, N) -> (k, F).
+    Each row permutes into camera-sorted order (one 1-D gather) and
+    reduces by a sorted segment sum."""
+    if rows.ndim == 1:
+        return jax.ops.segment_sum(
+            rows[perm], ci_sorted, num_segments=nf, indices_are_sorted=True
+        )
+    return jnp.stack([
+        jax.ops.segment_sum(rows[i][perm], ci_sorted, num_segments=nf,
+                            indices_are_sorted=True)
+        for i in range(rows.shape[0])
+    ])
 
 
 def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
@@ -257,26 +406,24 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
     """(F, 9, 9) camera blocks G and the preconditioner's correction
     C_c = sum_n alpha11 b1 b1^T + alpha12 (b1 b2^T + b2 b1^T) + alpha22
     b2 b2^T, accumulated over observation chunks so the (chunk, 9, 9)
-    outer products never materialize at full N."""
-    n = b1.shape[0]
-    pad = (-n) % obs_chunk
+    outer products never materialize at full N. ``b1``/``b2`` arrive
+    lane-major (9, N); each chunk is transposed to (C, 9) locally."""
     dt = b1.dtype
-
-    def pad0(a):
-        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-
-    b1s, b2s = pad0(b1[perm]), pad0(b2[perm])
-    a11, a12, a22 = (pad0(alpha[i][perm]) for i in range(3))
-    w2s = pad0(w2[perm])
-    cis = jnp.pad(ci_sorted, (0, pad), constant_values=nf - 1)
-    nch = (n + pad) // obs_chunk
-
-    def chunked(a):
-        return a.reshape((nch, obs_chunk) + a.shape[1:])
+    n = b1.shape[-1]
+    b1s, b2s = b1[:, perm], b2[:, perm]
+    a11, a12, a22 = (alpha[i][perm] for i in range(3))
+    w2s = w2[perm]
+    obs_chunk = min(obs_chunk, max(n, 1))
+    nch = -(-n // obs_chunk)
+    # tail padding maps to camera nf-1 with zero weight/alpha: inert
+    cis = jnp.pad(
+        ci_sorted, (0, nch * obs_chunk - n), constant_values=nf - 1
+    ).reshape(nch, obs_chunk)
 
     def body(acc, inp):
         g_acc, c_acc = acc
-        b1c, b2c, a11c, a12c, a22c, w2c, cic = inp
+        b1r, b2r, a11c, a12c, a22c, w2c, cic = inp
+        b1c, b2c = b1r.T, b2r.T  # (C, 9)
         o11 = jnp.einsum("ni,nj->nij", b1c, b1c, precision=HIGHEST)
         o12 = jnp.einsum("ni,nj->nij", b1c, b2c, precision=HIGHEST)
         o22 = jnp.einsum("ni,nj->nij", b2c, b2c, precision=HIGHEST)
@@ -289,16 +436,25 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
         seg = lambda v: jax.ops.segment_sum(
             v, cic, num_segments=nf, indices_are_sorted=True
         )
-        return (g_acc + seg(g_c), c_acc + seg(c_c)), None
+        return (g_acc + seg(g_c), c_acc + seg(c_c)), ()
 
     from .bundle_adjustment_chunked import _vary
 
     init = _vary(
         (jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf, 9, 9), dt)), axis_name
     )
+    n_pad = (-n) % obs_chunk
+
+    def prep(a):
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, n_pad)]
+        a = jnp.pad(a, widths)
+        a = a.reshape(a.shape[:-1] + (nch, obs_chunk))
+        return jnp.moveaxis(a, -2, 0)
+
     (g, c), _ = jax.lax.scan(
         body, init,
-        tuple(map(chunked, (b1s, b2s, a11, a12, a22, w2s, cis))),
+        (prep(b1s), prep(b2s), prep(a11), prep(a12), prep(a22), prep(w2s),
+         cis),
     )
     return g, c
 
@@ -316,38 +472,39 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     preconditioner correction, rhs, error) psum across devices;
     everything point-side stays shard-local — the same split as the
     chunked core's sharding (``parallel/sharded_ba.py``)."""
-    npts, nf = X.shape[0], cam.f.shape[0]
+    npts, nf = X.shape[-1], cam.f.shape[0]
     dt = X.dtype
     a1, a2, b1, b2, res_p, res_q, w = _obs_factors(
-        cam, X, obs, f0, huber_delta, dist, model, robust_kind
+        cam, X, obs, f0, huber_delta, dist, model, robust_kind, obs_chunk
     )
     e_now = _psum(jnp.sum(w * (res_p**2 + res_q**2)), axis_name)
     w2 = 2.0 * w
     pi = obs.point_idx
 
-    seg_p = lambda v: jax.ops.segment_sum(
-        v, pi, num_segments=npts, indices_are_sorted=True
-    )
-    # point gradient and blocks (reference :437-446 / :463-500)
-    d_P = seg_p(w2[:, None] * (res_p[:, None] * a1 + res_q[:, None] * a2))
-    matE = seg_p(
-        w2[:, None, None]
-        * (
-            jnp.einsum("ni,nj->nij", a1, a1, precision=HIGHEST)
-            + jnp.einsum("ni,nj->nij", a2, a2, precision=HIGHEST)
-        )
-    )
-    seen = (seg_p(w) > 0).astype(dt)
-    matE = matE + (1.0 - seen)[:, None, None] * jnp.eye(3, dtype=dt)
-    matEc = matE + c * matE * jnp.eye(3, dtype=dt)[None]
-    einv = inv3x3(matEc)
+    # point gradient and blocks (reference :437-446 / :463-500) — the
+    # symmetric 3x3 blocks live as six (P,) rows (order 00,11,22,01,02,12)
+    d_P = _seg_rows(w2 * (res_p * a1 + res_q * a2), pi, npts)  # (3, P)
+    e_rows = jnp.stack([
+        a1[0] * a1[0] + a2[0] * a2[0],
+        a1[1] * a1[1] + a2[1] * a2[1],
+        a1[2] * a1[2] + a2[2] * a2[2],
+        a1[0] * a1[1] + a2[0] * a2[1],
+        a1[0] * a1[2] + a2[0] * a2[2],
+        a1[1] * a1[2] + a2[1] * a2[2],
+    ])
+    matE6 = _seg_rows(w2 * e_rows, pi, npts)  # (6, P)
+    seen = (jax.ops.segment_sum(w, pi, num_segments=npts,
+                                indices_are_sorted=True) > 0).astype(dt)
+    # unseen points get identity blocks (diag rows 1, off-diag 0)
+    matE6 = matE6.at[:3].add(1.0 - seen)
+    matEc6 = matE6.at[:3].mul(1.0 + c)
+    einv6 = _sym3_inv(matEc6)
 
     # camera gradient d_F (9F,)
     d_F = _psum(
-        _segment_cam_sum(
-            w2[:, None] * (res_p[:, None] * b1 + res_q[:, None] * b2),
-            perm, ci_sorted, nf,
-        ).reshape(9 * nf),
+        _segment_cam_rows(
+            w2 * (res_p * b1 + res_q * b2), perm, ci_sorted, nf
+        ).T.reshape(9 * nf),
         axis_name,
     ) * free
 
@@ -355,12 +512,12 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     # observation (Einv gathered per point). The w2 weighting enters each
     # F_n = w2 (a1 b1^T + a2 b2^T) twice but Einv once: fold w2 * w2 into
     # alpha (w2 is already inside matE, hence inside Einv exactly once).
-    einv_g = einv[pi]
-    ea1 = jnp.einsum("nij,nj->ni", einv_g, a1, precision=HIGHEST)
-    ea2 = jnp.einsum("nij,nj->ni", einv_g, a2, precision=HIGHEST)
-    al11 = w2 * w2 * jnp.sum(a1 * ea1, -1)
-    al12 = w2 * w2 * jnp.sum(a1 * ea2, -1)
-    al22 = w2 * w2 * jnp.sum(a2 * ea2, -1)
+    einv_g = einv6[:, pi]  # (6, N)
+    ea1 = _sym3_matvec(einv_g, a1)
+    ea2 = _sym3_matvec(einv_g, a2)
+    al11 = w2 * w2 * jnp.sum(a1 * ea1, 0)
+    al12 = w2 * w2 * jnp.sum(a1 * ea2, 0)
+    al22 = w2 * w2 * jnp.sum(a2 * ea2, 0)
 
     matG, corr = _camera_blocks_scan(
         b1, b2, (al11, al12, al22), w2, perm, ci_sorted, nf, obs_chunk,
@@ -370,7 +527,7 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     corr = _psum(corr, axis_name)
     matGc = matG + c * matG * jnp.eye(9, dtype=dt)[None]
     seen_c = (
-        _psum(_segment_cam_sum(w, perm, ci_sorted, nf), axis_name) > 0
+        _psum(_segment_cam_rows(w, perm, ci_sorted, nf), axis_name) > 0
     ).astype(dt)
 
     # block-Jacobi preconditioner: the true Schur diagonal blocks,
@@ -385,22 +542,22 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     m_inv = inv9_spd(m_blocks)
 
     # rhs: b = F^T Einv d_P - d_F (gauge-masked), reference :532-560
-    wp = jnp.einsum("pij,pj->pi", einv, d_P, precision=HIGHEST)  # (P, 3)
-    wp_g = wp[pi]
-    r1 = w2 * jnp.sum(a1 * wp_g, -1)
-    r2 = w2 * jnp.sum(a2 * wp_g, -1)
+    wp = _sym3_matvec(einv6, d_P)  # (3, P)
+    wp_g = wp[:, pi]
+    r1 = w2 * jnp.sum(a1 * wp_g, 0)
+    r2 = w2 * jnp.sum(a2 * wp_g, 0)
     b_f = _psum(
-        _segment_cam_sum(
-            r1[:, None] * b1 + r2[:, None] * b2, perm, ci_sorted, nf
-        ).reshape(9 * nf),
+        _segment_cam_rows(
+            r1 * b1 + r2 * b2, perm, ci_sorted, nf
+        ).T.reshape(9 * nf),
         axis_name,
     )
     rhs = (b_f - d_F) * free
 
     diag_g = jnp.diagonal(matG, axis1=-2, axis2=-1).reshape(-1)  # undamped
 
-    factors = (a1, a2, b1, b2, w2, einv, d_P)
-    return factors, matGc, m_inv, rhs, d_F, diag_g, e_now, matE, seen_c
+    factors = (a1, a2, b1, b2, w2, einv6, d_P)
+    return factors, matGc, m_inv, rhs, d_F, diag_g, e_now, matE6, seen_c
 
 
 def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
@@ -410,27 +567,25 @@ def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
     psums (one (9F,) vector per CG iteration — the entire cross-device
     traffic of a camera step); the Gc v product uses the already-reduced
     camera blocks, replicated."""
-    a1, a2, b1, b2, w2, einv, _ = factors
+    a1, a2, b1, b2, w2, einv6, _ = factors
     nf = matGc.shape[0]
     vm = (v * free).reshape(nf, 9)
     pi, ci = obs.point_idx, obs.cam_idx
-    v_g = vm[ci]  # (N, 9)
-    u1 = w2 * jnp.sum(b1 * v_g, -1)
-    u2 = w2 * jnp.sum(b2 * v_g, -1)
-    t_n = u1[:, None] * a1 + u2[:, None] * a2  # (N, 3) = F v rows
-    s_p = jax.ops.segment_sum(
-        t_n, pi, num_segments=einv.shape[0], indices_are_sorted=True
-    )
-    w_p = jnp.einsum("pij,pj->pi", einv, s_p, precision=HIGHEST)
-    w_g = w_p[pi]
-    r1 = w2 * jnp.sum(a1 * w_g, -1)
-    r2 = w2 * jnp.sum(a2 * w_g, -1)
+    v_g = vm.T[:, ci]  # (9, N)
+    u1 = w2 * jnp.sum(b1 * v_g, 0)
+    u2 = w2 * jnp.sum(b2 * v_g, 0)
+    t_rows = u1 * a1 + u2 * a2  # (3, N) = F v rows
+    s_p = _seg_rows(t_rows, pi, einv6.shape[-1])  # (3, P)
+    w_p = _sym3_matvec(einv6, s_p)
+    w_g = w_p[:, pi]
+    r1 = w2 * jnp.sum(a1 * w_g, 0)
+    r2 = w2 * jnp.sum(a2 * w_g, 0)
     fe_fv = _psum(
-        _segment_cam_sum(
-            r1[:, None] * b1 + r2[:, None] * b2, perm, ci_sorted, nf
-        ),
+        _segment_cam_rows(
+            r1 * b1 + r2 * b2, perm, ci_sorted, nf
+        ).T,
         axis_name,
-    )
+    )  # (F, 9)
     gv = jnp.einsum("fij,fj->fi", matGc, vm, precision=HIGHEST)
     sv = ((gv + (1.0 - seen_c)[:, None] * vm - fe_fv).reshape(-1)) * free
     return sv + (1.0 - free) * v  # identity on gauge-fixed coords
@@ -480,7 +635,7 @@ def lm_optimize_sparse(
     config: LMConfig,
     cg_tol: float = 1e-2,
     cg_max_iter: int = 100,
-    obs_chunk: int = 1 << 20,
+    obs_chunk: int = 1 << 16,
     init_c: jax.Array | None = None,
     init_nu: jax.Array | None = None,
     dist: jax.Array | None = None,
@@ -499,7 +654,7 @@ def lm_optimize_sparse(
     dt = obs.xy.dtype
     npts, nf = state0.X.shape[0], state0.f.shape[0]
     model = resolve_distortion_model(dist, config.distortion_model)
-    obs_chunk = min(obs_chunk, max(obs.xy.shape[0], 1))
+    obs_chunk = min(obs_chunk, max(obs.n_obs, 1))
 
     perm = jnp.argsort(obs.cam_idx, stable=True)
     ci_sorted = obs.cam_idx[perm]
@@ -510,19 +665,20 @@ def lm_optimize_sparse(
     robust_kind = robust_cfg or "huber"
 
     def split(state):
-        return state._replace(X=jnp.zeros((0, 3), dt)), state.X
+        # points ride the loop lane-major: (3, P) rows
+        return state._replace(X=jnp.zeros((0, 3), dt)), state.X.T
 
     def weights_at(cam, X):
         if huber_delta is None:
             return obs.weights
-        _, _, _, _, rp, rq, w = _obs_factors(
-            cam, X, obs, f0, huber_delta, dist, model, robust_kind
-        )
-        return w
+        rp, rq = _residuals_t(cam, X, obs, obs.weights, f0, dist, model,
+                              obs_chunk)
+        mag = jnp.sqrt(rp**2 + rq**2)
+        return obs.weights * robust_weight(mag, huber_delta, robust_kind)
 
     def error_of(cam, X):
         return _trial_error(cam, X, obs, weights_at(cam, X), f0, dist,
-                            model, axis_name)
+                            model, axis_name, obs_chunk)
 
     cam0, X0 = split(state0)
     e0 = _trial_error(cam0, X0, obs, obs.weights, f0, dist, model,
@@ -568,27 +724,22 @@ def lm_optimize_sparse(
             delta_xi = delta_xi * free
 
             # back-substitute points: delta_X = -Einv (F delta + d_P)
-            a1, a2, b1, b2, w2, einv, d_P = factors
-            v_g = delta_xi.reshape(nf, 9)[obs.cam_idx]
-            u1 = w2 * jnp.sum(b1 * v_g, -1)
-            u2 = w2 * jnp.sum(b2 * v_g, -1)
-            f_dxi = jax.ops.segment_sum(
-                u1[:, None] * a1 + u2[:, None] * a2, obs.point_idx,
-                num_segments=npts, indices_are_sorted=True,
-            )
-            delta_X = -jnp.einsum(
-                "pij,pj->pi", einv, f_dxi + d_P, precision=HIGHEST
-            )
+            a1, a2, b1, b2, w2, einv6, d_P = factors
+            v_g = delta_xi.reshape(nf, 9).T[:, obs.cam_idx]  # (9, N)
+            u1 = w2 * jnp.sum(b1 * v_g, 0)
+            u2 = w2 * jnp.sum(b2 * v_g, 0)
+            f_dxi = _seg_rows(u1 * a1 + u2 * a2, obs.point_idx, npts)
+            delta_X = -_sym3_matvec(einv6, f_dxi + d_P)  # (3, P)
             X_new = X + delta_X
 
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             w_cur = weights_at(cam, X)
             e_trial = _trial_error(trial_cam, X_new, obs, w_cur, f0, dist,
-                                   model, axis_name)
+                                   model, axis_name, obs_chunk)
             e_base = e_w if huber_delta is not None else e_prev
             accepted = e_trial <= e_base
             if nielsen:
-                diag_e = jnp.diagonal(matE, axis1=-2, axis2=-1)
+                diag_e = matE[:3]  # undamped point-block diagonal rows
                 dDd = (
                     _psum(jnp.sum(delta_X * diag_e * delta_X), axis_name)
                     + jnp.sum(delta_xi * diag_g * delta_xi)
@@ -649,7 +800,7 @@ def lm_optimize_sparse(
         (cam0, X0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False),
          jnp.asarray(0), jnp.asarray(0), log0),
     )
-    return (cam_f._replace(X=X_f), e_f, c_f, nu_f, n_iter, n_retries,
+    return (cam_f._replace(X=X_f.T), e_f, c_f, nu_f, n_iter, n_retries,
             cg_total, log_f if record else None)
 
 
@@ -657,7 +808,7 @@ def fit_distortion_sparse(
     state: BAState, obs: SparseObs, f0: float, shared: bool = False,
     huber_delta: float | None = None, dist=None,
     model: str | None = None, robust_kind: str = "huber",
-    axis_name: str | None = None,
+    axis_name: str | None = None, obs_chunk: int = 1 << 16,
 ) -> jax.Array:
     """Closed-form distortion refit on the observation list: the dense
     core's per-camera normal-equation accumulands (every family) are
@@ -666,54 +817,84 @@ def fit_distortion_sparse(
     per-point reduction."""
     if model is None:
         model = resolve_distortion_model(dist, "auto")
-    pi, ci = obs.point_idx, obs.cam_idx
+    ci = obs.cam_idx
     nf = state.f.shape[0]
-    cam = state._replace(X=jnp.zeros((0, 3), obs.xy.dtype))
-    pm = _calc_pmat(cam, f0)[ci]
-    X_g = state.X[pi]
-    xh = jnp.concatenate([X_g, jnp.ones((X_g.shape[0], 1), X_g.dtype)], -1)
-    pqr = jnp.einsum("nca,na->nc", pm, xh, precision=STATE_HIGHEST)
-    p, q, r = pqr[:, 0][None], pqr[:, 1][None], pqr[:, 2][None]
+    dt = obs.xy.dtype
+    cam = state._replace(X=jnp.zeros((0, 3), dt))
+    X_t = state.X.T if state.X.ndim == 2 and state.X.shape[-1] == 3 \
+        else state.X
+    _, _, p, q, r = _pqr_t(cam, X_t, obs, f0)
     w = obs.weights
-    cam_n = _gathered_cam_state(cam, ci)
+    f_g = cam.f[ci]
+    u_g = cam.u.T[:, ci]  # (2, N)
     if huber_delta is not None:
-        rs = jnp.where(w[None] > 0, r, jnp.ones_like(r))
-        res_p, res_q = _distorted_residual(
-            cam_n, p, q, rs, obs.xy[None], f0,
-            None if dist is None else dist[ci], model,
-        )
-        mag = jnp.sqrt(res_p[0] ** 2 + res_q[0] ** 2)
+        rp, rq = _residuals_t(cam, X_t, obs, w, f0, dist, model, obs_chunk)
+        mag = jnp.sqrt(rp**2 + rq**2)
         w = w * robust_weight(mag, huber_delta, robust_kind)
 
-    perm = jnp.argsort(ci, stable=True)
-    ci_sorted = ci[perm]
+    def seg_terms(term_fn, cur):
+        """Chunk-scanned per-camera accumulation of the closed-form
+        normal-equation terms: nothing (N, k)-shaped materializes.
+        ``term_fn(state, p, q, r, x, vis, dist_rows)`` evaluates the
+        dense core's per-observation terms on a (1, C) chunk."""
+        cur_g = cur.T[:, ci]  # (k, N)
 
-    def seg(per_obs_terms):
-        # terms arrive (N, k) from the (1, N) virtual-camera evaluation
-        return _psum(
-            _segment_cam_sum(per_obs_terms, perm, ci_sorted, nf), axis_name
+        def body(acc, cols):
+            p_c, q_c, r_c, xy_c, w_c, f_c, u_c, d_c, ci_c = cols
+            t = term_fn(
+                _chain_state(f_c, u_c.T), p_c[None], q_c[None], r_c[None],
+                xy_c.T[None], w_c[None], d_c.T,
+            )
+            return acc + jax.ops.segment_sum(t, ci_c, num_segments=nf), ()
+
+        n = p.shape[0]
+        chunk = min(obs_chunk, max(n, 1))
+        nch = -(-n // chunk)
+        ci_pad = jnp.pad(ci, (0, nch * chunk - n),
+                         constant_values=nf - 1).reshape(nch, chunk)
+        probe = term_fn(
+            _chain_state(f_g[:1], u_g[:, :1].T), p[None, :1], q[None, :1],
+            r[None, :1], obs.xy[:, :1].T[None], w[None, :1],
+            cur_g[:, :1].T,
         )
+        from .bundle_adjustment_chunked import _vary
 
-    x_n = obs.xy[None]
-    vis_n = w[None]
+        acc0 = _vary(jnp.zeros((nf,) + probe.shape[1:], dt), axis_name)
+        acc, _ = jax.lax.scan(
+            body, acc0,
+            tuple(_prep_chunks(a, chunk, nch) for a in
+                  (p, q, r, obs.xy, w, f_g, u_g, cur_g)) + (ci_pad,),
+        )
+        return _psum(acc, axis_name)
+
     if model == "full_opencv":
-        cur = dist if dist is not None else jnp.zeros((nf, 8), obs.xy.dtype)
+        cur = dist if dist is not None else jnp.zeros((nf, 8), dt)
         for _ in range(FULL_OPENCV_ALTERNATIONS):
             for round_ in ("num", "den"):
-                t = _full_opencv_lsq_terms(
-                    cam_n, p, q, r, x_n, vis_n, f0, cur[ci], round_
+                def term_fn(st, pc, qc, rc, xc, vc, dc, _r=round_):
+                    return _full_opencv_lsq_terms(
+                        st, pc, qc, rc, xc, vc, f0, dc, _r
+                    )
+
+                cur = _solve_full_opencv_round(
+                    seg_terms(term_fn, cur), cur, round_, shared
                 )
-                cur = _solve_full_opencv_round(seg(t), cur, round_, shared)
         return cur
     if model == "fov":
-        cur = (dist if dist is not None
-               else jnp.full((nf, 1), 0.5, obs.xy.dtype))
+        cur = (dist if dist is not None else jnp.full((nf, 1), 0.5, dt))
         for _ in range(_FOV_GN_STEPS):
-            t = _fov_gn_terms(cam_n, p, q, r, x_n, vis_n, f0, cur[ci])
-            cur = _solve_fov_step(seg(t), cur, shared)
+            def term_fn(st, pc, qc, rc, xc, vc, dc):
+                return _fov_gn_terms(st, pc, qc, rc, xc, vc, f0, dc)
+
+            cur = _solve_fov_step(seg_terms(term_fn, cur), cur, shared)
         return cur
-    t = _distortion_lsq_terms(cam_n, p, q, r, x_n, vis_n, f0, model)
-    return _solve_distortion_lsq(seg(t), shared)
+
+    def term_fn(st, pc, qc, rc, xc, vc, dc):
+        return _distortion_lsq_terms(st, pc, qc, rc, xc, vc, f0, model)
+
+    cur0 = jnp.zeros((nf, max(distortion_nterms(model), 1)), dt) \
+        if dist is None else dist
+    return _solve_distortion_lsq(seg_terms(term_fn, cur0), shared)
 
 
 @partial(jax.jit, static_argnames=(
@@ -730,7 +911,7 @@ def bundle_adjust_sparse(
     config: LMConfig = LMConfig(),
     cg_tol: float = 1e-2,
     cg_max_iter: int = 100,
-    obs_chunk: int = 1 << 20,
+    obs_chunk: int = 1 << 16,
     init_c: jax.Array | None = None,
     init_nu: jax.Array | None = None,
     distortion: jax.Array | None = None,
@@ -763,6 +944,7 @@ def bundle_adjust_sparse(
             huber_delta=(config.huber_delta if robust_cfg is not None
                          else None),
             dist=dist, model=model, robust_kind=robust_cfg or "huber",
+            obs_chunk=obs_chunk,
         )
         seg_cfg = dataclasses.replace(config, record_log=False)
         state0, _, c_seg, nu_seg, n_seg, _, _, _ = lm_optimize_sparse(

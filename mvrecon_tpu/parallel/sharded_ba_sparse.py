@@ -77,6 +77,9 @@ def partition_sparse_obs(
     point_idx = np.asarray(point_idx)
     cam_idx = np.asarray(cam_idx)
     xy = np.asarray(xy)
+    n = point_idx.shape[0]
+    if xy.shape == (2, n) and xy.shape != (n, 2):
+        xy = np.ascontiguousarray(xy.T)  # accept lane-major input too
     if np.any(np.diff(point_idx) < 0):
         raise ValueError("observation list must be sorted by point_idx")
     w = np.ones(point_idx.shape, xy.dtype) if weights is None \
@@ -93,13 +96,13 @@ def partition_sparse_obs(
 
     pi_s = np.zeros((n_shards, n_max), np.int32)
     ci_s = np.zeros((n_shards, n_max), np.int32)
-    xy_s = np.zeros((n_shards, n_max, 2), xy.dtype)
+    xy_s = np.zeros((n_shards, 2, n_max), xy.dtype)  # lane-major per shard
     w_s = np.zeros((n_shards, n_max), xy.dtype)
     for s, idx in enumerate(splits):
         n = len(idx)
         pi_s[s, :n] = point_idx[idx] - s * pps
         ci_s[s, :n] = cam_idx[idx]
-        xy_s[s, :n] = xy[idx]
+        xy_s[s, :, :n] = xy[idx].T
         w_s[s, :n] = w[idx]
         # padding: the shard's last point (keeps the sort), camera 0
         pi_s[s, n:] = min(pps, n_points - s * pps) - 1 if s * pps < n_points else 0
@@ -107,7 +110,11 @@ def partition_sparse_obs(
         SparseObs(
             point_idx=jnp.asarray(pi_s.reshape(-1)),
             cam_idx=jnp.asarray(ci_s.reshape(-1)),
-            xy=jnp.asarray(xy_s.reshape(-1, 2)),
+            # (2, n_shards * n_max): shard s owns lane block s —
+            # P(None, "points") splits the lane axis block-wise
+            xy=jnp.asarray(
+                np.ascontiguousarray(xy_s.transpose(1, 0, 2).reshape(2, -1))
+            ),
             weights=jnp.asarray(w_s.reshape(-1)),
         ),
         pps,
@@ -199,7 +206,7 @@ def sharded_bundle_adjust_sparse(
                 n_iter + n_total, n_retries, cg_total, dist_out, scalar_log)
 
     pt, rep = P(POINTS_AXIS), P()
-    obs_specs = SparseObs(pt, pt, pt, pt)
+    obs_specs = SparseObs(pt, pt, P(None, POINTS_AXIS), pt)
     cam_specs = BAState(rep, rep, rep, rep, rep)
     (X_f, f_f, u_f, t_f, R_f, e, c_f, nu_f, n_iter, n_retries,
      cg_total, dist_f, scalar_log) = jax.jit(

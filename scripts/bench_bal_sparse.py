@@ -116,7 +116,8 @@ def main():
     obs = SparseObs(
         point_idx=jnp.asarray(point_idx, jnp.int32),
         cam_idx=jnp.asarray(cam_idx, jnp.int32),
-        xy=jnp.asarray(xy, dtype),
+        # lane-major (2, N), transposed on host (see the core's docstring)
+        xy=jnp.asarray(np.ascontiguousarray(xy.T), dtype),
         weights=jnp.ones((n_obs,), dtype),
     )
     rng = np.random.default_rng(1)

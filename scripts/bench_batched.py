@@ -46,10 +46,12 @@ def main():
     )  # (S, F, P, 2)
     print("scenes ready", x.shape, flush=True)
 
-    # Nielsen damping: see bench.py::bench_batched for the measured win
+    # Nielsen damping: see bench.py::bench_batched for the measured win.
+    # Optional 8th arg overrides init_damping (retry-lever A/B).
+    c0 = float(sys.argv[8]) if len(sys.argv) > 8 else 3e-3
     config = LMConfig(
         scale_factor=4.0, delta_tol=delta_tol, max_iter=ba_iters,
-        accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+        accept_divisor=1.0, init_damping=c0, damping="nielsen",
     )
 
     mode = sys.argv[7] if len(sys.argv) > 7 else "lanes"

@@ -51,7 +51,7 @@ def main():
     obs = bas.SparseObs(
         point_idx=jnp.asarray(point_idx, jnp.int32),
         cam_idx=jnp.asarray(cam_idx, jnp.int32),
-        xy=jnp.asarray(xy, dt),
+        xy=jnp.asarray(np.ascontiguousarray(xy.T), dt),  # lane-major
         weights=jnp.ones((point_idx.shape[0],), dt),
     )
     nf = int(K.shape[0])
@@ -71,12 +71,12 @@ def main():
     build = jax.jit(
         lambda st, cc: bas._build_sparse_system(
             BAState(X=jnp.zeros((0, 3), dt), f=st.f, u=st.u, t=st.t, R=st.R),
-            st.X, obs, perm, ci_sorted, free, 1.0, cc,
-            None, None, None, "huber", 1 << 20,
+            st.X.T, obs, perm, ci_sorted, free, 1.0, cc,
+            None, None, None, "huber", 1 << 16,
         )
     )
     out = {"n_points": int(state.X.shape[0]), "n_cams": nf,
-           "n_obs": int(obs.xy.shape[0])}
+           "n_obs": int(obs.n_obs)}
 
     r = build(state, c)
     _sync(r[3])

@@ -56,10 +56,16 @@ def main():
 
     x, X0, K, R, t0 = build_problem(n_points, n_views)
 
-    configs = []
-    for jacobi in (False, True):
-        for c0 in (3e-3, 1e-3, 1e-2):
-            configs.append({"jacobi_scaling": jacobi, "init_damping": c0})
+    # optional 4th arg: comma-separated init_damping values (no-jacobi
+    # extension sweep; e.g. "0.01,0.02,0.03")
+    if len(sys.argv) > 4:
+        configs = [{"jacobi_scaling": False, "init_damping": float(c)}
+                   for c in sys.argv[4].split(",")]
+    else:
+        configs = []
+        for jacobi in (False, True):
+            for c0 in (3e-3, 1e-3, 1e-2):
+                configs.append({"jacobi_scaling": jacobi, "init_damping": c0})
 
     for kw in configs:
         config = LMConfig(

@@ -137,7 +137,7 @@ def test_zero_weight_padding_is_invisible():
         cam_idx=jnp.concatenate(
             [obs.cam_idx, jnp.full((17,), K.shape[0] - 1, jnp.int32)]
         ),
-        xy=jnp.concatenate([obs.xy, jnp.full((17, 2), 1e6, F64)]),
+        xy=jnp.concatenate([obs.xy, jnp.full((2, 17), 1e6, F64)], axis=1),
         weights=jnp.concatenate([obs.weights, jnp.zeros((17,), F64)]),
     )
     r1 = bundle_adjust_sparse(obs, X0, K, R, t0, f0=1.0,
@@ -158,7 +158,7 @@ def test_make_sparse_obs_sorts_stably():
     # stable: point 0 keeps (2, then 1) camera order of appearance
     assert list(np.asarray(obs.cam_idx)) == [2, 1, 0, 1, 0]
     np.testing.assert_allclose(
-        np.asarray(obs.xy)[0], xy[1]  # first sorted obs was input row 1
+        np.asarray(obs.xy)[:, 0], xy[1]  # first sorted obs was input row 1
     )
 
 
