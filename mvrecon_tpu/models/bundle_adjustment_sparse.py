@@ -175,10 +175,30 @@ def _calc_pmat(cam: BAState, f0: float) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def _sym3_inv(e: jax.Array) -> jax.Array:
-    """Closed-form inverse of symmetric 3x3 blocks held as (6, ...) rows
-    (cofactor expansion — the lane-major twin of ``ops.linalg.inv3x3``)."""
-    a, d, f, b, c, ee = e[0], e[1], e[2], e[3], e[4], e[5]
+# "Rows" are tuples of 1-D arrays — a k-row stack held as k separate
+# (N,)/(P,) vectors. 1-D arrays admit only one TPU layout, so XLA can
+# never insert a transposed layout-copy that pads the small axis to 128
+# lanes (observed: (9, 10M) loop-invariant copies in {0,1} layout cost
+# 4.77 GB each — 14.2x padding). All row algebra is unrolled Python
+# loops over k <= 12 — XLA fuses the resulting elementwise graphs.
+Rows = tuple
+
+
+def _rows_gather(rows: Rows, idx: jax.Array) -> Rows:
+    """k 1-D gathers: (k x (M,), (N,) ids) -> k x (N,)."""
+    return tuple(r[idx] for r in rows)
+
+
+def _cols_rows(a: jax.Array) -> Rows:
+    """(M, k) 2-D array -> k column rows ((M,) each; M is F-sized)."""
+    return tuple(a[:, i] for i in range(a.shape[1]))
+
+
+def _sym3_inv(e: Rows) -> Rows:
+    """Closed-form inverse of symmetric 3x3 blocks held as six rows in
+    the order (00, 11, 22, 01, 02, 12) — the lane-major twin of
+    ``ops.linalg.inv3x3``."""
+    a, d, f, b, c, ee = e
     adj00 = d * f - ee * ee
     adj01 = c * ee - b * f
     adj02 = b * ee - c * d
@@ -187,26 +207,52 @@ def _sym3_inv(e: jax.Array) -> jax.Array:
     adj22 = a * d - b * b
     det = a * adj00 + b * adj01 + c * adj02
     inv_det = 1.0 / det
-    return jnp.stack([adj00, adj11, adj22, adj01, adj02, adj12]) * inv_det
+    return tuple(adj * inv_det
+                 for adj in (adj00, adj11, adj22, adj01, adj02, adj12))
 
 
-def _sym3_matvec(e: jax.Array, v: jax.Array) -> jax.Array:
-    """(6, ...) symmetric rows @ (3, ...) vector rows -> (3, ...)."""
-    return jnp.stack([
+def _sym3_matvec(e: Rows, v: Rows) -> Rows:
+    """Six symmetric rows @ three vector rows -> three rows."""
+    return (
         e[0] * v[0] + e[3] * v[1] + e[4] * v[2],
         e[3] * v[0] + e[1] * v[1] + e[5] * v[2],
         e[4] * v[0] + e[5] * v[1] + e[2] * v[2],
-    ])
+    )
 
 
-def _seg_rows(rows: jax.Array, ids: jax.Array, n: int) -> jax.Array:
-    """Per-row sorted segment reduction: (k, N) -> (k, n). Each row is a
-    1-D segment_sum, so nothing (N, k)-shaped ever materializes."""
-    return jnp.stack([
-        jax.ops.segment_sum(rows[i], ids, num_segments=n,
-                            indices_are_sorted=True)
-        for i in range(rows.shape[0])
-    ])
+def _seg_rows(rows: Rows, ids: jax.Array, n: int) -> Rows:
+    """Per-row sorted segment reduction: k x (N,) -> k x (n,)."""
+    return tuple(
+        jax.ops.segment_sum(r, ids, num_segments=n, indices_are_sorted=True)
+        for r in rows
+    )
+
+
+def _dot_rows(a: Rows, b: Rows) -> jax.Array:
+    """Row-wise dot: sum_i a_i * b_i -> (N,)."""
+    acc = a[0] * b[0]
+    for i in range(1, len(a)):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def _axpy_rows(s1: jax.Array, a: Rows, s2: jax.Array, b: Rows) -> Rows:
+    """s1 * a + s2 * b row-wise (s broadcast scalars or (N,))."""
+    return tuple(s1 * ai + s2 * bi for ai, bi in zip(a, b))
+
+
+def _cross_rows(a: Rows, b: Rows) -> Rows:
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _rows_to_flat(rows: Rows) -> jax.Array:
+    """Nine (F,) camera rows -> (9F,) camera-major flat vector (the
+    (F, 9) intermediate is F-sized — harmless)."""
+    return jnp.stack(rows, -1).reshape(-1)
 
 
 def _chain_state(f_g: jax.Array, u_g: jax.Array) -> BAState:
@@ -218,38 +264,34 @@ def _chain_state(f_g: jax.Array, u_g: jax.Array) -> BAState:
 
 
 def _prep_chunks(a: jax.Array, chunk: int, nch: int) -> jax.Array:
-    """Zero-pad the lane (last) axis of a lane-major array to nch*chunk
-    and expose the chunk axis first: (k, N) -> (nch, k, C); (N,) ->
-    (nch, C)."""
-    pad = nch * chunk - a.shape[-1]
-    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
-    a = jnp.pad(a, widths)
-    a = a.reshape(a.shape[:-1] + (nch, chunk))
-    return jnp.moveaxis(a, -2, 0)
+    """Zero-pad a 1-D array to nch*chunk and expose the chunk axis
+    first: (N,) -> (nch, C)."""
+    a = jnp.pad(a, (0, nch * chunk - a.shape[-1]))
+    return a.reshape(nch, chunk)
 
 
 def _scan_obs_chunks(body, init, row_arrays, obs_chunk):
-    """Scan ``body(acc, chunk_of_columns)`` over column chunks of
-    lane-major ``(k, N)`` / ``(N,)`` arrays, zero-padding the tail.
-    Returns (final acc, stacked per-chunk outputs matching body's second
-    return)."""
-    n = row_arrays[0].shape[-1]
+    """Scan ``body(acc, chunk_of_columns)`` over column chunks of a
+    pytree of (N,) arrays, zero-padding the tail. Returns (final acc,
+    stacked per-chunk outputs matching body's second return)."""
+    leaves = jax.tree.leaves(row_arrays)
+    n = leaves[0].shape[-1]
     nch = -(-n // obs_chunk)
     acc, ys = jax.lax.scan(
         body, init,
-        tuple(_prep_chunks(a, obs_chunk, nch) for a in row_arrays),
+        jax.tree.map(lambda a: _prep_chunks(a, obs_chunk, nch), row_arrays),
     )
     return acc, ys
 
 
-def _pqr_t(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float):
-    """Per-observation homogeneous coordinates (p, q, r), lane-major:
-    the camera matrix is gathered as (12, N) rows, never (N, 3, 4)."""
+def _pqr_t(cam: BAState, X_r: Rows, obs: SparseObs, f0: float):
+    """Per-observation homogeneous coordinates (p, q, r): the camera
+    matrix is gathered as twelve (N,) rows, never (N, 3, 4)."""
     pi, ci = obs.point_idx, obs.cam_idx
     nf = cam.f.shape[0]
-    pm_t = _calc_pmat(cam, f0).reshape(nf, 12).T  # (12, F)
-    pm_g = pm_t[:, ci]  # (12, N)
-    X_g = X_t[:, pi]  # (3, N)
+    pm = _cols_rows(_calc_pmat(cam, f0).reshape(nf, 12))  # 12 x (F,)
+    pm_g = _rows_gather(pm, ci)  # 12 x (N,)
+    X_g = _rows_gather(X_r, pi)  # 3 x (N,)
     p = pm_g[0] * X_g[0] + pm_g[1] * X_g[1] + pm_g[2] * X_g[2] + pm_g[3]
     q = pm_g[4] * X_g[0] + pm_g[5] * X_g[1] + pm_g[6] * X_g[2] + pm_g[7]
     r = pm_g[8] * X_g[0] + pm_g[9] * X_g[1] + pm_g[10] * X_g[2] + pm_g[11]
@@ -277,12 +319,11 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
     r = jnp.where(w > 0, r, jnp.ones_like(r))  # 0*inf guard (padding)
 
     f_g = cam.f[ci]
-    u_t = cam.u.T  # (2, F)
-    u_g = u_t[:, ci]  # (2, N)
-    r0_g = cam.R[:, :, 0].T[:, ci]  # rotation columns as (3, N) rows
-    r1_g = cam.R[:, :, 1].T[:, ci]
-    r2_g = cam.R[:, :, 2].T[:, ci]
-    t_g = cam.t.T[:, ci]
+    u_g = _rows_gather(_cols_rows(cam.u), ci)  # 2 x (N,)
+    r0_g = _rows_gather(_cols_rows(cam.R[:, :, 0]), ci)  # rotation columns
+    r1_g = _rows_gather(_cols_rows(cam.R[:, :, 1]), ci)
+    r2_g = _rows_gather(_cols_rows(cam.R[:, :, 2]), ci)
+    t_g = _rows_gather(_cols_rows(cam.t), ci)
 
     res_p = p / r - obs.xy[0] / f0
     res_q = q / r - obs.xy[1] / f0
@@ -290,42 +331,43 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
     # point rows: dX of (p, q, r) are the pmat rows (reference :309-322)
     dpdX, dqdX, drdX = pm_g[0:3], pm_g[4:7], pm_g[8:11]
     inv_r2 = 1.0 / (r * r)
-    a1 = (r * dpdX - p * drdX) * inv_r2
-    a2 = (r * dqdX - q * drdX) * inv_r2
+    a1 = tuple((r * dp_ - p * dr_) * inv_r2 for dp_, dr_ in zip(dpdX, drdX))
+    a2 = tuple((r * dq_ - q * dr_) * inv_r2 for dq_, dr_ in zip(dqdX, drdX))
 
     # camera rows, per observation (reference :324-398)
     dpdf = (p - (u_g[0] / f0) * r) / f_g
     dqdf = (q - (u_g[1] / f0) * r) / f_g
     zeros = jnp.zeros_like(r)
     r_f0 = r / f0
-    dpdu = jnp.stack([r_f0, zeros])  # (2, N)
-    dqdu = jnp.stack([zeros, r_f0])
-    dpdt = -(f_g * r0_g + u_g[0] * r2_g)  # (3, N)
-    dqdt = -(f_g * r1_g + u_g[1] * r2_g)
-    drdt = -f0 * r2_g
-    x_m_t = X_g - t_g
-    dpdw = jnp.cross(-dpdt, x_m_t, axis=0)
-    dqdw = jnp.cross(-dqdt, x_m_t, axis=0)
-    drdw = jnp.cross(-drdt, x_m_t, axis=0)
-    dp = jnp.concatenate([dpdf[None], dpdu, dpdt, dpdw])  # (9, N)
-    dq = jnp.concatenate([dqdf[None], dqdu, dqdt, dqdw])
-    dr = jnp.concatenate([zeros[None], jnp.zeros_like(dpdu), drdt, drdw])
-    b1 = (r * dp - p * dr) * inv_r2
-    b2 = (r * dq - q * dr) * inv_r2
+    dpdt = tuple(-(f_g * r0 + u_g[0] * r2) for r0, r2 in zip(r0_g, r2_g))
+    dqdt = tuple(-(f_g * r1 + u_g[1] * r2) for r1, r2 in zip(r1_g, r2_g))
+    drdt = tuple(-f0 * r2 for r2 in r2_g)
+    x_m_t = tuple(xg - tg for xg, tg in zip(X_g, t_g))
+    dpdw = _cross_rows(tuple(-v for v in dpdt), x_m_t)
+    dqdw = _cross_rows(tuple(-v for v in dqdt), x_m_t)
+    drdw = _cross_rows(tuple(-v for v in drdt), x_m_t)
+    dp = (dpdf, r_f0, zeros) + dpdt + dpdw  # 9 rows
+    dq = (dqdf, zeros, r_f0) + dqdt + dqdw
+    dr = (zeros, zeros, zeros) + drdt + drdw
+    b1 = tuple((r * dp_ - p * dr_) * inv_r2 for dp_, dr_ in zip(dp, dr))
+    b2 = tuple((r * dq_ - q * dr_) * inv_r2 for dq_, dr_ in zip(dq, dr))
 
     if dist is not None:
-        dist_g = dist.T[:, ci]  # (k, N)
+        dist_g = _rows_gather(_cols_rows(dist), ci)  # k x (N,)
 
         def chain_chunk(_, cols):
             p_c, q_c, r_c, rp_c, rq_c, a1_c, a2_c, b1_c, b2_c, f_c, u_c, \
                 d_c = cols
             rp_o, rq_o, a1_o, a2_o, b1_o, b2_o = _apply_distortion_chain(
-                _chain_state(f_c, u_c.T), p_c[None], q_c[None], r_c[None],
-                f0, d_c.T, rp_c[None], rq_c[None], a1_c.T[None],
-                a2_c.T[None], b1_c.T[None], b2_c.T[None], model,
+                _chain_state(f_c, jnp.stack(u_c, -1)), p_c[None], q_c[None],
+                r_c[None], f0, jnp.stack(d_c, -1),
+                rp_c[None], rq_c[None],
+                jnp.stack(a1_c, -1)[None], jnp.stack(a2_c, -1)[None],
+                jnp.stack(b1_c, -1)[None], jnp.stack(b2_c, -1)[None], model,
             )
-            return (), (rp_o[0], rq_o[0], a1_o[0].T, a2_o[0].T,
-                        b1_o[0].T, b2_o[0].T)
+            return (), (rp_o[0], rq_o[0],
+                        _cols_rows(a1_o[0]), _cols_rows(a2_o[0]),
+                        _cols_rows(b1_o[0]), _cols_rows(b2_o[0]))
 
         n = p.shape[0]
         _, ys = _scan_obs_chunks(
@@ -334,9 +376,8 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
             min(obs_chunk, max(n, 1)),
         )
 
-        def unchunk(y):  # (nch, C) / (nch, k, C) -> (N,) / (k, N)
-            y = jnp.moveaxis(y, 0, -2)
-            return y.reshape(y.shape[:-2] + (-1,))[..., :n]
+        def unchunk(y):  # (nch, C) leaves -> (N,) leaves
+            return jax.tree.map(lambda a: a.reshape(-1)[:n], y)
 
         res_p, res_q, a1, a2, b1, b2 = (unchunk(y) for y in ys)
 
@@ -357,20 +398,21 @@ def _residuals_t(cam: BAState, X_t: jax.Array, obs: SparseObs, w: jax.Array,
         return p / r - obs.xy[0] / f0, q / r - obs.xy[1] / f0
 
     f_g = cam.f[ci]
-    u_g = cam.u.T[:, ci]
-    dist_g = dist.T[:, ci]
+    u_g = _rows_gather(_cols_rows(cam.u), ci)
+    dist_g = _rows_gather(_cols_rows(dist), ci)
 
     def res_chunk(_, cols):
-        p_c, q_c, r_c, xy_c, f_c, u_c, d_c = cols
+        p_c, q_c, r_c, x_c, y_c, f_c, u_c, d_c = cols
         rp, rq = _distorted_residual(
-            _chain_state(f_c, u_c.T), p_c[None], q_c[None], r_c[None],
-            xy_c.T[None], f0, d_c.T, model,
+            _chain_state(f_c, jnp.stack(u_c, -1)), p_c[None], q_c[None],
+            r_c[None], jnp.stack([x_c, y_c], -1)[None], f0,
+            jnp.stack(d_c, -1), model,
         )
         return (), (rp[0], rq[0])
 
     n = p.shape[0]
     _, (rp, rq) = _scan_obs_chunks(
-        res_chunk, (), (p, q, r, obs.xy, f_g, u_g, dist_g),
+        res_chunk, (), (p, q, r, obs.xy[0], obs.xy[1], f_g, u_g, dist_g),
         min(obs_chunk, max(n, 1)),
     )
     return rp.reshape(-1)[:n], rq.reshape(-1)[:n]
@@ -385,20 +427,20 @@ def _trial_error(cam: BAState, X_t: jax.Array, obs: SparseObs, w: jax.Array,
     return _psum(jnp.sum(w * (res_p**2 + res_q**2)), axis_name)
 
 
-def _segment_cam_rows(rows: jax.Array, perm: jax.Array, ci_sorted: jax.Array,
-                      nf: int) -> jax.Array:
-    """Per-camera sum of per-observation row stacks: (k, N) -> (k, F).
-    Each row permutes into camera-sorted order (one 1-D gather) and
-    reduces by a sorted segment sum."""
-    if rows.ndim == 1:
+def _segment_cam_rows(rows, perm: jax.Array, ci_sorted: jax.Array,
+                      nf: int):
+    """Per-camera sum of per-observation rows: k x (N,) -> k x (F,) (or
+    a single (N,) -> (F,)). Each row permutes into camera-sorted order
+    (one 1-D gather) and reduces by a sorted segment sum."""
+    if not isinstance(rows, tuple):
         return jax.ops.segment_sum(
             rows[perm], ci_sorted, num_segments=nf, indices_are_sorted=True
         )
-    return jnp.stack([
-        jax.ops.segment_sum(rows[i][perm], ci_sorted, num_segments=nf,
+    return tuple(
+        jax.ops.segment_sum(r[perm], ci_sorted, num_segments=nf,
                             indices_are_sorted=True)
-        for i in range(rows.shape[0])
-    ])
+        for r in rows
+    )
 
 
 def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
@@ -406,11 +448,12 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
     """(F, 9, 9) camera blocks G and the preconditioner's correction
     C_c = sum_n alpha11 b1 b1^T + alpha12 (b1 b2^T + b2 b1^T) + alpha22
     b2 b2^T, accumulated over observation chunks so the (chunk, 9, 9)
-    outer products never materialize at full N. ``b1``/``b2`` arrive
-    lane-major (9, N); each chunk is transposed to (C, 9) locally."""
-    dt = b1.dtype
-    n = b1.shape[-1]
-    b1s, b2s = b1[:, perm], b2[:, perm]
+    outer products never materialize at full N. ``b1``/``b2`` arrive as
+    nine (N,) rows; each chunk stacks them to (C, 9) locally."""
+    dt = b1[0].dtype
+    n = b1[0].shape[-1]
+    b1s = _rows_gather(b1, perm)
+    b2s = _rows_gather(b2, perm)
     a11, a12, a22 = (alpha[i][perm] for i in range(3))
     w2s = w2[perm]
     obs_chunk = min(obs_chunk, max(n, 1))
@@ -423,7 +466,7 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
     def body(acc, inp):
         g_acc, c_acc = acc
         b1r, b2r, a11c, a12c, a22c, w2c, cic = inp
-        b1c, b2c = b1r.T, b2r.T  # (C, 9)
+        b1c, b2c = jnp.stack(b1r, -1), jnp.stack(b2r, -1)  # (C, 9)
         o11 = jnp.einsum("ni,nj->nij", b1c, b1c, precision=HIGHEST)
         o12 = jnp.einsum("ni,nj->nij", b1c, b2c, precision=HIGHEST)
         o22 = jnp.einsum("ni,nj->nij", b2c, b2c, precision=HIGHEST)
@@ -443,18 +486,14 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
     init = _vary(
         (jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf, 9, 9), dt)), axis_name
     )
-    n_pad = (-n) % obs_chunk
 
     def prep(a):
-        widths = [(0, 0)] * (a.ndim - 1) + [(0, n_pad)]
-        a = jnp.pad(a, widths)
-        a = a.reshape(a.shape[:-1] + (nch, obs_chunk))
-        return jnp.moveaxis(a, -2, 0)
+        return _prep_chunks(a, obs_chunk, nch)
 
     (g, c), _ = jax.lax.scan(
         body, init,
-        (prep(b1s), prep(b2s), prep(a11), prep(a12), prep(a22), prep(w2s),
-         cis),
+        (jax.tree.map(prep, b1s), jax.tree.map(prep, b2s), prep(a11),
+         prep(a12), prep(a22), prep(w2s), cis),
     )
     return g, c
 
@@ -472,8 +511,8 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     preconditioner correction, rhs, error) psum across devices;
     everything point-side stays shard-local — the same split as the
     chunked core's sharding (``parallel/sharded_ba.py``)."""
-    npts, nf = X.shape[-1], cam.f.shape[0]
-    dt = X.dtype
+    npts, nf = X[0].shape[-1], cam.f.shape[0]
+    dt = X[0].dtype
     a1, a2, b1, b2, res_p, res_q, w = _obs_factors(
         cam, X, obs, f0, huber_delta, dist, model, robust_kind, obs_chunk
     )
@@ -483,28 +522,33 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
 
     # point gradient and blocks (reference :437-446 / :463-500) — the
     # symmetric 3x3 blocks live as six (P,) rows (order 00,11,22,01,02,12)
-    d_P = _seg_rows(w2 * (res_p * a1 + res_q * a2), pi, npts)  # (3, P)
-    e_rows = jnp.stack([
+    d_P = _seg_rows(
+        tuple(w2 * (res_p * a1i + res_q * a2i)
+              for a1i, a2i in zip(a1, a2)), pi, npts)  # 3 x (P,)
+    e_rows = (
         a1[0] * a1[0] + a2[0] * a2[0],
         a1[1] * a1[1] + a2[1] * a2[1],
         a1[2] * a1[2] + a2[2] * a2[2],
         a1[0] * a1[1] + a2[0] * a2[1],
         a1[0] * a1[2] + a2[0] * a2[2],
         a1[1] * a1[2] + a2[1] * a2[2],
-    ])
-    matE6 = _seg_rows(w2 * e_rows, pi, npts)  # (6, P)
+    )
+    matE6 = _seg_rows(tuple(w2 * e for e in e_rows), pi, npts)  # 6 x (P,)
     seen = (jax.ops.segment_sum(w, pi, num_segments=npts,
                                 indices_are_sorted=True) > 0).astype(dt)
     # unseen points get identity blocks (diag rows 1, off-diag 0)
-    matE6 = matE6.at[:3].add(1.0 - seen)
-    matEc6 = matE6.at[:3].mul(1.0 + c)
+    unseen = 1.0 - seen
+    matE6 = tuple(e + unseen if i < 3 else e for i, e in enumerate(matE6))
+    matEc6 = tuple(e * (1.0 + c) if i < 3 else e
+                   for i, e in enumerate(matE6))
     einv6 = _sym3_inv(matEc6)
 
     # camera gradient d_F (9F,)
     d_F = _psum(
-        _segment_cam_rows(
-            w2 * (res_p * b1 + res_q * b2), perm, ci_sorted, nf
-        ).T.reshape(9 * nf),
+        _rows_to_flat(_segment_cam_rows(
+            tuple(w2 * (res_p * b1i + res_q * b2i)
+                  for b1i, b2i in zip(b1, b2)), perm, ci_sorted, nf
+        )),
         axis_name,
     ) * free
 
@@ -512,12 +556,12 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     # observation (Einv gathered per point). The w2 weighting enters each
     # F_n = w2 (a1 b1^T + a2 b2^T) twice but Einv once: fold w2 * w2 into
     # alpha (w2 is already inside matE, hence inside Einv exactly once).
-    einv_g = einv6[:, pi]  # (6, N)
+    einv_g = _rows_gather(einv6, pi)  # 6 x (N,)
     ea1 = _sym3_matvec(einv_g, a1)
     ea2 = _sym3_matvec(einv_g, a2)
-    al11 = w2 * w2 * jnp.sum(a1 * ea1, 0)
-    al12 = w2 * w2 * jnp.sum(a1 * ea2, 0)
-    al22 = w2 * w2 * jnp.sum(a2 * ea2, 0)
+    al11 = w2 * w2 * _dot_rows(a1, ea1)
+    al12 = w2 * w2 * _dot_rows(a1, ea2)
+    al22 = w2 * w2 * _dot_rows(a2, ea2)
 
     matG, corr = _camera_blocks_scan(
         b1, b2, (al11, al12, al22), w2, perm, ci_sorted, nf, obs_chunk,
@@ -542,14 +586,14 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     m_inv = inv9_spd(m_blocks)
 
     # rhs: b = F^T Einv d_P - d_F (gauge-masked), reference :532-560
-    wp = _sym3_matvec(einv6, d_P)  # (3, P)
-    wp_g = wp[:, pi]
-    r1 = w2 * jnp.sum(a1 * wp_g, 0)
-    r2 = w2 * jnp.sum(a2 * wp_g, 0)
+    wp = _sym3_matvec(einv6, d_P)  # 3 x (P,)
+    wp_g = _rows_gather(wp, pi)
+    r1 = w2 * _dot_rows(a1, wp_g)
+    r2 = w2 * _dot_rows(a2, wp_g)
     b_f = _psum(
-        _segment_cam_rows(
-            r1 * b1 + r2 * b2, perm, ci_sorted, nf
-        ).T.reshape(9 * nf),
+        _rows_to_flat(_segment_cam_rows(
+            _axpy_rows(r1, b1, r2, b2), perm, ci_sorted, nf
+        )),
         axis_name,
     )
     rhs = (b_f - d_F) * free
@@ -571,19 +615,19 @@ def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
     nf = matGc.shape[0]
     vm = (v * free).reshape(nf, 9)
     pi, ci = obs.point_idx, obs.cam_idx
-    v_g = vm.T[:, ci]  # (9, N)
-    u1 = w2 * jnp.sum(b1 * v_g, 0)
-    u2 = w2 * jnp.sum(b2 * v_g, 0)
-    t_rows = u1 * a1 + u2 * a2  # (3, N) = F v rows
-    s_p = _seg_rows(t_rows, pi, einv6.shape[-1])  # (3, P)
+    v_g = _rows_gather(_cols_rows(vm), ci)  # 9 x (N,) — nine 1-D gathers
+    u1 = w2 * _dot_rows(b1, v_g)
+    u2 = w2 * _dot_rows(b2, v_g)
+    t_rows = _axpy_rows(u1, a1, u2, a2)  # 3 x (N,) = F v rows
+    s_p = _seg_rows(t_rows, pi, einv6[0].shape[-1])  # 3 x (P,)
     w_p = _sym3_matvec(einv6, s_p)
-    w_g = w_p[:, pi]
-    r1 = w2 * jnp.sum(a1 * w_g, 0)
-    r2 = w2 * jnp.sum(a2 * w_g, 0)
+    w_g = _rows_gather(w_p, pi)
+    r1 = w2 * _dot_rows(a1, w_g)
+    r2 = w2 * _dot_rows(a2, w_g)
     fe_fv = _psum(
-        _segment_cam_rows(
-            r1 * b1 + r2 * b2, perm, ci_sorted, nf
-        ).T,
+        jnp.stack(_segment_cam_rows(
+            _axpy_rows(r1, b1, r2, b2), perm, ci_sorted, nf
+        ), -1),
         axis_name,
     )  # (F, 9)
     gv = jnp.einsum("fij,fj->fi", matGc, vm, precision=HIGHEST)
@@ -665,8 +709,9 @@ def lm_optimize_sparse(
     robust_kind = robust_cfg or "huber"
 
     def split(state):
-        # points ride the loop lane-major: (3, P) rows
-        return state._replace(X=jnp.zeros((0, 3), dt)), state.X.T
+        # points ride the loop as three (P,) coordinate rows
+        return (state._replace(X=jnp.zeros((0, 3), dt)),
+                _cols_rows(state.X))
 
     def weights_at(cam, X):
         if huber_delta is None:
@@ -725,12 +770,17 @@ def lm_optimize_sparse(
 
             # back-substitute points: delta_X = -Einv (F delta + d_P)
             a1, a2, b1, b2, w2, einv6, d_P = factors
-            v_g = delta_xi.reshape(nf, 9).T[:, obs.cam_idx]  # (9, N)
-            u1 = w2 * jnp.sum(b1 * v_g, 0)
-            u2 = w2 * jnp.sum(b2 * v_g, 0)
-            f_dxi = _seg_rows(u1 * a1 + u2 * a2, obs.point_idx, npts)
-            delta_X = -_sym3_matvec(einv6, f_dxi + d_P)  # (3, P)
-            X_new = X + delta_X
+            v_g = _rows_gather(
+                _cols_rows(delta_xi.reshape(nf, 9)), obs.cam_idx
+            )  # 9 x (N,)
+            u1 = w2 * _dot_rows(b1, v_g)
+            u2 = w2 * _dot_rows(b2, v_g)
+            f_dxi = _seg_rows(_axpy_rows(u1, a1, u2, a2), obs.point_idx,
+                              npts)
+            mw = _sym3_matvec(einv6, tuple(f + d for f, d in
+                                           zip(f_dxi, d_P)))
+            delta_X = tuple(-m for m in mw)  # 3 x (P,)
+            X_new = tuple(x + d for x, d in zip(X, delta_X))
 
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
             w_cur = weights_at(cam, X)
@@ -741,11 +791,13 @@ def lm_optimize_sparse(
             if nielsen:
                 diag_e = matE[:3]  # undamped point-block diagonal rows
                 dDd = (
-                    _psum(jnp.sum(delta_X * diag_e * delta_X), axis_name)
+                    _psum(sum(jnp.sum(dx * de * dx) for dx, de in
+                              zip(delta_X, diag_e)), axis_name)
                     + jnp.sum(delta_xi * diag_g * delta_xi)
                 )
                 g_d = (
-                    _psum(jnp.sum(d_P * delta_X), axis_name)
+                    _psum(sum(jnp.sum(dp * dx) for dp, dx in
+                              zip(d_P, delta_X)), axis_name)
                     + jnp.sum(d_F * delta_xi)
                 )
                 pred = 0.5 * (c_cur * dDd - g_d)
@@ -766,12 +818,14 @@ def lm_optimize_sparse(
          accepted, tries) = jax.lax.while_loop(
             cond, body,
             (c, nu, jnp.asarray(jnp.inf, dt), e_prev, dummy_cam,
-             jnp.zeros_like(X), jnp.asarray(0), jnp.asarray(False), 0),
+             jax.tree.map(jnp.zeros_like, X), jnp.asarray(0),
+             jnp.asarray(False), 0),
         )
         trial_cam = jax.tree.map(
             lambda a, b: jnp.where(accepted, a, b), trial_cam, cam
         )
-        X_new = jnp.where(accepted, X_new, X)
+        X_new = jax.tree.map(lambda a, b: jnp.where(accepted, a, b),
+                             X_new, X)
         e_new = jnp.where(accepted, e_new, e_base_out)
         return c_out, nu_out, e_new, e_base_out, trial_cam, X_new, cg_tot, tries
 
@@ -800,8 +854,8 @@ def lm_optimize_sparse(
         (cam0, X0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False),
          jnp.asarray(0), jnp.asarray(0), log0),
     )
-    return (cam_f._replace(X=X_f.T), e_f, c_f, nu_f, n_iter, n_retries,
-            cg_total, log_f if record else None)
+    return (cam_f._replace(X=jnp.stack(X_f, -1)), e_f, c_f, nu_f, n_iter,
+            n_retries, cg_total, log_f if record else None)
 
 
 def fit_distortion_sparse(
@@ -821,14 +875,13 @@ def fit_distortion_sparse(
     nf = state.f.shape[0]
     dt = obs.xy.dtype
     cam = state._replace(X=jnp.zeros((0, 3), dt))
-    X_t = state.X.T if state.X.ndim == 2 and state.X.shape[-1] == 3 \
-        else state.X
-    _, _, p, q, r = _pqr_t(cam, X_t, obs, f0)
+    X_r = _cols_rows(state.X) if not isinstance(state.X, tuple) else state.X
+    _, _, p, q, r = _pqr_t(cam, X_r, obs, f0)
     w = obs.weights
     f_g = cam.f[ci]
-    u_g = cam.u.T[:, ci]  # (2, N)
+    u_g = _rows_gather(_cols_rows(cam.u), ci)  # 2 x (N,)
     if huber_delta is not None:
-        rp, rq = _residuals_t(cam, X_t, obs, w, f0, dist, model, obs_chunk)
+        rp, rq = _residuals_t(cam, X_r, obs, w, f0, dist, model, obs_chunk)
         mag = jnp.sqrt(rp**2 + rq**2)
         w = w * robust_weight(mag, huber_delta, robust_kind)
 
@@ -837,13 +890,14 @@ def fit_distortion_sparse(
         normal-equation terms: nothing (N, k)-shaped materializes.
         ``term_fn(state, p, q, r, x, vis, dist_rows)`` evaluates the
         dense core's per-observation terms on a (1, C) chunk."""
-        cur_g = cur.T[:, ci]  # (k, N)
+        cur_g = _rows_gather(_cols_rows(cur), ci)  # k x (N,)
 
         def body(acc, cols):
-            p_c, q_c, r_c, xy_c, w_c, f_c, u_c, d_c, ci_c = cols
+            p_c, q_c, r_c, x_c, y_c, w_c, f_c, u_c, d_c, ci_c = cols
             t = term_fn(
-                _chain_state(f_c, u_c.T), p_c[None], q_c[None], r_c[None],
-                xy_c.T[None], w_c[None], d_c.T,
+                _chain_state(f_c, jnp.stack(u_c, -1)), p_c[None],
+                q_c[None], r_c[None], jnp.stack([x_c, y_c], -1)[None],
+                w_c[None], jnp.stack(d_c, -1),
             )
             return acc + jax.ops.segment_sum(t, ci_c, num_segments=nf), ()
 
@@ -853,17 +907,20 @@ def fit_distortion_sparse(
         ci_pad = jnp.pad(ci, (0, nch * chunk - n),
                          constant_values=nf - 1).reshape(nch, chunk)
         probe = term_fn(
-            _chain_state(f_g[:1], u_g[:, :1].T), p[None, :1], q[None, :1],
-            r[None, :1], obs.xy[:, :1].T[None], w[None, :1],
-            cur_g[:, :1].T,
+            _chain_state(f_g[:1], jnp.stack([u_g[0][:1], u_g[1][:1]], -1)),
+            p[None, :1], q[None, :1], r[None, :1],
+            jnp.stack([obs.xy[0][:1], obs.xy[1][:1]], -1)[None], w[None, :1],
+            jnp.stack([d[:1] for d in cur_g], -1),
         )
         from .bundle_adjustment_chunked import _vary
 
         acc0 = _vary(jnp.zeros((nf,) + probe.shape[1:], dt), axis_name)
         acc, _ = jax.lax.scan(
             body, acc0,
-            tuple(_prep_chunks(a, chunk, nch) for a in
-                  (p, q, r, obs.xy, w, f_g, u_g, cur_g)) + (ci_pad,),
+            jax.tree.map(
+                lambda a: _prep_chunks(a, chunk, nch),
+                (p, q, r, obs.xy[0], obs.xy[1], w, f_g, u_g, cur_g),
+            ) + (ci_pad,),
         )
         return _psum(acc, axis_name)
 

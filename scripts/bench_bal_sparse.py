@@ -48,14 +48,22 @@ from mvrecon_tpu.ops.procrustes import aligned_rmse
 def make_sparse_problem(n_points, n_cams, window, outlier_frac=0.02,
                         noise=0.005, seed=0, dtype=np.float64):
     """Observation-list problem, generated chunked so nothing dense ever
-    materializes. Returns (obs arrays, ground truth, camera arrays)."""
-    key = jax.random.key(seed)
-    k_pos, k_tgt = jax.random.split(key)
-    pos = sample_hemisphere_points(k_pos, n_cams, 5.0, dtype=jnp.float64)
-    targets = 0.5 * jax.random.normal(k_tgt, (n_cams, 3), dtype=jnp.float64)
-    R, t = look_at(pos, targets)
-    K = intrinsics(jnp.full((n_cams,), 1.0, dtype=jnp.float64), 1.0)
-    X = np.asarray(curved_tube_points(n_points // 20, 20, dtype=jnp.float64))
+    materializes. Returns (obs arrays, ground truth, camera arrays).
+
+    Generation is pinned to the host CPU backend: over a tunneled TPU the
+    tiny camera/point jax ops round-trip at ~1 MB/s and cost minutes."""
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        key = jax.random.key(seed)
+        k_pos, k_tgt = jax.random.split(key)
+        pos = sample_hemisphere_points(k_pos, n_cams, 5.0, dtype=jnp.float64)
+        targets = 0.5 * jax.random.normal(
+            k_tgt, (n_cams, 3), dtype=jnp.float64
+        )
+        R, t = look_at(pos, targets)
+        K = intrinsics(jnp.full((n_cams,), 1.0, dtype=jnp.float64), 1.0)
+        X = np.asarray(
+            curved_tube_points(n_points // 20, 20, dtype=jnp.float64)
+        )
     n_points = X.shape[0]
 
     rng = np.random.default_rng(seed)
