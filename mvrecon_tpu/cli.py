@@ -208,6 +208,13 @@ def build_parser() -> argparse.ArgumentParser:
              "step",
     )
     p_bal.add_argument(
+        "--bf16-factors", action="store_true",
+        help="(--sparse) store the per-observation Jacobian factor rows "
+             "in bfloat16 — ~1.6x single-chip observation capacity; the "
+             "LM steps solve a slightly perturbed system but acceptance "
+             "is judged at full precision",
+    )
+    p_bal.add_argument(
         "--triangulate-init", action="store_true",
         help="(--sparse) ignore the file's 3D points and initialize by "
              "observation-list DLT triangulation through the file's "
@@ -284,8 +291,11 @@ def _cmd_bal_sparse(args, out: dict, dtype) -> None:
             mesh, d["point_idx"], d["cam_idx"], np.asarray(d["xy"], dtype),
             X0, K0, R0, t0, f0=float(d["f0"]), axis="x-up_z-forward",
             config=cfg, cg_max_iter=args.cg_max_iter, distortion=dist,
+            factor_dtype="bfloat16" if args.bf16_factors else None,
         )
         out["shard_points"] = args.shard_points
+        if args.bf16_factors:
+            out["factor_dtype"] = "bfloat16"
     else:
         from .models.bundle_adjustment_sparse import (
             SparseObs, bundle_adjust_sparse,
@@ -302,7 +312,10 @@ def _cmd_bal_sparse(args, out: dict, dtype) -> None:
         res = bundle_adjust_sparse(
             obs, X0, K0, R0, t0, f0=float(d["f0"]), axis="x-up_z-forward",
             config=cfg, cg_max_iter=args.cg_max_iter, distortion=dist,
+            factor_dtype="bfloat16" if args.bf16_factors else None,
         )
+        if args.bf16_factors:
+            out["factor_dtype"] = "bfloat16"
     out.update(
         format="bal", sparse=True,
         cams=nf, points=npts,

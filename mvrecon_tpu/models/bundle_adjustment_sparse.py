@@ -300,7 +300,8 @@ def _pqr_t(cam: BAState, X_r: Rows, obs: SparseObs, f0: float):
 
 def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
                  huber_delta=None, dist=None, model: str | None = None,
-                 robust_kind: str = "huber", obs_chunk: int = 1 << 16):
+                 robust_kind: str = "huber", obs_chunk: int = 1 << 16,
+                 factor_dtype=None):
     """Per-observation residuals and rank-2 Jacobian factors, lane-major.
 
     Returns (a1, a2 (3, N); b1, b2 (9, N); res_p, res_q (N,); w (N,))
@@ -312,6 +313,15 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
     is written for (..., k)-minor factor layouts) runs inside a
     ``lax.scan`` over ``obs_chunk`` columns, so its (C, k) views stay
     bounded.
+
+    ``factor_dtype`` (e.g. ``jnp.bfloat16``) stores the returned a/b
+    rows narrower — the capacity lever: the 24 factor rows dominate the
+    core's per-observation residency (they stay live across the whole
+    CG solve), and the casts fuse into the producing elementwise graph
+    (inside the distortion-chain scan when a chain runs), so the f32
+    rows never hit HBM at full N. Residuals, weights, and everything
+    P-/F-sized stay f32; consumers upcast per use (see
+    ``lm_optimize_sparse``'s note on the numerics).
     """
     ci = obs.cam_idx
     w = obs.weights
@@ -352,6 +362,11 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
     b1 = tuple((r * dp_ - p * dr_) * inv_r2 for dp_, dr_ in zip(dp, dr))
     b2 = tuple((r * dq_ - q * dr_) * inv_r2 for dq_, dr_ in zip(dq, dr))
 
+    def narrow(rows: Rows) -> Rows:
+        if factor_dtype is None:
+            return rows
+        return tuple(r.astype(factor_dtype) for r in rows)
+
     if dist is not None:
         dist_g = _rows_gather(_cols_rows(dist), ci)  # k x (N,)
 
@@ -366,8 +381,10 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
                 jnp.stack(b1_c, -1)[None], jnp.stack(b2_c, -1)[None], model,
             )
             return (), (rp_o[0], rq_o[0],
-                        _cols_rows(a1_o[0]), _cols_rows(a2_o[0]),
-                        _cols_rows(b1_o[0]), _cols_rows(b2_o[0]))
+                        narrow(_cols_rows(a1_o[0])),
+                        narrow(_cols_rows(a2_o[0])),
+                        narrow(_cols_rows(b1_o[0])),
+                        narrow(_cols_rows(b2_o[0])))
 
         n = p.shape[0]
         _, ys = _scan_obs_chunks(
@@ -380,6 +397,8 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
             return jax.tree.map(lambda a: a.reshape(-1)[:n], y)
 
         res_p, res_q, a1, a2, b1, b2 = (unchunk(y) for y in ys)
+    else:
+        a1, a2, b1, b2 = narrow(a1), narrow(a2), narrow(b1), narrow(b2)
 
     if huber_delta is not None:
         mag = jnp.sqrt(res_p**2 + res_q**2)
@@ -449,8 +468,10 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
     C_c = sum_n alpha11 b1 b1^T + alpha12 (b1 b2^T + b2 b1^T) + alpha22
     b2 b2^T, accumulated over observation chunks so the (chunk, 9, 9)
     outer products never materialize at full N. ``b1``/``b2`` arrive as
-    nine (N,) rows; each chunk stacks them to (C, 9) locally."""
-    dt = b1[0].dtype
+    nine (N,) rows (possibly narrow — see ``factor_dtype``; the chunk
+    stacks upcast, so products and accumulators stay full-width); each
+    chunk stacks them to (C, 9) locally."""
+    dt = w2.dtype
     n = b1[0].shape[-1]
     b1s = _rows_gather(b1, perm)
     b2s = _rows_gather(b2, perm)
@@ -466,7 +487,8 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
     def body(acc, inp):
         g_acc, c_acc = acc
         b1r, b2r, a11c, a12c, a22c, w2c, cic = inp
-        b1c, b2c = jnp.stack(b1r, -1), jnp.stack(b2r, -1)  # (C, 9)
+        b1c = jnp.stack(b1r, -1).astype(dt)  # (C, 9)
+        b2c = jnp.stack(b2r, -1).astype(dt)
         o11 = jnp.einsum("ni,nj->nij", b1c, b1c, precision=HIGHEST)
         o12 = jnp.einsum("ni,nj->nij", b1c, b2c, precision=HIGHEST)
         o22 = jnp.einsum("ni,nj->nij", b2c, b2c, precision=HIGHEST)
@@ -500,7 +522,7 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
 
 def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
                          huber_delta, dist, model, robust_kind, obs_chunk,
-                         axis_name=None):
+                         axis_name=None, factor_dtype=None):
     """One damped build: point blocks + gradients + camera blocks +
     block-Jacobi preconditioner + rhs. Returns everything the CG solve
     and back-substitution need, plus the weighted error at the current
@@ -514,7 +536,8 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     npts, nf = X[0].shape[-1], cam.f.shape[0]
     dt = X[0].dtype
     a1, a2, b1, b2, res_p, res_q, w = _obs_factors(
-        cam, X, obs, f0, huber_delta, dist, model, robust_kind, obs_chunk
+        cam, X, obs, f0, huber_delta, dist, model, robust_kind, obs_chunk,
+        factor_dtype,
     )
     e_now = _psum(jnp.sum(w * (res_p**2 + res_q**2)), axis_name)
     w2 = 2.0 * w
@@ -525,13 +548,17 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     d_P = _seg_rows(
         tuple(w2 * (res_p * a1i + res_q * a2i)
               for a1i, a2i in zip(a1, a2)), pi, npts)  # 3 x (P,)
+    # a-row self-products upcast before multiplying (narrow x narrow
+    # would round the product); the upcast rows are fusion transients
+    a1u = tuple(r.astype(dt) for r in a1)
+    a2u = tuple(r.astype(dt) for r in a2)
     e_rows = (
-        a1[0] * a1[0] + a2[0] * a2[0],
-        a1[1] * a1[1] + a2[1] * a2[1],
-        a1[2] * a1[2] + a2[2] * a2[2],
-        a1[0] * a1[1] + a2[0] * a2[1],
-        a1[0] * a1[2] + a2[0] * a2[2],
-        a1[1] * a1[2] + a2[1] * a2[2],
+        a1u[0] * a1u[0] + a2u[0] * a2u[0],
+        a1u[1] * a1u[1] + a2u[1] * a2u[1],
+        a1u[2] * a1u[2] + a2u[2] * a2u[2],
+        a1u[0] * a1u[1] + a2u[0] * a2u[1],
+        a1u[0] * a1u[2] + a2u[0] * a2u[2],
+        a1u[1] * a1u[2] + a2u[1] * a2u[2],
     )
     matE6 = _seg_rows(tuple(w2 * e for e in e_rows), pi, npts)  # 6 x (P,)
     seen = (jax.ops.segment_sum(w, pi, num_segments=npts,
@@ -684,6 +711,7 @@ def lm_optimize_sparse(
     init_nu: jax.Array | None = None,
     dist: jax.Array | None = None,
     axis_name: str | None = None,
+    factor_dtype: str | None = None,
 ):
     """Observation-list LM with the dense core's exact protocol
     (reference ``bundle_adjustment.py:77-195``), the camera step solved
@@ -694,8 +722,22 @@ def lm_optimize_sparse(
     observation list; see ``parallel/sharded_ba_sparse.py``) the camera-
     side quantities psum across devices; per CG iteration the entire
     cross-device traffic is one (9F,) psum.
+
+    ``factor_dtype`` (e.g. ``"bfloat16"``) stores the 24 per-observation
+    Jacobian factor rows — the dominant per-observation residency, live
+    across the whole CG solve — in a narrow dtype, roughly halving the
+    single-chip observation capacity. Numerics: the CG *operator* and
+    the built system carry the factor rounding (~4e-3 relative for
+    bf16) while residuals, the rhs reductions, accept decisions, and
+    all P-/F-sized state stay full precision, so each LM step solves a
+    slightly perturbed Newton system but acceptance/convergence are
+    judged exactly — the same inexactness class as a loose ``cg_tol``
+    (cf. the north star's bf16-Y result, BASELINE.md: bf16 *stored*
+    factors are benign; bf16 passes inside the factor *computation* are
+    not).
     """
     dt = obs.xy.dtype
+    f_dt = jnp.dtype(factor_dtype) if factor_dtype is not None else None
     npts, nf = state0.X.shape[0], state0.f.shape[0]
     model = resolve_distortion_model(dist, config.distortion_model)
     obs_chunk = min(obs_chunk, max(obs.n_obs, 1))
@@ -748,7 +790,7 @@ def lm_optimize_sparse(
              ) = _build_sparse_system(
                 cam, X, obs, perm, ci_sorted, free, f0, c_cur,
                 huber_delta, dist, model, robust_kind, obs_chunk,
-                axis_name,
+                axis_name, f_dt,
             )
 
             def mv(v):
@@ -955,7 +997,8 @@ def fit_distortion_sparse(
 
 
 @partial(jax.jit, static_argnames=(
-    "f0", "axis", "config", "cg_tol", "cg_max_iter", "obs_chunk"
+    "f0", "axis", "config", "cg_tol", "cg_max_iter", "obs_chunk",
+    "factor_dtype",
 ))
 def bundle_adjust_sparse(
     obs: SparseObs,
@@ -972,6 +1015,7 @@ def bundle_adjust_sparse(
     init_c: jax.Array | None = None,
     init_nu: jax.Array | None = None,
     distortion: jax.Array | None = None,
+    factor_dtype: str | None = None,
 ) -> BAResult:
     """Bundle adjustment over an observation list (O(n_obs) memory) —
     the core for BAL-class sparsity (0.1-1% fill), where the dense
@@ -980,7 +1024,11 @@ def bundle_adjust_sparse(
     losses, resume via ``init_c``/``init_nu``) match ``bundle_adjust``;
     the camera step is solved matrix-free by preconditioned CG instead
     of a dense Cholesky, so results agree with the dense core to the
-    CG tolerance (tighten ``cg_tol`` for exact parity checks)."""
+    CG tolerance (tighten ``cg_tol`` for exact parity checks).
+    ``factor_dtype="bfloat16"`` stores the per-observation Jacobian
+    factor rows narrow — ~1.6x single-chip observation capacity at the
+    cost of an O(1e-3)-perturbed (but exactly-judged) LM step; see
+    ``lm_optimize_sparse``."""
     dt = obs.xy.dtype
     nf = init_K.shape[0]
     X0, R0, t0, info = normalize_gauge(init_X, init_R, init_t, axis)
@@ -1007,13 +1055,14 @@ def bundle_adjust_sparse(
         state0, _, c_seg, nu_seg, n_seg, _, _, _ = lm_optimize_sparse(
             obs, state0, free, f0, seg_cfg, cg_tol, cg_max_iter, obs_chunk,
             init_c=c_seg, init_nu=nu_seg, dist=dist,
+            factor_dtype=factor_dtype,
         )
         n_total = n_total + n_seg
 
     (final, e, c_f, nu_f, n_iter, n_retries, cg_total,
      scalar_log) = lm_optimize_sparse(
         obs, state0, free, f0, config, cg_tol, cg_max_iter, obs_chunk,
-        init_c=c_seg, init_nu=nu_seg, dist=dist,
+        init_c=c_seg, init_nu=nu_seg, dist=dist, factor_dtype=factor_dtype,
     )
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     log = {"n_solver_retries": n_retries, "c": c_f, "nu": nu_f,

@@ -138,13 +138,17 @@ def sharded_bundle_adjust_sparse(
     obs_chunk: int = 1 << 20,
     weights=None,
     distortion: jax.Array | None = None,
+    factor_dtype: str | None = None,
 ) -> BAResult:
     """Sparse BA over ``mesh``'s ``points`` axis. Observation arrays may
     be NumPy (the partition is host-side by nature); the result matches
     the single-device ``bundle_adjust_sparse`` on the same data.
 
     ``config.distortion_rounds`` alternates the psum-reduced closed-form
-    refit with LM segments exactly as the single-device core."""
+    refit with LM segments exactly as the single-device core.
+    ``factor_dtype`` narrows the shard-local factor rows (see
+    ``bundle_adjust_sparse``) — per-device capacity and mesh scaling
+    compose."""
     n_shards = mesh.shape[POINTS_AXIS]
     dt = jnp.asarray(xy).dtype
     npts, nf = init_X.shape[0], init_K.shape[0]
@@ -189,14 +193,14 @@ def sharded_bundle_adjust_sparse(
             state0, _, c_seg, nu_seg, n_seg, _, _, _ = lm_optimize_sparse(
                 obs_l, state0, free_r, f0, seg_cfg, cg_tol, cg_max_iter,
                 obs_chunk, init_c=c_seg, init_nu=nu_seg, dist=dist_l,
-                axis_name=POINTS_AXIS,
+                axis_name=POINTS_AXIS, factor_dtype=factor_dtype,
             )
             n_total = n_total + n_seg
         (final, e, c_f, nu_f, n_iter, n_retries, cg_total,
          scalar_log) = lm_optimize_sparse(
             obs_l, state0, free_r, f0, config, cg_tol, cg_max_iter,
             obs_chunk, init_c=c_seg, init_nu=nu_seg, dist=dist_l,
-            axis_name=POINTS_AXIS,
+            axis_name=POINTS_AXIS, factor_dtype=factor_dtype,
         )
         dist_out = (dist_l if dist_l is not None
                     else jnp.zeros((nf, 0), dt))
