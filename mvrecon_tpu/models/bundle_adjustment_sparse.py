@@ -631,30 +631,122 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     return factors, matGc, m_inv, rhs, d_F, diag_g, e_now, matE6, seen_c
 
 
+def _f_point_rows(vrows: Rows, factors, pi, ci, npts, matvec_chunk=None):
+    """F v as 3 point rows: per observation u = w2 (b . v_cam), summed
+    into point segments as t = u1 a1 + u2 a2. ``matvec_chunk`` bounds
+    the per-observation transients (the nine gathered v rows, the dots,
+    the t rows) to O(chunk) by accumulating chunk-local segment sums —
+    the same capacity lever as ``obs_chunk`` in the build, applied to
+    the CG hot path. The unchunked path is one fused full-N graph (the
+    fast default when the transients fit)."""
+    a1, a2, b1, b2, w2, einv6, _ = factors
+    dt = w2.dtype
+    if matvec_chunk is None:
+        v_g = _rows_gather(vrows, ci)  # 9 x (N,) — nine 1-D gathers
+        u1 = w2 * _dot_rows(b1, v_g)
+        u2 = w2 * _dot_rows(b2, v_g)
+        t_rows = _axpy_rows(u1, a1, u2, a2)  # 3 x (N,) = F v rows
+        return _seg_rows(t_rows, pi, npts)  # 3 x (P,)
+
+    n = w2.shape[-1]
+    chunk = min(matvec_chunk, max(n, 1))
+    nch = -(-n // chunk)
+    # padded w2 is 0, so the npts-1 tail segment ids are inert (and keep
+    # the per-chunk ids sorted: every real id is < npts)
+    pi_pad = jnp.pad(pi, (0, nch * chunk - n),
+                     constant_values=npts - 1).reshape(nch, chunk)
+    ci_pad = jnp.pad(ci, (0, nch * chunk - n)).reshape(nch, chunk)
+
+    def prep(rows):
+        return jax.tree.map(lambda a: _prep_chunks(a, chunk, nch), rows)
+
+    def body(acc, cols):
+        a1c, a2c, b1c, b2c, w2c, pic, cic = cols
+        v_g = _rows_gather(vrows, cic)
+        u1 = w2c * _dot_rows(b1c, v_g)
+        u2 = w2c * _dot_rows(b2c, v_g)
+        t_rows = _axpy_rows(u1, a1c, u2, a2c)
+        return tuple(
+            ac + jax.ops.segment_sum(t, pic, num_segments=npts,
+                                     indices_are_sorted=True)
+            for ac, t in zip(acc, t_rows)
+        ), ()
+
+    s_p, _ = jax.lax.scan(
+        body, tuple(jnp.zeros((npts,), dt) for _ in range(3)),
+        (prep(a1), prep(a2), prep(b1), prep(b2), prep(w2), pi_pad, ci_pad),
+    )
+    return s_p
+
+
+def _ft_cam_rows(w_p: Rows, factors, pi, perm, ci_sorted, nf,
+                 matvec_chunk=None):
+    """F^T (Einv-weighted point rows) as nine camera rows: per
+    observation r = w2 (a . w_point), summed into camera segments as
+    r1 b1 + r2 b2 (camera-sorted via ``perm``). Chunked twin of the
+    full-N path under ``matvec_chunk`` (padding chunks gather index 0 —
+    a real observation — so a validity mask zeroes their r scalars)."""
+    a1, a2, b1, b2, w2, _, _ = factors
+    dt = w2.dtype
+    if matvec_chunk is None:
+        w_g = _rows_gather(w_p, pi)
+        r1 = w2 * _dot_rows(a1, w_g)
+        r2 = w2 * _dot_rows(a2, w_g)
+        return _segment_cam_rows(
+            _axpy_rows(r1, b1, r2, b2), perm, ci_sorted, nf
+        )
+
+    n = w2.shape[-1]
+    chunk = min(matvec_chunk, max(n, 1))
+    nch = -(-n // chunk)
+    perm_pad = jnp.pad(perm, (0, nch * chunk - n)).reshape(nch, chunk)
+    cis_pad = jnp.pad(ci_sorted, (0, nch * chunk - n),
+                      constant_values=nf - 1).reshape(nch, chunk)
+    valid = (jnp.arange(nch * chunk) < n).astype(dt).reshape(nch, chunk)
+
+    def body(acc, cols):
+        idxc, cic, vld = cols
+        a1g = _rows_gather(a1, idxc)
+        a2g = _rows_gather(a2, idxc)
+        b1g = _rows_gather(b1, idxc)
+        b2g = _rows_gather(b2, idxc)
+        w_g = _rows_gather(w_p, pi[idxc])
+        r1 = vld * w2[idxc] * _dot_rows(a1g, w_g)
+        r2 = vld * w2[idxc] * _dot_rows(a2g, w_g)
+        y = _axpy_rows(r1, b1g, r2, b2g)
+        return tuple(
+            ac + jax.ops.segment_sum(t, cic, num_segments=nf,
+                                     indices_are_sorted=True)
+            for ac, t in zip(acc, y)
+        ), ()
+
+    rows, _ = jax.lax.scan(
+        body, tuple(jnp.zeros((nf,), dt) for _ in range(9)),
+        (perm_pad, cis_pad, valid),
+    )
+    return rows
+
+
 def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
-                  axis_name=None):
+                  axis_name=None, matvec_chunk=None):
     """S v for the damped, gauge-projected Schur complement — matrix-free,
     O(n_obs). v is (9F,). Under sharding only the F^T Einv F correction
     psums (one (9F,) vector per CG iteration — the entire cross-device
     traffic of a camera step); the Gc v product uses the already-reduced
-    camera blocks, replicated."""
-    a1, a2, b1, b2, w2, einv6, _ = factors
+    camera blocks, replicated. ``matvec_chunk`` bounds the full-N
+    transients (see ``_f_point_rows``)."""
+    einv6 = factors[5]
     nf = matGc.shape[0]
     vm = (v * free).reshape(nf, 9)
     pi, ci = obs.point_idx, obs.cam_idx
-    v_g = _rows_gather(_cols_rows(vm), ci)  # 9 x (N,) — nine 1-D gathers
-    u1 = w2 * _dot_rows(b1, v_g)
-    u2 = w2 * _dot_rows(b2, v_g)
-    t_rows = _axpy_rows(u1, a1, u2, a2)  # 3 x (N,) = F v rows
-    s_p = _seg_rows(t_rows, pi, einv6[0].shape[-1])  # 3 x (P,)
+    s_p = _f_point_rows(_cols_rows(vm), factors, pi, ci,
+                        einv6[0].shape[-1], matvec_chunk)
     w_p = _sym3_matvec(einv6, s_p)
-    w_g = _rows_gather(w_p, pi)
-    r1 = w2 * _dot_rows(a1, w_g)
-    r2 = w2 * _dot_rows(a2, w_g)
     fe_fv = _psum(
-        jnp.stack(_segment_cam_rows(
-            _axpy_rows(r1, b1, r2, b2), perm, ci_sorted, nf
-        ), -1),
+        jnp.stack(
+            _ft_cam_rows(w_p, factors, pi, perm, ci_sorted, nf,
+                         matvec_chunk), -1,
+        ),
         axis_name,
     )  # (F, 9)
     gv = jnp.einsum("fij,fj->fi", matGc, vm, precision=HIGHEST)
@@ -712,6 +804,7 @@ def lm_optimize_sparse(
     dist: jax.Array | None = None,
     axis_name: str | None = None,
     factor_dtype: str | None = None,
+    matvec_chunk: int | None = None,
 ):
     """Observation-list LM with the dense core's exact protocol
     (reference ``bundle_adjustment.py:77-195``), the camera step solved
@@ -796,7 +889,7 @@ def lm_optimize_sparse(
             def mv(v):
                 return _schur_matvec(
                     v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
-                    axis_name,
+                    axis_name, matvec_chunk,
                 )
 
             def pc(v):
@@ -811,14 +904,11 @@ def lm_optimize_sparse(
             delta_xi = delta_xi * free
 
             # back-substitute points: delta_X = -Einv (F delta + d_P)
-            a1, a2, b1, b2, w2, einv6, d_P = factors
-            v_g = _rows_gather(
-                _cols_rows(delta_xi.reshape(nf, 9)), obs.cam_idx
-            )  # 9 x (N,)
-            u1 = w2 * _dot_rows(b1, v_g)
-            u2 = w2 * _dot_rows(b2, v_g)
-            f_dxi = _seg_rows(_axpy_rows(u1, a1, u2, a2), obs.point_idx,
-                              npts)
+            einv6, d_P = factors[5], factors[6]
+            f_dxi = _f_point_rows(
+                _cols_rows(delta_xi.reshape(nf, 9)), factors,
+                obs.point_idx, obs.cam_idx, npts, matvec_chunk,
+            )
             mw = _sym3_matvec(einv6, tuple(f + d for f, d in
                                            zip(f_dxi, d_P)))
             delta_X = tuple(-m for m in mw)  # 3 x (P,)
@@ -998,7 +1088,7 @@ def fit_distortion_sparse(
 
 @partial(jax.jit, static_argnames=(
     "f0", "axis", "config", "cg_tol", "cg_max_iter", "obs_chunk",
-    "factor_dtype",
+    "factor_dtype", "matvec_chunk",
 ))
 def bundle_adjust_sparse(
     obs: SparseObs,
@@ -1016,6 +1106,7 @@ def bundle_adjust_sparse(
     init_nu: jax.Array | None = None,
     distortion: jax.Array | None = None,
     factor_dtype: str | None = None,
+    matvec_chunk: int | None = None,
 ) -> BAResult:
     """Bundle adjustment over an observation list (O(n_obs) memory) —
     the core for BAL-class sparsity (0.1-1% fill), where the dense
@@ -1055,7 +1146,7 @@ def bundle_adjust_sparse(
         state0, _, c_seg, nu_seg, n_seg, _, _, _ = lm_optimize_sparse(
             obs, state0, free, f0, seg_cfg, cg_tol, cg_max_iter, obs_chunk,
             init_c=c_seg, init_nu=nu_seg, dist=dist,
-            factor_dtype=factor_dtype,
+            factor_dtype=factor_dtype, matvec_chunk=matvec_chunk,
         )
         n_total = n_total + n_seg
 
@@ -1063,6 +1154,7 @@ def bundle_adjust_sparse(
      scalar_log) = lm_optimize_sparse(
         obs, state0, free, f0, config, cg_tol, cg_max_iter, obs_chunk,
         init_c=c_seg, init_nu=nu_seg, dist=dist, factor_dtype=factor_dtype,
+        matvec_chunk=matvec_chunk,
     )
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     log = {"n_solver_retries": n_retries, "c": c_f, "nu": nu_f,

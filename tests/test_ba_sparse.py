@@ -263,6 +263,22 @@ def test_bf16_factors_with_distortion_refit():
     assert np.isfinite(np.asarray(res_s.distortion)).all()
 
 
+def test_matvec_chunk_parity():
+    """matvec_chunk (chunk-scanned CG matvec + back-substitution — the
+    bounded-transient capacity path) must reproduce the unchunked run:
+    same math, only the segment-accumulation grouping differs."""
+    x, vis, X0, K, R, t0 = _problem()
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    kw = dict(f0=1.0, axis="x-up_z-forward", config=CFG, cg_tol=1e-12,
+              cg_max_iter=500)
+    res_a = bundle_adjust_sparse(obs, X0, K, R, t0, **kw)
+    res_b = bundle_adjust_sparse(obs, X0, K, R, t0, matvec_chunk=257, **kw)
+    assert float(res_b.error) == pytest.approx(float(res_a.error), rel=1e-10)
+    np.testing.assert_allclose(res_b.X, res_a.X, atol=1e-9)
+    np.testing.assert_allclose(res_b.R, res_a.R, atol=1e-9)
+    assert int(res_b.n_iter) == int(res_a.n_iter)
+
+
 def test_sharded_sparse_matches_single_device():
     """Point-partitioned sparse BA over a 4-device mesh == the
     single-device sparse core (which is pinned against the dense core),
