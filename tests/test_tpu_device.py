@@ -212,6 +212,34 @@ pc = np.asarray(cov.point_cov, np.float64)
 out["cov_finite"] = bool(np.isfinite(pc).all())
 out["cov_min_eig"] = float(np.linalg.eigvalsh(pc).min())
 out["cov_sigma2"] = float(cov.sigma2)
+
+# --- 6. sparse observation-list core on device ------------------------
+# (the O(n_obs) core's CPU-x64 parity is pinned in test_ba_sparse.py;
+# this pins that its gather/segment-sum/PCG graph actually executes on
+# silicon, against the dense-mask core on the same ragged visibility)
+from mvrecon_tpu.models.bundle_adjustment_sparse import (
+    bundle_adjust_sparse, dense_to_sparse_obs,
+)
+
+rng6 = np.random.default_rng(6)
+vis6 = (rng6.random((scene.X.shape[0], 10)) < 0.5).astype(np.float32)
+res6d = bundle_adjust(x, X0, scene.K, scene.R, scene.t, f0=1.0,
+                      axis="x-up_z-forward", config=cfg,
+                      visibility=jnp.asarray(vis6))
+obs6 = dense_to_sparse_obs(np.asarray(x), vis6)
+res6 = bundle_adjust_sparse(
+    obs6, X0, scene.K, scene.R, scene.t, f0=1.0, axis="x-up_z-forward",
+    config=cfg, cg_tol=1e-2, cg_max_iter=60,
+)
+out["e_sparse"] = float(res6.error)
+out["e_sparse_dense_oracle"] = float(res6d.error)
+out["sparse_cg_iters"] = int(res6.log["cg_iters_total"])
+res6b = bundle_adjust_sparse(
+    obs6, X0, scene.K, scene.R, scene.t, f0=1.0, axis="x-up_z-forward",
+    config=cfg, cg_tol=1e-2, cg_max_iter=60, factor_dtype="bfloat16",
+    matvec_chunk=4096,
+)
+out["e_sparse_bf16_chunked"] = float(res6b.error)
 print(json.dumps(out))
 """
 
@@ -274,4 +302,14 @@ def _assert_pins(out):
     # sigma^2 at the injected-noise scale
     assert out["cov_finite"], out
     assert out["cov_min_eig"] > -1e-10, out
+    # sparse observation-list core on device: converges with the
+    # dense-mask core on the same ragged visibility (the gap is the CG
+    # tolerance + f32; exact-algebra parity is the CPU-x64 pin in
+    # test_ba_sparse.py), and the capacity path (bf16 factors + chunked
+    # matvec) tracks it
+    assert np.isfinite(out["e_sparse"]), out
+    assert (abs(out["e_sparse"] - out["e_sparse_dense_oracle"])
+            <= 5e-2 * out["e_sparse_dense_oracle"]), out
+    assert out["sparse_cg_iters"] > 0, out
+    assert out["e_sparse_bf16_chunked"] <= 1.1 * out["e_sparse"], out
     assert 0.1 * 9e-6 < out["cov_sigma2"] < 30 * 9e-6, out
