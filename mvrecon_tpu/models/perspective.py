@@ -120,6 +120,71 @@ def _top_eigvec_lowrank(y: jax.Array) -> jax.Array:
     return xi / jnp.linalg.norm(xi, axis=-1, keepdims=True)
 
 
+# Bound on the (F, 12, C) Khatri-Rao transient of the dual depth step's
+# chunked Gram accumulation (~256 MB at f32). At the full-pipeline north
+# star (P=100k, F=1000) the one-shot (F, P, 12) factor is 4.47 GB and,
+# together with its (F, 4, 3, P) broadcast, overflows a v5e's 16 GB HBM
+# (measured: 15.07 GB program, OOM by 65 MB); chunking caps it at this
+# budget with identical arithmetic (each point's rank-1 contribution is
+# summed either way).
+_KR_CHUNK_BYTES = 256 * 1024 * 1024
+
+
+def _kr_chunk(npts: int, nf: int, itemsize: int) -> int:
+    """Point-chunk size holding the (F, 12, C) transient under budget
+    (lane-aligned; returns npts when the one-shot factor already fits)."""
+    c = _KR_CHUNK_BYTES // max(1, nf * 12 * itemsize)
+    if c >= npts:
+        return npts
+    return max(128, (c // 128) * 128)
+
+
+def _kr_gram(v4: jax.Array, xn: jax.Array) -> jax.Array:
+    """Per-image 12x12 Grams of the Khatri-Rao factor
+    Y[f, p, (k, i)] = v4[p, k] * xn[f, i, p] without materializing Y at
+    O(P): gram[f] = Y_f^T Y_f is accumulated over point chunks, each
+    chunk's (F, 12, C) slab built, contracted, and freed.
+
+    v4: (P, 4), xn: (F, 3, P) -> (F, 12, 12). Zero-padded points (both
+    factors padded with zero rows) contribute exactly nothing."""
+    npts = v4.shape[0]
+    nf = xn.shape[0]
+    chunk = _kr_chunk(npts, nf, xn.dtype.itemsize)
+    if chunk >= npts:
+        y = (v4.T[None, :, None, :] * xn[:, None, :, :]).reshape(nf, 12, npts)
+        return jnp.einsum("fap,fbp->fab", y, y, precision=HIGHEST)
+    n_chunks = -(-npts // chunk)
+    pad = n_chunks * chunk - npts
+    if pad:
+        v4 = jnp.pad(v4, ((0, pad), (0, 0)))
+        xn = jnp.pad(xn, ((0, 0), (0, 0), (0, pad)))
+
+    def chunk_gram(i):
+        v4_c = jax.lax.dynamic_slice_in_dim(v4, i * chunk, chunk, 0)
+        xn_c = jax.lax.dynamic_slice_in_dim(xn, i * chunk, chunk, 2)
+        y = (v4_c.T[None, :, None, :] * xn_c[:, None, :, :]).reshape(
+            nf, 12, chunk
+        )
+        return jnp.einsum("fap,fbp->fab", y, y, precision=HIGHEST)
+
+    # init from chunk 0 (not jnp.zeros) so the carry inherits the inputs'
+    # varying-manual-axes type under shard_map without naming the axis
+    return jax.lax.fori_loop(
+        1, n_chunks, lambda i, acc: acc + chunk_gram(i), chunk_gram(0)
+    )
+
+
+def _kr_xi(v4: jax.Array, xn: jax.Array, vec: jax.Array) -> jax.Array:
+    """Y_f vec_f for the Khatri-Rao factor above, unnormalized:
+    xi[f, p] = sum_{k,i} vec[f, 3k+i] * v4[p, k] * xn[f, i, p]. The only
+    O(P) transient is one (F, 3, P) contraction (the elementwise product
+    with xn fuses into the reduce)."""
+    m = jnp.einsum(
+        "fki,pk->fip", vec.reshape(-1, 4, 3), v4, precision=HIGHEST
+    )
+    return jnp.sum(m * xn, axis=1)  # (F, P)
+
+
 def _rank4_subspace_gram(wm: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact leading rank-4 left/right subspaces of wm (3F, P) via eigh
     of the *smaller* Gram (statically chosen side). Returns
@@ -220,9 +285,30 @@ def _depth_step_dual(xh, z, f0: float, eig_method: str = "eigh"):
         # V4[p, k] * X[f, i, p] / xnorm[f, p] of width 12 — the (F, P, P)
         # matrices (the HBM bottleneck at batched scale) are never built.
         xn = xt / xnorm[:, None, :]  # (F, 3, P)
-        y = v4.T[None, :, None, :] * xn[:, None, :, :]  # (F, 4, 3, P)
-        y = y.reshape(nf, 12, npts).transpose(0, 2, 1)  # (F, P, 12)
-        xi_t = _top_eigvec_lowrank(y)  # (F, P)
+        if _kr_chunk(npts, nf, xh.dtype.itemsize) >= npts:
+            y = v4.T[None, :, None, :] * xn[:, None, :, :]  # (F, 4, 3, P)
+            y = y.reshape(nf, 12, npts).transpose(0, 2, 1)  # (F, P, 12)
+            xi_t = _top_eigvec_lowrank(y)  # (F, P)
+        else:
+            # Above the HBM budget (the 100k x 1000 north star's one-shot
+            # factor alone is 4.47 GB) the (F, P, 12) factor is never
+            # materialized: 12x12 Grams accumulate over point chunks.
+            # CAUTION: this branch's different summation order can flip
+            # eigensolver sign choices relative to the one-shot branch,
+            # and the euclidean upgrade is NOT sign-equivariant (it picks
+            # a different — E-identical, cheirality-fixed — member of the
+            # reconstruction's mirror family), so the threshold split
+            # keeps small-problem bits exactly as before.
+            _, vecs = jacobi_eigh(_kr_gram(v4, xn))
+            xi_t = _kr_xi(v4, xn, vecs[..., -1])  # (F, P)
+            xi_t = xi_t / jnp.linalg.norm(xi_t, axis=-1, keepdims=True)
+            # per-image deterministic sign (the eigensolver's is arbitrary
+            # and bit-sensitive; the per-point _sign_fix below cannot see
+            # it). The top eigenvector of B_f is Perron-like, so its
+            # component sum is bounded away from zero.
+            xi_t = jnp.where(
+                jnp.sum(xi_t, axis=-1, keepdims=True) < 0, -xi_t, xi_t
+            )
     else:
         v_gram = jnp.einsum("pa,qa->pq", v4, v4, precision=HIGHEST)  # (P, P)
         x_gram = jnp.einsum("fip,fiq->fpq", xt, xt, precision=HIGHEST)  # (F, P, P)

@@ -42,6 +42,9 @@ from ..models.perspective import (
     STATUS_MAX_ITER,
     STATUS_OK,
     STATUS_OMEGA_INDEFINITE,
+    _kr_chunk,
+    _kr_gram,
+    _kr_xi,
     _sign_fix,
     _top_eigvec_lowrank,
     cheirality_score,
@@ -119,15 +122,34 @@ def _depth_step_dual_sharded(xh_l, z_l, f0, n_total, axis_name):
     xt = xh_l.transpose(1, 2, 0)  # (F, 3, Pl)
     xnorm = jnp.linalg.norm(xt, axis=1)  # (F, Pl)
     xn = xt / xnorm[:, None, :]
-    y = v4_l.T[None, :, None, :] * xn[:, None, :, :]  # (F, 4, 3, Pl)
-    y = y.reshape(nf, 12, npts_l).transpose(0, 2, 1)  # (F, Pl, 12)
-
-    gram = _psum(jnp.einsum("fna,fnb->fab", y, y, precision=HIGHEST), axis_name)
-    _, vecs = jacobi_eigh(gram)  # pure-XLA tiny-batch eigh (see ops/linalg.py)
-    xi_t = jnp.einsum("fna,fa->fn", y, vecs[..., -1], precision=HIGHEST)
+    if _kr_chunk(npts_l, nf, xh_l.dtype.itemsize) >= npts_l:
+        y = v4_l.T[None, :, None, :] * xn[:, None, :, :]  # (F, 4, 3, Pl)
+        y = y.reshape(nf, 12, npts_l).transpose(0, 2, 1)  # (F, Pl, 12)
+        gram = _psum(
+            jnp.einsum("fna,fnb->fab", y, y, precision=HIGHEST), axis_name
+        )
+        _, vecs = jacobi_eigh(gram)  # pure-XLA tiny-batch eigh (ops/linalg)
+        xi_t = jnp.einsum("fna,fa->fn", y, vecs[..., -1], precision=HIGHEST)
+    else:
+        # Above the HBM budget the (F, Pl, 12) Khatri-Rao factor is never
+        # materialized: per-image 12x12 Grams accumulate over point chunks
+        # (models.perspective._kr_gram — one-shot it is 4.47 GB at the
+        # 100k x 1000 north star, the measured v5e overflow), then psum.
+        # The threshold split mirrors _depth_step_dual's (and its caution
+        # note on eigensolver sign sensitivity).
+        gram = _psum(_kr_gram(v4_l, xn), axis_name)
+        _, vecs = jacobi_eigh(gram)
+        xi_t = _kr_xi(v4_l, xn, vecs[..., -1])
     xi_t = xi_t / jnp.sqrt(
         _psum(jnp.sum(xi_t * xi_t, axis=-1), axis_name)
     )[:, None]
+    if _kr_chunk(npts_l, nf, xh_l.dtype.itemsize) < npts_l:
+        # per-image deterministic sign via the global component sum
+        # (matches models.perspective._depth_step_dual's chunked branch)
+        xi_t = jnp.where(
+            (_psum(jnp.sum(xi_t, axis=-1), axis_name) < 0)[:, None],
+            -xi_t, xi_t,
+        )
     xi = _sign_fix(xi_t.T)  # (Pl, F)
     z_new = xi / xnorm.T
 

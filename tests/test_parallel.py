@@ -504,3 +504,58 @@ def test_compaction_damping_carry_equals_continuous():
         np.asarray(compacted.X), np.asarray(continuous.X), atol=1e-8
     )
     assert list(np.asarray(compacted.n_iter)) == [7, 7, 7, 7]
+
+
+def test_sharded_calibration_chunked_kr_matches_single(ref, monkeypatch):
+    """The above-HBM-budget Khatri-Rao branch of the sharded dual depth
+    step (per-image 12x12 Grams accumulated over point chunks, then
+    psum'd) must match the single-device chunked branch exactly like the
+    one-shot branches match: same iteration count, reconstruction to
+    fp-reassociation tolerance. Point count is chosen so the per-device
+    shard (256) still exceeds the 128-point chunk floor."""
+    import mvrecon_tpu.models.perspective as mp
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.models.perspective import perspective_self_calibration
+    from mvrecon_tpu.parallel.sharded_calibration import (
+        sharded_perspective_self_calibration,
+    )
+
+    scene = make_synthetic_scene(
+        jax.random.key(11), n_images=6, noise=0.003, n_slices=32, n_angles=32
+    )
+    x = scene.x  # (F, P, 2), P = 1024
+    nf, npts = x.shape[0], x.shape[1]
+
+    monkeypatch.setattr(mp, "_KR_CHUNK_BYTES", 128 * nf * 12 * x.dtype.itemsize)
+    assert mp._kr_chunk(npts // 4, nf, x.dtype.itemsize) == 128  # chunked on
+    # both the sharded (Pl=256) and the single-device (P=1024) path
+
+    single = perspective_self_calibration(x, f0=1.0, tol=1e-2, method="dual")
+    mesh = make_mesh({"points": 4})
+    sharded = sharded_perspective_self_calibration(
+        mesh, x, f0=1.0, tol=1e-2, method="dual"
+    )
+
+    assert int(sharded.status) == int(single.status) == 0
+    assert int(sharded.depth_iters) == int(single.depth_iters)
+    np.testing.assert_allclose(
+        float(sharded.depth_error), float(single.depth_error), rtol=1e-8
+    )
+    np.testing.assert_allclose(np.asarray(sharded.K), np.asarray(single.K), atol=1e-6)
+    # The two runs may land in world frames related by a global rotation:
+    # the upgrade homography's eigenvector signs are fp-bit-sensitive and
+    # ``predict_world_axis`` re-axes through the *current* frame's [0,0,1],
+    # so a flipped pre-frame survives as a global gauge rotation Q (pure
+    # gauge: observations, K, and all reprojections are unchanged).
+    # Compare up to that one rotation, taken from camera 0.
+    rs, rh = np.asarray(single.R), np.asarray(sharded.R)
+    q = rs[0] @ rh[0].T
+    np.testing.assert_allclose(q @ q.T, np.eye(3), atol=1e-9)  # a rotation
+    np.testing.assert_allclose(np.linalg.det(q), 1.0, atol=1e-9)  # proper
+    np.testing.assert_allclose(rs, np.einsum("ij,fjk->fik", q, rh), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(single.t), np.asarray(sharded.t) @ q.T, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.X), np.asarray(sharded.X) @ q.T, atol=1e-6
+    )

@@ -334,3 +334,72 @@ def test_cheirality_flip_resolves_sign_ambiguity():
         r_raw, t_raw = metric_cameras(p, k, hh)
         scores.append(float(cheirality_score(x_raw, r_raw, t_raw)))
     assert min(scores) <= 0
+
+
+def test_kr_chunked_gram_matches_oneshot(monkeypatch):
+    """The chunked Khatri-Rao Gram accumulation (the above-HBM-budget
+    branch of the dual depth step, built for the 100k x 1000 full-pipeline
+    north star where the one-shot (F, P, 12) factor alone is 4.47 GB) must
+    be arithmetically identical to the one-shot contraction it replaces —
+    including under the zero-padding of a non-divisible point count."""
+    import mvrecon_tpu.models.perspective as mp
+
+    rng = np.random.default_rng(0)
+    npts, nf = 700, 5  # 700 = 5*128 + 60: exercises the padded tail chunk
+    v4 = jnp.asarray(rng.standard_normal((npts, 4)))
+    xn = jnp.asarray(rng.standard_normal((nf, 3, npts)))
+
+    y = (
+        np.asarray(v4).T[None, :, None, :] * np.asarray(xn)[:, None, :, :]
+    ).reshape(nf, 12, npts)
+    gram_ref = np.einsum("fap,fbp->fab", y, y)
+
+    # one-shot branch (default budget: chunk >= npts)
+    assert mp._kr_chunk(npts, nf, 8) >= npts
+    np.testing.assert_allclose(
+        np.asarray(mp._kr_gram(v4, xn)), gram_ref, rtol=1e-12, atol=1e-12
+    )
+
+    # chunked branch: force 128-point chunks
+    monkeypatch.setattr(mp, "_KR_CHUNK_BYTES", 128 * nf * 12 * 8)
+    assert mp._kr_chunk(npts, nf, 8) == 128
+    np.testing.assert_allclose(
+        np.asarray(mp._kr_gram(v4, xn)), gram_ref, rtol=1e-10, atol=1e-10
+    )
+
+    vec = jnp.asarray(rng.standard_normal((nf, 12)))
+    xi_ref = np.einsum("fa,fap->fp", np.asarray(vec), y)
+    np.testing.assert_allclose(
+        np.asarray(mp._kr_xi(v4, xn, vec)), xi_ref, rtol=1e-10, atol=1e-10
+    )
+
+
+def test_kr_chunked_depth_step_matches_oneshot(monkeypatch):
+    """One dual depth step through the chunked-Gram branch must reproduce
+    the one-shot low-rank branch up to the per-image depth-sign gauge
+    (flipping one image's depth column leaves W^T W, the rank-4 fit, and
+    the reprojection error invariant — pinned by
+    test_lowrank_depths_match_eigh_depths)."""
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    import mvrecon_tpu.models.perspective as mp
+    import jax
+
+    def canon(z):
+        z = np.asarray(z)
+        return z * np.where(z.sum(axis=0, keepdims=True) < 0, -1.0, 1.0)
+
+    scene = make_synthetic_scene(jax.random.key(5), n_images=6, noise=0.002)
+    xh = homogenize(scene.x, 1.0)  # (P, F, 3)
+    npts, nf = xh.shape[0], xh.shape[1]
+    z0 = jnp.ones((npts, nf), dtype=xh.dtype)
+
+    z_one, e_one = mp._depth_step_dual(xh, z0, 1.0, eig_method="lowrank")
+
+    monkeypatch.setattr(
+        mp, "_KR_CHUNK_BYTES", 128 * nf * 12 * xh.dtype.itemsize
+    )
+    assert mp._kr_chunk(npts, nf, xh.dtype.itemsize) < npts
+    z_ch, e_ch = mp._depth_step_dual(xh, z0, 1.0, eig_method="lowrank")
+
+    np.testing.assert_allclose(float(e_ch), float(e_one), rtol=1e-10)
+    np.testing.assert_allclose(canon(z_ch), canon(z_one), atol=1e-8)
