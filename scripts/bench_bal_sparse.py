@@ -105,6 +105,16 @@ def main():
     outlier_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.02
     iters = int(sys.argv[5]) if len(sys.argv) > 5 else 30
     cg_max_iter = int(sys.argv[6]) if len(sys.argv) > 6 else 100
+    # capacity knobs (docs/SCALING.md "Single-chip sparse capacity"):
+    # argv[7] = factor dtype ("f32" | "bf16"), argv[8] = matvec chunk
+    # (0 = unchunked full-N matvecs)
+    factor_dtype = (
+        "bfloat16" if len(sys.argv) > 7 and sys.argv[7] == "bf16" else None
+    )
+    matvec_chunk = (
+        int(sys.argv[8]) if len(sys.argv) > 8 and int(sys.argv[8]) > 0
+        else None
+    )
 
     t0 = time.perf_counter()
     point_idx, cam_idx, xy, X_gt, K, R, t = make_sparse_problem(
@@ -142,6 +152,7 @@ def main():
             obs, X0, jnp.asarray(K, dtype), jnp.asarray(R, dtype), t0_arr,
             f0=1.0, axis="x-up_z-forward", config=config,
             cg_tol=1e-2, cg_max_iter=cg_max_iter,
+            factor_dtype=factor_dtype, matvec_chunk=matvec_chunk,
         )
         np.asarray(jnp.ravel(res.X)[:4])  # tiny completion fetch
         return res
@@ -163,6 +174,8 @@ def main():
         "error": float(res.error),
         "aligned_rmse_vs_gt": round(rmse, 5),
         "backend": jax.default_backend(),
+        "factor_dtype": factor_dtype or "float32",
+        "matvec_chunk": matvec_chunk or 0,
     }
     print(json.dumps(out))
 
