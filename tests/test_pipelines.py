@@ -91,3 +91,30 @@ def test_pipeline_records_ba_log_for_animation():
     )
     assert set(res2.ba_log) == {"c", "nu"}
     assert np.asarray(res2.ba_log["c"]).shape == ()
+
+
+def test_euclidean_pipeline_large_hierarchical():
+    """euclidean_reconstruction_large (round 5): camera bootstrap on a
+    point subsample + DLT re-triangulation must reach the noise floor
+    with a SHORT full-scale budget — the raw calibration init needs ~16
+    full-scale iterations at this shape (scripts/exp_pipeline_init.py),
+    the hierarchical init ~4."""
+    from mvrecon_tpu.models.pipelines import euclidean_reconstruction_large
+
+    scene = make_synthetic_scene(
+        jax.random.key(7), n_images=24, n_slices=40, n_angles=20,
+        dtype=jnp.float32,
+    )
+    res = euclidean_reconstruction_large(
+        scene.x,
+        config=LMConfig(
+            scale_factor=4.0, delta_tol=0.0, max_iter=6,
+            accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+        ),
+        chunk_size=256, bootstrap_frac=0.1, bootstrap_iters=16,
+    )
+    assert int(res.status) == 0
+    n_points, n_views = scene.x.shape[1], scene.x.shape[0]
+    noise_floor = n_points * n_views * 2 * 0.005**2
+    assert float(res.error) <= 1.1 * noise_floor
+    assert _rms(res, scene.x) < 0.006
