@@ -108,13 +108,16 @@ def main():
     # capacity knobs (docs/SCALING.md "Single-chip sparse capacity"):
     # argv[7] = factor dtype ("f32" | "bf16"), argv[8] = matvec chunk
     # (0 = unchunked full-N matvecs)
+    if len(sys.argv) > 7 and sys.argv[7] not in ("f32", "bf16"):
+        sys.exit(f"usage: argv[7] (factor dtype) must be 'f32' or 'bf16', "
+                 f"got {sys.argv[7]!r}")
     factor_dtype = (
         "bfloat16" if len(sys.argv) > 7 and sys.argv[7] == "bf16" else None
     )
-    matvec_chunk = (
-        int(sys.argv[8]) if len(sys.argv) > 8 and int(sys.argv[8]) > 0
-        else None
-    )
+    mc = int(sys.argv[8]) if len(sys.argv) > 8 else 0
+    matvec_chunk = mc if mc > 0 else None
+    print(f"factor_dtype={factor_dtype or 'float32'} "
+          f"matvec_chunk={matvec_chunk or 0}", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     point_idx, cam_idx, xy, X_gt, K, R, t = make_sparse_problem(
