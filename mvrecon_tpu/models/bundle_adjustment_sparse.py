@@ -754,14 +754,20 @@ def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
     return sv + (1.0 - free) * v  # identity on gauge-fixed coords
 
 
-def _pcg(matvec, precond, b, tol, max_iter, dt):
+def _pcg(matvec, precond, b, tol, max_iter, dt, x0=None):
     """Preconditioned conjugate gradients with relative-residual stop.
-    All reduction scalars at HIGHEST precision."""
+    All reduction scalars at HIGHEST precision. ``x0`` warm-starts the
+    solve (one extra matvec to form the true initial residual); the
+    stopping test stays relative to ||b||, so a good warm start simply
+    exits in fewer iterations."""
     b_norm2 = jnp.vdot(b, b, precision=HIGHEST)
     tol2 = (tol * tol) * jnp.maximum(b_norm2, jnp.asarray(1e-30, dt))
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - matvec(x0)
     z0 = precond(r0)
 
     def cond(carry):
@@ -784,8 +790,9 @@ def _pcg(matvec, precond, b, tol, max_iter, dt):
         rr1 = jnp.vdot(r1, r1, precision=HIGHEST)
         return x1, r1, z1, p1, k + 1, rr1
 
+    rr0 = jnp.vdot(r0, r0, precision=HIGHEST)
     x, _, _, _, n_iter, _ = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, jnp.asarray(0), b_norm2)
+        cond, body, (x0, r0, z0, z0, jnp.asarray(0), rr0)
     )
     return x, n_iter
 
@@ -874,11 +881,11 @@ def lm_optimize_sparse(
 
     def inner(cam, X, e_prev, c, nu):
         def cond(carry):
-            accepted, tries = carry[-2], carry[-1]
+            accepted, tries = carry[-3], carry[-2]
             return (~accepted) & (tries < config.max_inner_retries)
 
         def body(carry):
-            c_cur, nu_cur, _, _, _, _, cg_tot, _, tries = carry
+            c_cur, nu_cur, _, _, _, _, cg_tot, _, tries, delta_prev = carry
             (factors, matGc, m_inv, rhs, d_F, diag_g, e_w, matE, seen_c
              ) = _build_sparse_system(
                 cam, X, obs, perm, ci_sorted, free, f0, c_cur,
@@ -900,7 +907,13 @@ def lm_optimize_sparse(
                     ).reshape(-1)
                 )
 
-            delta_xi, cg_iters = _pcg(mv, pc, rhs, cg_tol, cg_max_iter, dt)
+            # warm start across rejected retries: the re-solve has the
+            # SAME rhs (only the damping c changed), so the previous
+            # delta is one matvec away from a near-converged start; the
+            # first try of each outer iteration starts cold (zeros)
+            delta_xi, cg_iters = _pcg(
+                mv, pc, rhs, cg_tol, cg_max_iter, dt, x0=delta_prev
+            )
             delta_xi = delta_xi * free
 
             # back-substitute points: delta_X = -Einv (F delta + d_P)
@@ -943,15 +956,15 @@ def lm_optimize_sparse(
                 c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
                 nu_next = nu_cur
             return (c_next, nu_next, e_trial, e_base, trial_cam, X_new,
-                    cg_tot + cg_iters, accepted, tries + 1)
+                    cg_tot + cg_iters, accepted, tries + 1, delta_xi)
 
         dummy_cam = jax.tree.map(jnp.zeros_like, cam)
         (c_out, nu_out, e_new, e_base_out, trial_cam, X_new, cg_tot,
-         accepted, tries) = jax.lax.while_loop(
+         accepted, tries, _) = jax.lax.while_loop(
             cond, body,
             (c, nu, jnp.asarray(jnp.inf, dt), e_prev, dummy_cam,
              jax.tree.map(jnp.zeros_like, X), jnp.asarray(0),
-             jnp.asarray(False), 0),
+             jnp.asarray(False), 0, jnp.zeros((9 * nf,), dt)),
         )
         trial_cam = jax.tree.map(
             lambda a, b: jnp.where(accepted, a, b), trial_cam, cam
