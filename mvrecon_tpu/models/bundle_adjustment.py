@@ -154,6 +154,27 @@ def build_K(f: jax.Array, u: jax.Array, f0: float) -> jax.Array:
     return k
 
 
+def intrinsics_from_K(K: jax.Array, f0: float):
+    """(f, u) of the BA camera parameterization
+    ``K = [[f, 0, u0], [0, f, v0], [0, 0, f0]]`` from an arbitrary
+    projective-scale input K: rescale to ``K[2, 2] == f0`` first, then
+    read the diagonal/principal point.
+
+    Self-calibration returns K only up to a per-camera projective scale
+    (the metric upgrade fixes C = K K^T up to scale; measured
+    K[2, 2] ~ 0.08-0.11 on the synthetic scenes). The reference's BA
+    reads ``init_K[:, 0, 0]`` raw (``bundle_adjustment.py:45-49``), so
+    a scaled K silently misinitializes the focal by K22/f0 — measured:
+    a calibration init whose true reprojection error is 1.04x the noise
+    floor enters BA at 509x, and the 100k x 1000 pipeline needed a
+    40-iteration budget just to re-learn f and u. Rescaling is exact
+    (the camera matrix K [R^T | -R^T t] is homogeneous), so this is a
+    documented strictly-better deviation, not a behavior change at
+    convergence (docs/PARITY.md)."""
+    s = f0 / K[:, 2, 2]
+    return K[:, 0, 0] * s, K[:, :2, 2] * s[:, None]
+
+
 def calc_pqr(
     X: jax.Array, K: jax.Array, R: jax.Array, t: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -1641,7 +1662,8 @@ def bundle_adjust(
         # (the reference would propagate the NaN, bundle_adjustment.py:674)
         x = jnp.where(vis[..., None] > 0, x, 0.0)
     X0, R0, t0, info = normalize_gauge(init_X, init_R, init_t, axis)
-    state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
+    f_in, u_in = intrinsics_from_K(init_K, f0)
+    state0 = BAState(X=X0, f=f_in, u=u_in, t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
 
     dist = None if distortion is None else jnp.asarray(distortion, dt)

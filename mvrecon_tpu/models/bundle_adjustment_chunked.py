@@ -71,6 +71,7 @@ from .bundle_adjustment import (
     calc_pqr,
     distortion_nterms,
     gauge_mask,
+    intrinsics_from_K,
     normalize_gauge,
     resolve_distortion_model,
     resolve_robust,
@@ -738,7 +739,8 @@ def bundle_adjust_chunked(
         # (the reference would propagate the NaN, bundle_adjustment.py:674)
         x = jnp.where(vis[..., None] > 0, x, 0.0)
     X0, R0, t0, info = normalize_gauge(init_X, init_R, init_t, axis)
-    state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
+    f_in, u_in = intrinsics_from_K(init_K, f0)
+    state0 = BAState(X=X0, f=f_in, u=u_in, t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
 
     dist = None if distortion is None else jnp.asarray(distortion, dt)

@@ -90,6 +90,7 @@ from .bundle_adjustment import (
     default_distortion,
     distortion_nterms,
     gauge_mask,
+    intrinsics_from_K,
     normalize_gauge,
     resolve_distortion_model,
     resolve_robust,
@@ -298,45 +299,51 @@ def _pqr_t(cam: BAState, X_r: Rows, obs: SparseObs, f0: float):
     return pm_g, X_g, p, q, r
 
 
-def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
-                 huber_delta=None, dist=None, model: str | None = None,
-                 robust_kind: str = "huber", obs_chunk: int = 1 << 16,
-                 factor_dtype=None):
-    """Per-observation residuals and rank-2 Jacobian factors, lane-major.
+def _cam_factor_rows(cam: BAState, f0: float):
+    """Every F-sized row the factor formulas gather per observation:
+    (12 pm rows, f, 2 u rows, 3x3 rotation-column rows, 3 t rows)."""
+    nf = cam.f.shape[0]
+    pm = _cols_rows(_calc_pmat(cam, f0).reshape(nf, 12))
+    return (
+        pm, cam.f, _cols_rows(cam.u),
+        _cols_rows(cam.R[:, :, 0]), _cols_rows(cam.R[:, :, 1]),
+        _cols_rows(cam.R[:, :, 2]), _cols_rows(cam.t),
+    )
 
-    Returns (a1, a2 (3, N); b1, b2 (9, N); res_p, res_q (N,); w (N,))
-    with w the effective weight (input weight x IRLS robust weight) and
-    ``X_t`` the (3, P) row-stacked points. Same math as the dense
-    core's ``_compute_derivs`` (reference ``:291-427``), evaluated per
-    observation via row gathers — rotation *columns* are gathered as
-    (3, N) rows, never an (N, 3, 3) tensor. The distortion chain (which
-    is written for (..., k)-minor factor layouts) runs inside a
-    ``lax.scan`` over ``obs_chunk`` columns, so its (C, k) views stay
-    bounded.
 
-    ``factor_dtype`` (e.g. ``jnp.bfloat16``) stores the returned a/b
-    rows narrower — the capacity lever: the 24 factor rows dominate the
-    core's per-observation residency (they stay live across the whole
-    CG solve), and the casts fuse into the producing elementwise graph
-    (inside the distortion-chain scan when a chain runs), so the f32
-    rows never hit HBM at full N. Residuals, weights, and everything
-    P-/F-sized stay f32; consumers upcast per use (see
-    ``lm_optimize_sparse``'s note on the numerics).
+def _factor_cols(camrows, X_t: Rows, pi, ci, xy0, xy1, w, f0,
+                 huber_delta=None, dist=None, model=None,
+                 robust_kind: str = "huber"):
+    """Per-observation residuals and rank-2 Jacobian factors on an
+    arbitrary column slice of the observation list — shared by the
+    stored-factor path (full-N / distortion-chunk views) and the
+    rematerialization path (recomputed per chunk inside every pass).
+
+    Same math as the dense core's ``_compute_derivs`` (reference
+    ``:291-427``), evaluated per observation via row gathers — rotation
+    *columns* are gathered as rows, never an (N, 3, 3) tensor. All ops
+    are elementwise or gathers, so results are bitwise identical
+    however the caller slices the columns. ``dist``, when given, runs
+    the model-generic distortion chain directly on the slice (the
+    caller bounds the slice so the chain's (C, k) views stay small).
     """
-    ci = obs.cam_idx
-    w = obs.weights
-    pm_g, X_g, p, q, r = _pqr_t(cam, X_t, obs, f0)
+    pm, f, u, r0, r1, r2, t = camrows
+    pm_g = _rows_gather(pm, ci)  # 12 x (C,)
+    X_g = _rows_gather(X_t, pi)  # 3 x (C,)
+    p = pm_g[0] * X_g[0] + pm_g[1] * X_g[1] + pm_g[2] * X_g[2] + pm_g[3]
+    q = pm_g[4] * X_g[0] + pm_g[5] * X_g[1] + pm_g[6] * X_g[2] + pm_g[7]
+    r = pm_g[8] * X_g[0] + pm_g[9] * X_g[1] + pm_g[10] * X_g[2] + pm_g[11]
     r = jnp.where(w > 0, r, jnp.ones_like(r))  # 0*inf guard (padding)
 
-    f_g = cam.f[ci]
-    u_g = _rows_gather(_cols_rows(cam.u), ci)  # 2 x (N,)
-    r0_g = _rows_gather(_cols_rows(cam.R[:, :, 0]), ci)  # rotation columns
-    r1_g = _rows_gather(_cols_rows(cam.R[:, :, 1]), ci)
-    r2_g = _rows_gather(_cols_rows(cam.R[:, :, 2]), ci)
-    t_g = _rows_gather(_cols_rows(cam.t), ci)
+    f_g = f[ci]
+    u_g = _rows_gather(u, ci)  # 2 x (C,)
+    r0_g = _rows_gather(r0, ci)  # rotation columns
+    r1_g = _rows_gather(r1, ci)
+    r2_g = _rows_gather(r2, ci)
+    t_g = _rows_gather(t, ci)
 
-    res_p = p / r - obs.xy[0] / f0
-    res_q = q / r - obs.xy[1] / f0
+    res_p = p / r - xy0 / f0
+    res_q = q / r - xy1 / f0
 
     # point rows: dX of (p, q, r) are the pmat rows (reference :309-322)
     dpdX, dqdX, drdX = pm_g[0:3], pm_g[4:7], pm_g[8:11]
@@ -349,9 +356,9 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
     dqdf = (q - (u_g[1] / f0) * r) / f_g
     zeros = jnp.zeros_like(r)
     r_f0 = r / f0
-    dpdt = tuple(-(f_g * r0 + u_g[0] * r2) for r0, r2 in zip(r0_g, r2_g))
-    dqdt = tuple(-(f_g * r1 + u_g[1] * r2) for r1, r2 in zip(r1_g, r2_g))
-    drdt = tuple(-f0 * r2 for r2 in r2_g)
+    dpdt = tuple(-(f_g * r0_ + u_g[0] * r2_) for r0_, r2_ in zip(r0_g, r2_g))
+    dqdt = tuple(-(f_g * r1_ + u_g[1] * r2_) for r1_, r2_ in zip(r1_g, r2_g))
+    drdt = tuple(-f0 * r2_ for r2_ in r2_g)
     x_m_t = tuple(xg - tg for xg, tg in zip(X_g, t_g))
     dpdw = _cross_rows(tuple(-v for v in dpdt), x_m_t)
     dqdw = _cross_rows(tuple(-v for v in dqdt), x_m_t)
@@ -362,47 +369,83 @@ def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
     b1 = tuple((r * dp_ - p * dr_) * inv_r2 for dp_, dr_ in zip(dp, dr))
     b2 = tuple((r * dq_ - q * dr_) * inv_r2 for dq_, dr_ in zip(dq, dr))
 
+    if dist is not None:
+        dist_g = _rows_gather(_cols_rows(dist), ci)  # k x (C,)
+        res_p, res_q, a1m, a2m, b1m, b2m = _apply_distortion_chain(
+            _chain_state(f_g, jnp.stack(u_g, -1)), p[None], q[None],
+            r[None], f0, jnp.stack(dist_g, -1),
+            res_p[None], res_q[None],
+            jnp.stack(a1, -1)[None], jnp.stack(a2, -1)[None],
+            jnp.stack(b1, -1)[None], jnp.stack(b2, -1)[None], model,
+        )
+        res_p, res_q = res_p[0], res_q[0]
+        a1, a2 = _cols_rows(a1m[0]), _cols_rows(a2m[0])
+        b1, b2 = _cols_rows(b1m[0]), _cols_rows(b2m[0])
+
+    if huber_delta is not None:
+        mag = jnp.sqrt(res_p**2 + res_q**2)
+        w = w * robust_weight(mag, huber_delta, robust_kind)
+    return a1, a2, b1, b2, res_p, res_q, w
+
+
+def _obs_factors(cam: BAState, X_t: jax.Array, obs: SparseObs, f0: float,
+                 huber_delta=None, dist=None, model: str | None = None,
+                 robust_kind: str = "huber", obs_chunk: int = 1 << 16,
+                 factor_dtype=None):
+    """Per-observation residuals and rank-2 Jacobian factors, lane-major
+    — the STORED-factor path: full-N (3, N)/(9, N) row tuples that stay
+    live across the CG solve.
+
+    Returns (a1, a2 (3, N); b1, b2 (9, N); res_p, res_q (N,); w (N,))
+    with w the effective weight (input weight x IRLS robust weight) and
+    ``X_t`` the (3, P) row-stacked points. The math lives in
+    :func:`_factor_cols`; with a distortion chain the whole computation
+    runs inside a ``lax.scan`` over ``obs_chunk`` columns, so the
+    chain's (C, k) views stay bounded.
+
+    ``factor_dtype`` (e.g. ``jnp.bfloat16``) stores the returned a/b
+    rows narrower — the capacity lever: the 24 factor rows dominate the
+    core's per-observation residency (they stay live across the whole
+    CG solve), and the casts fuse into the producing elementwise graph,
+    so the f32 rows never hit HBM at full N. Residuals, weights, and
+    everything P-/F-sized stay f32; consumers upcast per use (see
+    ``lm_optimize_sparse``'s note on the numerics).
+    """
+    camrows = _cam_factor_rows(cam, f0)
+
     def narrow(rows: Rows) -> Rows:
         if factor_dtype is None:
             return rows
         return tuple(r.astype(factor_dtype) for r in rows)
 
-    if dist is not None:
-        dist_g = _rows_gather(_cols_rows(dist), ci)  # k x (N,)
-
-        def chain_chunk(_, cols):
-            p_c, q_c, r_c, rp_c, rq_c, a1_c, a2_c, b1_c, b2_c, f_c, u_c, \
-                d_c = cols
-            rp_o, rq_o, a1_o, a2_o, b1_o, b2_o = _apply_distortion_chain(
-                _chain_state(f_c, jnp.stack(u_c, -1)), p_c[None], q_c[None],
-                r_c[None], f0, jnp.stack(d_c, -1),
-                rp_c[None], rq_c[None],
-                jnp.stack(a1_c, -1)[None], jnp.stack(a2_c, -1)[None],
-                jnp.stack(b1_c, -1)[None], jnp.stack(b2_c, -1)[None], model,
-            )
-            return (), (rp_o[0], rq_o[0],
-                        narrow(_cols_rows(a1_o[0])),
-                        narrow(_cols_rows(a2_o[0])),
-                        narrow(_cols_rows(b1_o[0])),
-                        narrow(_cols_rows(b2_o[0])))
-
-        n = p.shape[0]
-        _, ys = _scan_obs_chunks(
-            chain_chunk, (),
-            (p, q, r, res_p, res_q, a1, a2, b1, b2, f_g, u_g, dist_g),
-            min(obs_chunk, max(n, 1)),
+    if dist is None:
+        a1, a2, b1, b2, res_p, res_q, w = _factor_cols(
+            camrows, X_t, obs.point_idx, obs.cam_idx, obs.xy[0], obs.xy[1],
+            obs.weights, f0, huber_delta, None, model, robust_kind,
         )
+        return (narrow(a1), narrow(a2), narrow(b1), narrow(b2),
+                res_p, res_q, w)
 
-        def unchunk(y):  # (nch, C) leaves -> (N,) leaves
-            return jax.tree.map(lambda a: a.reshape(-1)[:n], y)
+    def body(_, cols):
+        pi_c, ci_c, x_c, y_c, w_c = cols
+        a1, a2, b1, b2, rp, rq, w_eff = _factor_cols(
+            camrows, X_t, pi_c, ci_c, x_c, y_c, w_c, f0,
+            huber_delta, dist, model, robust_kind,
+        )
+        return (), (narrow(a1), narrow(a2), narrow(b1), narrow(b2),
+                    rp, rq, w_eff)
 
-        res_p, res_q, a1, a2, b1, b2 = (unchunk(y) for y in ys)
-    else:
-        a1, a2, b1, b2 = narrow(a1), narrow(a2), narrow(b1), narrow(b2)
+    n = obs.n_obs
+    _, ys = _scan_obs_chunks(
+        body, (),
+        (obs.point_idx, obs.cam_idx, obs.xy[0], obs.xy[1], obs.weights),
+        min(obs_chunk, max(n, 1)),
+    )
 
-    if huber_delta is not None:
-        mag = jnp.sqrt(res_p**2 + res_q**2)
-        w = w * robust_weight(mag, huber_delta, robust_kind)
+    def unchunk(y):  # (nch, C) leaves -> (N,) leaves
+        return jax.tree.map(lambda a: a.reshape(-1)[:n], y)
+
+    a1, a2, b1, b2, res_p, res_q, w = (unchunk(y) for y in ys)
     return a1, a2, b1, b2, res_p, res_q, w
 
 
@@ -631,6 +674,332 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     return factors, matGc, m_inv, rhs, d_F, diag_g, e_now, matE6, seen_c
 
 
+# --------------------------------------------------------------------------
+# rematerialization mode (factor_mode="recompute"): the 24 per-observation
+# factor rows are NEVER stored — every pass (build, each CG matvec side,
+# back-substitution, trial error) recomputes them chunk-by-chunk from the
+# O(P)/O(F) state via _factor_cols. Per-observation residency drops from
+# ~120 B (stored f32 rows) to the ~20 B of the observation list itself, so
+# a single chip holds hundreds of millions of observations; the price is
+# ~2x the factor FLOPs per CG iteration (VPU work, traded for HBM — the
+# jax.checkpoint idea applied by hand to the solver's hot loop).
+# --------------------------------------------------------------------------
+
+
+class _RematCtx(NamedTuple):
+    """Everything a rematerialized pass needs besides the observation
+    list: F-sized camera rows, P-sized point rows, and the per-point
+    inverse blocks + gradient of the current build."""
+
+    camrows: tuple
+    X: Rows  # 3 x (P,)
+    einv6: Rows  # 6 x (P,)
+    d_P: Rows  # 3 x (P,)
+
+
+def _remat_pass(body_fn, init, obs: SparseObs, chunk: int):
+    """fori_loop over dynamic column slices of the observation list —
+    no padded (nch, C) copies of the (N,) arrays ever materialize (at
+    hundreds of millions of observations the padded scan copies of the
+    stored path would double the resident set). The tail chunk re-reads
+    the last C columns with the already-processed prefix zero-weighted,
+    so every reduction (all w-gated) stays exact."""
+    n = obs.point_idx.shape[0]
+    c = min(chunk, max(n, 1))
+    nch = -(-n // c)
+    arange = jnp.arange(c, dtype=jnp.int32)
+
+    def body(k, acc):
+        start = jnp.minimum(k * c, n - c)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, c, axis=-1)
+        pi_c, ci_c = sl(obs.point_idx), sl(obs.cam_idx)
+        x_c, y_c = sl(obs.xy[0]), sl(obs.xy[1])
+        fresh = (start + arange) >= k * c  # overlap guard (tail chunk)
+        w_c = jnp.where(fresh, sl(obs.weights), 0)
+        return body_fn(acc, (pi_c, ci_c, x_c, y_c, w_c))
+
+    return jax.lax.fori_loop(0, nch, body, init)
+
+
+def _residual_cols(camrows, X_t: Rows, pi, ci, xy0, xy1, w, f0, dist,
+                   model):
+    """Residual-only twin of _factor_cols (no Jacobian rows) for the
+    rematerialized trial-error pass."""
+    pm = camrows[0]
+    pm_g = _rows_gather(pm, ci)
+    X_g = _rows_gather(X_t, pi)
+    p = pm_g[0] * X_g[0] + pm_g[1] * X_g[1] + pm_g[2] * X_g[2] + pm_g[3]
+    q = pm_g[4] * X_g[0] + pm_g[5] * X_g[1] + pm_g[6] * X_g[2] + pm_g[7]
+    r = pm_g[8] * X_g[0] + pm_g[9] * X_g[1] + pm_g[10] * X_g[2] + pm_g[11]
+    r = jnp.where(w > 0, r, jnp.ones_like(r))
+    if dist is None:
+        return p / r - xy0 / f0, q / r - xy1 / f0
+    f_g = camrows[1][ci]
+    u_g = _rows_gather(camrows[2], ci)
+    dist_g = _rows_gather(_cols_rows(dist), ci)
+    rp, rq = _distorted_residual(
+        _chain_state(f_g, jnp.stack(u_g, -1)), p[None], q[None], r[None],
+        jnp.stack([xy0, xy1], -1)[None], f0, jnp.stack(dist_g, -1), model,
+    )
+    return rp[0], rq[0]
+
+
+def _trial_error_remat(cam_e: BAState, X_e: Rows, cam_w: BAState,
+                       X_w: Rows, obs: SparseObs, f0, huber_delta, dist,
+                       model, robust_kind, obs_chunk, axis_name=None):
+    """Sum of weighted squared residuals at (cam_e, X_e) with the IRLS
+    weights evaluated at (cam_w, X_w) — the chunked-core convention —
+    without materializing any (N,) intermediate."""
+    camrows_e = _cam_factor_rows(cam_e, f0)
+    camrows_w = (_cam_factor_rows(cam_w, f0)
+                 if huber_delta is not None else None)
+    dt = obs.xy.dtype
+
+    def body(acc, cols):
+        pi_c, ci_c, x_c, y_c, w_c = cols
+        rp, rq = _residual_cols(
+            camrows_e, X_e, pi_c, ci_c, x_c, y_c, w_c, f0, dist, model
+        )
+        if huber_delta is not None:
+            rpw, rqw = _residual_cols(
+                camrows_w, X_w, pi_c, ci_c, x_c, y_c, w_c, f0, dist, model
+            )
+            mag = jnp.sqrt(rpw**2 + rqw**2)
+            w_c = w_c * robust_weight(mag, huber_delta, robust_kind)
+        return acc + jnp.sum(w_c * (rp**2 + rq**2))
+
+    e = _remat_pass(body, jnp.zeros((), dt), obs, obs_chunk)
+    return _psum(e, axis_name)
+
+
+def _build_sparse_system_remat(cam, X, obs, free, f0, c, huber_delta,
+                               dist, model, robust_kind, obs_chunk,
+                               axis_name=None):
+    """Two rematerialized passes replace the stored-factor build: pass 1
+    accumulates the point-side blocks/gradient/error (einv needs the
+    complete matE), pass 2 the camera-side blocks, SCHUR_JACOBI
+    correction, and rhs. Camera segment sums run unsorted (the chunks
+    are point-sorted), i.e. as scatter-adds into (F,)-sized rows."""
+    npts, nf = X[0].shape[-1], cam.f.shape[0]
+    dt = X[0].dtype
+    camrows = _cam_factor_rows(cam, f0)
+
+    def fac(cols):
+        pi_c, ci_c, x_c, y_c, w_c = cols
+        return _factor_cols(
+            camrows, X, pi_c, ci_c, x_c, y_c, w_c, f0,
+            huber_delta, dist, model, robust_kind,
+        )
+
+    def seg_p(rows_or_row, pi_c):
+        if isinstance(rows_or_row, tuple):
+            return tuple(
+                jax.ops.segment_sum(r, pi_c, num_segments=npts,
+                                    indices_are_sorted=True)
+                for r in rows_or_row
+            )
+        return jax.ops.segment_sum(rows_or_row, pi_c, num_segments=npts,
+                                   indices_are_sorted=True)
+
+    def seg_c(rows_or_row, ci_c):
+        if isinstance(rows_or_row, tuple):
+            return tuple(
+                jax.ops.segment_sum(r, ci_c, num_segments=nf) for r in
+                rows_or_row
+            )
+        return jax.ops.segment_sum(rows_or_row, ci_c, num_segments=nf)
+
+    def add(a, b):
+        return jax.tree.map(jnp.add, a, b)
+
+    def pass1(acc, cols):
+        pi_c = cols[0]
+        a1, a2, b1, b2, rp, rq, w = fac(cols)
+        w2 = 2.0 * w
+        e_now, d_P, matE6, seen_w = acc
+        e_now = e_now + jnp.sum(w * (rp**2 + rq**2))
+        d_P = add(d_P, seg_p(
+            tuple(w2 * (rp * a1i + rq * a2i) for a1i, a2i in zip(a1, a2)),
+            pi_c))
+        e_rows = (
+            a1[0] * a1[0] + a2[0] * a2[0],
+            a1[1] * a1[1] + a2[1] * a2[1],
+            a1[2] * a1[2] + a2[2] * a2[2],
+            a1[0] * a1[1] + a2[0] * a2[1],
+            a1[0] * a1[2] + a2[0] * a2[2],
+            a1[1] * a1[2] + a2[1] * a2[2],
+        )
+        matE6 = add(matE6, seg_p(tuple(w2 * e for e in e_rows), pi_c))
+        seen_w = seen_w + seg_p(w, pi_c)
+        return e_now, d_P, matE6, seen_w
+
+    zp = lambda k: tuple(jnp.zeros((npts,), dt) for _ in range(k))
+    e_now, d_P, matE6, seen_w = _remat_pass(
+        pass1, (jnp.zeros((), dt), zp(3), zp(6), jnp.zeros((npts,), dt)),
+        obs, obs_chunk,
+    )
+    e_now = _psum(e_now, axis_name)
+
+    seen = (seen_w > 0).astype(dt)
+    unseen = 1.0 - seen
+    matE6 = tuple(e + unseen if i < 3 else e for i, e in enumerate(matE6))
+    matEc6 = tuple(e * (1.0 + c) if i < 3 else e
+                   for i, e in enumerate(matE6))
+    einv6 = _sym3_inv(matEc6)
+    wp = _sym3_matvec(einv6, d_P)  # 3 x (P,)
+
+    def pass2(acc, cols):
+        pi_c, ci_c = cols[0], cols[1]
+        a1, a2, b1, b2, rp, rq, w = fac(cols)
+        w2 = 2.0 * w
+        d_F, b_f, matG, corr, seen_cw = acc
+        d_F = add(d_F, seg_c(
+            tuple(w2 * (rp * b1i + rq * b2i) for b1i, b2i in zip(b1, b2)),
+            ci_c))
+        wp_g = _rows_gather(wp, pi_c)
+        r1 = w2 * _dot_rows(a1, wp_g)
+        r2 = w2 * _dot_rows(a2, wp_g)
+        b_f = add(b_f, seg_c(_axpy_rows(r1, b1, r2, b2), ci_c))
+        einv_g = _rows_gather(einv6, pi_c)
+        ea1 = _sym3_matvec(einv_g, a1)
+        ea2 = _sym3_matvec(einv_g, a2)
+        al11 = w2 * w2 * _dot_rows(a1, ea1)
+        al12 = w2 * w2 * _dot_rows(a1, ea2)
+        al22 = w2 * w2 * _dot_rows(a2, ea2)
+        b1c = jnp.stack(b1, -1)  # (C, 9)
+        b2c = jnp.stack(b2, -1)
+        o11 = jnp.einsum("ni,nj->nij", b1c, b1c, precision=HIGHEST)
+        o12 = jnp.einsum("ni,nj->nij", b1c, b2c, precision=HIGHEST)
+        o22 = jnp.einsum("ni,nj->nij", b2c, b2c, precision=HIGHEST)
+        matG = matG + seg_c(w2[:, None, None] * (o11 + o22), ci_c)
+        corr = corr + seg_c(
+            al11[:, None, None] * o11
+            + al12[:, None, None] * (o12 + jnp.swapaxes(o12, -1, -2))
+            + al22[:, None, None] * o22,
+            ci_c,
+        )
+        seen_cw = seen_cw + seg_c(w, ci_c)
+        return d_F, b_f, matG, corr, seen_cw
+
+    zf = lambda k: tuple(jnp.zeros((nf,), dt) for _ in range(k))
+    from .bundle_adjustment_chunked import _vary
+
+    init2 = _vary(
+        (zf(9), zf(9), jnp.zeros((nf, 9, 9), dt),
+         jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf,), dt)),
+        axis_name,
+    )
+    d_F_rows, b_f_rows, matG, corr, seen_cw = _remat_pass(
+        pass2, init2, obs, obs_chunk
+    )
+    d_F = _psum(_rows_to_flat(d_F_rows), axis_name) * free
+    b_f = _psum(_rows_to_flat(b_f_rows), axis_name)
+    matG = _psum(matG, axis_name)
+    corr = _psum(corr, axis_name)
+    seen_c = (_psum(seen_cw, axis_name) > 0).astype(dt)
+
+    matGc = matG + c * matG * jnp.eye(9, dtype=dt)[None]
+    m_blocks = matGc - corr
+    free_b = free.reshape(nf, 9)
+    m_blocks = m_blocks * (free_b[:, :, None] * free_b[:, None, :])
+    fix = 1.0 - free_b
+    m_blocks = m_blocks + jnp.eye(9, dtype=dt)[None] * (
+        fix + (1.0 - seen_c)[:, None] * free_b
+    )[:, :, None]
+    m_inv = inv9_spd(m_blocks)
+
+    rhs = (b_f - d_F) * free
+    diag_g = jnp.diagonal(matG, axis1=-2, axis2=-1).reshape(-1)
+
+    ctx = _RematCtx(camrows=camrows, X=X, einv6=einv6, d_P=d_P)
+    return ctx, matGc, m_inv, rhs, d_F, diag_g, e_now, matE6, seen_c
+
+
+def _f_point_rows_remat(vrows: Rows, ctx: _RematCtx, obs: SparseObs, f0,
+                        huber_delta, dist, model, robust_kind, obs_chunk,
+                        npts):
+    """Rematerialized F v: factors recomputed per chunk, point-sorted
+    segment accumulation."""
+    dt = ctx.X[0].dtype
+
+    def body(acc, cols):
+        pi_c, ci_c = cols[0], cols[1]
+        a1, a2, b1, b2, _, _, w = _factor_cols(
+            ctx.camrows, ctx.X, pi_c, ci_c, cols[2], cols[3], cols[4], f0,
+            huber_delta, dist, model, robust_kind,
+        )
+        w2 = 2.0 * w
+        v_g = _rows_gather(vrows, ci_c)
+        u1 = w2 * _dot_rows(b1, v_g)
+        u2 = w2 * _dot_rows(b2, v_g)
+        t_rows = _axpy_rows(u1, a1, u2, a2)
+        return tuple(
+            ac + jax.ops.segment_sum(t, pi_c, num_segments=npts,
+                                     indices_are_sorted=True)
+            for ac, t in zip(acc, t_rows)
+        )
+
+    return _remat_pass(
+        body, tuple(jnp.zeros((npts,), dt) for _ in range(3)), obs,
+        obs_chunk,
+    )
+
+
+def _ft_cam_rows_remat(w_p: Rows, ctx: _RematCtx, obs: SparseObs, f0,
+                       huber_delta, dist, model, robust_kind, obs_chunk,
+                       nf):
+    """Rematerialized F^T (point rows): factors recomputed per chunk,
+    unsorted camera scatter-add accumulation."""
+    dt = ctx.X[0].dtype
+
+    def body(acc, cols):
+        pi_c, ci_c = cols[0], cols[1]
+        a1, a2, b1, b2, _, _, w = _factor_cols(
+            ctx.camrows, ctx.X, pi_c, ci_c, cols[2], cols[3], cols[4], f0,
+            huber_delta, dist, model, robust_kind,
+        )
+        w2 = 2.0 * w
+        w_g = _rows_gather(w_p, pi_c)
+        r1 = w2 * _dot_rows(a1, w_g)
+        r2 = w2 * _dot_rows(a2, w_g)
+        y = _axpy_rows(r1, b1, r2, b2)
+        return tuple(
+            ac + jax.ops.segment_sum(t, ci_c, num_segments=nf)
+            for ac, t in zip(acc, y)
+        )
+
+    return _remat_pass(
+        body, tuple(jnp.zeros((nf,), dt) for _ in range(9)), obs,
+        obs_chunk,
+    )
+
+
+def _schur_matvec_remat(v, ctx: _RematCtx, matGc, obs, free, seen_c, f0,
+                        huber_delta, dist, model, robust_kind, obs_chunk,
+                        axis_name=None):
+    """S v for the damped, gauge-projected Schur complement with
+    rematerialized factors — two chunk passes per matvec (point side,
+    then camera side), O(chunk) transients."""
+    nf = matGc.shape[0]
+    npts = ctx.X[0].shape[-1]
+    vm = (v * free).reshape(nf, 9)
+    s_p = _f_point_rows_remat(
+        _cols_rows(vm), ctx, obs, f0, huber_delta, dist, model,
+        robust_kind, obs_chunk, npts,
+    )
+    w_p = _sym3_matvec(ctx.einv6, s_p)
+    fe_fv = _psum(
+        jnp.stack(
+            _ft_cam_rows_remat(w_p, ctx, obs, f0, huber_delta, dist,
+                               model, robust_kind, obs_chunk, nf), -1,
+        ),
+        axis_name,
+    )  # (F, 9)
+    gv = jnp.einsum("fij,fj->fi", matGc, vm, precision=HIGHEST)
+    sv = ((gv + (1.0 - seen_c)[:, None] * vm - fe_fv).reshape(-1)) * free
+    return sv + (1.0 - free) * v
+
+
 def _f_point_rows(vrows: Rows, factors, pi, ci, npts, matvec_chunk=None):
     """F v as 3 point rows: per observation u = w2 (b . v_cam), summed
     into point segments as t = u1 a1 + u2 a2. ``matvec_chunk`` bounds
@@ -812,6 +1181,7 @@ def lm_optimize_sparse(
     axis_name: str | None = None,
     factor_dtype: str | None = None,
     matvec_chunk: int | None = None,
+    factor_mode: str = "stored",
 ):
     """Observation-list LM with the dense core's exact protocol
     (reference ``bundle_adjustment.py:77-195``), the camera step solved
@@ -835,15 +1205,33 @@ def lm_optimize_sparse(
     (cf. the north star's bf16-Y result, BASELINE.md: bf16 *stored*
     factors are benign; bf16 passes inside the factor *computation* are
     not).
+
+    ``factor_mode="recompute"`` never stores the factor rows at all:
+    every pass rematerializes them chunk-by-chunk (see the
+    ``_RematCtx`` block above). Per-observation residency falls to the
+    ~20 B of the observation list itself — hundreds of millions of
+    observations on one chip — at ~2x factor FLOPs per CG iteration.
+    Results match the stored path to CG tolerance (the operator is the
+    same map evaluated in a different summation order). In this mode
+    ``matvec_chunk`` sets the chunk of the matvec/back-substitution
+    passes only (default ``obs_chunk``) — those passes carry ~30 (C,)
+    rows of transients vs the build's (C, 9, 9) outer products, so a
+    4-16x larger matvec chunk amortizes loop overhead safely.
     """
     dt = obs.xy.dtype
+    remat = factor_mode == "recompute"
+    if factor_mode not in ("stored", "recompute"):
+        raise ValueError(f"unknown factor_mode: {factor_mode!r}")
     f_dt = jnp.dtype(factor_dtype) if factor_dtype is not None else None
     npts, nf = state0.X.shape[0], state0.f.shape[0]
     model = resolve_distortion_model(dist, config.distortion_model)
     obs_chunk = min(obs_chunk, max(obs.n_obs, 1))
 
-    perm = jnp.argsort(obs.cam_idx, stable=True)
-    ci_sorted = obs.cam_idx[perm]
+    if remat:
+        perm = ci_sorted = None  # camera sums scatter-add per chunk
+    else:
+        perm = jnp.argsort(obs.cam_idx, stable=True)
+        ci_sorted = obs.cam_idx[perm]
 
     nielsen = config.damping == "nielsen"
     robust_cfg = resolve_robust(config.robust)
@@ -864,13 +1252,20 @@ def lm_optimize_sparse(
         return obs.weights * robust_weight(mag, huber_delta, robust_kind)
 
     def error_of(cam, X):
+        if remat:
+            return _trial_error_remat(
+                cam, X, cam, X, obs, f0, huber_delta, dist, model,
+                robust_kind, obs_chunk, axis_name,
+            )
         return _trial_error(cam, X, obs, weights_at(cam, X), f0, dist,
                             model, axis_name, obs_chunk)
 
     cam0, X0 = split(state0)
-    e0 = _trial_error(cam0, X0, obs, obs.weights, f0, dist, model,
-                      axis_name) \
-        if huber_delta is None else error_of(cam0, X0)
+    if remat or huber_delta is not None:
+        e0 = error_of(cam0, X0)
+    else:
+        e0 = _trial_error(cam0, X0, obs, obs.weights, f0, dist, model,
+                          axis_name)
 
     # O(max_iter) scalar error curve — the chunked core's record_log
     # contract (scale-aware debug logging; full-state animation logs are
@@ -886,14 +1281,30 @@ def lm_optimize_sparse(
 
         def body(carry):
             c_cur, nu_cur, _, _, _, _, cg_tot, _, tries, delta_prev = carry
-            (factors, matGc, m_inv, rhs, d_F, diag_g, e_w, matE, seen_c
-             ) = _build_sparse_system(
-                cam, X, obs, perm, ci_sorted, free, f0, c_cur,
-                huber_delta, dist, model, robust_kind, obs_chunk,
-                axis_name, f_dt,
-            )
+            if remat:
+                (factors, matGc, m_inv, rhs, d_F, diag_g, e_w, matE,
+                 seen_c) = _build_sparse_system_remat(
+                    cam, X, obs, free, f0, c_cur, huber_delta, dist,
+                    model, robust_kind, obs_chunk, axis_name,
+                )
+            else:
+                (factors, matGc, m_inv, rhs, d_F, diag_g, e_w, matE,
+                 seen_c) = _build_sparse_system(
+                    cam, X, obs, perm, ci_sorted, free, f0, c_cur,
+                    huber_delta, dist, model, robust_kind, obs_chunk,
+                    axis_name, f_dt,
+                )
 
             def mv(v):
+                if remat:
+                    # the matvec passes carry only ~30 (C,) rows of
+                    # transients (no (C, 9, 9) outers like the build),
+                    # so a larger chunk amortizes the loop overhead
+                    return _schur_matvec_remat(
+                        v, factors, matGc, obs, free, seen_c, f0,
+                        huber_delta, dist, model, robust_kind,
+                        matvec_chunk or obs_chunk, axis_name,
+                    )
                 return _schur_matvec(
                     v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
                     axis_name, matvec_chunk,
@@ -917,20 +1328,34 @@ def lm_optimize_sparse(
             delta_xi = delta_xi * free
 
             # back-substitute points: delta_X = -Einv (F delta + d_P)
-            einv6, d_P = factors[5], factors[6]
-            f_dxi = _f_point_rows(
-                _cols_rows(delta_xi.reshape(nf, 9)), factors,
-                obs.point_idx, obs.cam_idx, npts, matvec_chunk,
-            )
+            if remat:
+                einv6, d_P = factors.einv6, factors.d_P
+                f_dxi = _f_point_rows_remat(
+                    _cols_rows(delta_xi.reshape(nf, 9)), factors, obs, f0,
+                    huber_delta, dist, model, robust_kind,
+                    matvec_chunk or obs_chunk, npts,
+                )
+            else:
+                einv6, d_P = factors[5], factors[6]
+                f_dxi = _f_point_rows(
+                    _cols_rows(delta_xi.reshape(nf, 9)), factors,
+                    obs.point_idx, obs.cam_idx, npts, matvec_chunk,
+                )
             mw = _sym3_matvec(einv6, tuple(f + d for f, d in
                                            zip(f_dxi, d_P)))
             delta_X = tuple(-m for m in mw)  # 3 x (P,)
             X_new = tuple(x + d for x, d in zip(X, delta_X))
 
             trial_cam = _apply_update(cam, delta_xi, jnp.zeros((0, 3), dt))
-            w_cur = weights_at(cam, X)
-            e_trial = _trial_error(trial_cam, X_new, obs, w_cur, f0, dist,
-                                   model, axis_name, obs_chunk)
+            if remat:
+                e_trial = _trial_error_remat(
+                    trial_cam, X_new, cam, X, obs, f0, huber_delta, dist,
+                    model, robust_kind, obs_chunk, axis_name,
+                )
+            else:
+                w_cur = weights_at(cam, X)
+                e_trial = _trial_error(trial_cam, X_new, obs, w_cur, f0,
+                                       dist, model, axis_name, obs_chunk)
             e_base = e_w if huber_delta is not None else e_prev
             accepted = e_trial <= e_base
             if nielsen:
@@ -1101,7 +1526,7 @@ def fit_distortion_sparse(
 
 @partial(jax.jit, static_argnames=(
     "f0", "axis", "config", "cg_tol", "cg_max_iter", "obs_chunk",
-    "factor_dtype", "matvec_chunk",
+    "factor_dtype", "matvec_chunk", "factor_mode",
 ))
 def bundle_adjust_sparse(
     obs: SparseObs,
@@ -1120,6 +1545,7 @@ def bundle_adjust_sparse(
     distortion: jax.Array | None = None,
     factor_dtype: str | None = None,
     matvec_chunk: int | None = None,
+    factor_mode: str = "stored",
 ) -> BAResult:
     """Bundle adjustment over an observation list (O(n_obs) memory) —
     the core for BAL-class sparsity (0.1-1% fill), where the dense
@@ -1136,7 +1562,8 @@ def bundle_adjust_sparse(
     dt = obs.xy.dtype
     nf = init_K.shape[0]
     X0, R0, t0, info = normalize_gauge(init_X, init_R, init_t, axis)
-    state0 = BAState(X=X0, f=init_K[:, 0, 0], u=init_K[:, :2, 2], t=t0, R=R0)
+    f_in, u_in = intrinsics_from_K(init_K, f0)
+    state0 = BAState(X=X0, f=f_in, u=u_in, t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
 
     dist = None if distortion is None else jnp.asarray(distortion, dt)
@@ -1160,6 +1587,7 @@ def bundle_adjust_sparse(
             obs, state0, free, f0, seg_cfg, cg_tol, cg_max_iter, obs_chunk,
             init_c=c_seg, init_nu=nu_seg, dist=dist,
             factor_dtype=factor_dtype, matvec_chunk=matvec_chunk,
+            factor_mode=factor_mode,
         )
         n_total = n_total + n_seg
 
@@ -1167,7 +1595,7 @@ def bundle_adjust_sparse(
      scalar_log) = lm_optimize_sparse(
         obs, state0, free, f0, config, cg_tol, cg_max_iter, obs_chunk,
         init_c=c_seg, init_nu=nu_seg, dist=dist, factor_dtype=factor_dtype,
-        matvec_chunk=matvec_chunk,
+        matvec_chunk=matvec_chunk, factor_mode=factor_mode,
     )
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     log = {"n_solver_retries": n_retries, "c": c_f, "nu": nu_f,

@@ -57,6 +57,7 @@ from .bundle_adjustment import (
     calc_pqr,
     distortion_nterms,
     gauge_mask,
+    intrinsics_from_K,
     normalize_gauge,
     resolve_distortion_model,
     resolve_robust,
@@ -338,9 +339,9 @@ def bundle_adjust_streamed(
         jnp.asarray(init_t, dtype), axis,
     )
     init_K = jnp.asarray(init_K, dtype)
+    f_in, u_in = intrinsics_from_K(init_K, f0)
     cam = BAState(
-        X=jnp.zeros((0, 3), dtype), f=init_K[:, 0, 0], u=init_K[:, :2, 2],
-        t=t0, R=R0,
+        X=jnp.zeros((0, 3), dtype), f=f_in, u=u_in, t=t0, R=R0,
     )
     X_dev = X0  # (P, 3) device-resident
     free = gauge_mask(nf, axis, dtype)

@@ -61,6 +61,7 @@ from .bundle_adjustment import (
     _compute_derivs,
     _huber_weights,
     gauge_mask,
+    intrinsics_from_K,
     normalize_gauge,
     resolve_distortion_model,
     resolve_robust,
@@ -173,7 +174,8 @@ def ba_covariance(
     if visibility is not None:
         x = jnp.where(vis[..., None] > 0, x, 0.0)
     X0, R0, t0, info = normalize_gauge(X, R, t, axis)
-    state = BAState(X=X0, f=K[:, 0, 0], u=K[:, :2, 2], t=t0, R=R0)
+    f_in, u_in = intrinsics_from_K(K, f0)
+    state = BAState(X=X0, f=f_in, u=u_in, t=t0, R=R0)
     free = gauge_mask(nf, axis, dt)
     dist = None if distortion is None else jnp.asarray(distortion, dt)
     model = resolve_distortion_model(dist, config.distortion_model)
@@ -247,8 +249,8 @@ def ba_covariance_chunked(
     x_ch = _chunked(x, n_chunks)
     vis_ch = _chunked(vis, n_chunks)
     X_ch = _chunked(X0, n_chunks)
-    cam = BAState(X=jnp.zeros((0, 3), dt), f=K[:, 0, 0], u=K[:, :2, 2],
-                  t=t0, R=R0)
+    f_in, u_in = intrinsics_from_K(K, f0)
+    cam = BAState(X=jnp.zeros((0, 3), dt), f=f_in, u=u_in, t=t0, R=R0)
     nf9 = 9 * nf
 
     def body(carry, inp):
@@ -367,8 +369,8 @@ def ba_covariance_streamed(
         jnp.asarray(t, dtype), axis,
     )
     K = jnp.asarray(K, dtype)
-    cam = BAState(X=jnp.zeros((0, 3), dtype), f=K[:, 0, 0],
-                  u=K[:, :2, 2], t=t0, R=R0)
+    f_in, u_in = intrinsics_from_K(K, f0)
+    cam = BAState(X=jnp.zeros((0, 3), dtype), f=f_in, u=u_in, t=t0, R=R0)
     free = gauge_mask(nf, axis, dtype)
     dist = None if distortion is None else jnp.asarray(distortion, dtype)
     model = resolve_distortion_model(dist, config.distortion_model)

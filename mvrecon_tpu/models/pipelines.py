@@ -145,29 +145,36 @@ def euclidean_reconstruction_large(
     tol: float = 1e-2,
     method: str = "dual",
     config: LMConfig = LMConfig(
-        scale_factor=4.0, delta_tol=0.0, max_iter=8,
+        scale_factor=4.0, delta_tol=0.0, max_iter=6,
         accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
     ),
     chunk_size: int = 768,
     bootstrap_frac: float = 0.1,
-    bootstrap_iters: int = 16,
+    bootstrap_iters: int = 0,
     mesh=None,
 ) -> ReconstructionResult:
-    """Large-scale perspective pipeline: self-calibration -> hierarchical
-    camera bootstrap -> full-scale chunked BA.
+    """Large-scale perspective pipeline: self-calibration -> [optional
+    hierarchical camera bootstrap] -> full-scale chunked BA.
 
     The reference pipeline (``euclidiean_reconstruction.py:42-56``) feeds
-    calibration's output straight into BA; at 100k points x 1000 views the
-    calibration init is camera-limited — full-scale BA needs ~16-40
-    Levenberg iterations to reach the noise floor, and every one of them
-    pays the full 3P(9F)^2 Schur build. Measured (scripts/
-    exp_pipeline_init.py): DLT re-triangulating the *points* from the
-    calibrated cameras changes the BA trajectory not at all (the points
-    were never the problem), but converging the *cameras* first on a
-    strided ~10% point subsample (a BA whose Schur build costs ~1/10th),
-    then DLT re-triangulating all points from the converged cameras,
-    starts full-scale BA at ~5x the noise floor instead of ~500x — 4
-    full-scale iterations to the floor instead of 16.
+    calibration's output straight into BA. With the projective-scale K
+    normalization (``bundle_adjustment.intrinsics_from_K`` — the round-5
+    root-cause fix: self-calibration returns K up to per-camera scale and
+    the raw ``K[0, 0]`` read misinitialized the focal ~10x) the
+    calibration init enters BA at ~1.04x the noise floor, so the default
+    here is simply a SHORT full-scale budget (a few polish iterations).
+
+    ``bootstrap_iters > 0`` additionally converges the cameras first on a
+    strided ``bootstrap_frac`` point subsample (a BA whose Schur build
+    costs ~``bootstrap_frac`` of full scale) and DLT re-triangulates all
+    points from the converged cameras — the recovery path for genuinely
+    weak inits (measured in scripts/exp_pipeline_init.py: from a
+    ~500x-floor init it cuts full-scale iterations-to-floor 16 -> 4).
+    Caution: an UNDER-converged bootstrap makes DLT re-triangulation
+    catastrophically worse than no bootstrap (measured: cameras at 1.5x
+    their subsample floor yield DLT points at ~1e8x floor — a few
+    near-degenerate triangulations dominate), so give the bootstrap
+    enough iterations to actually converge.
 
     With ``mesh`` the calibration runs sharded
     (``parallel/sharded_calibration.py`` — required at 100k x 1000, where
@@ -194,26 +201,29 @@ def euclidean_reconstruction_large(
     n_points = x.shape[1]
     x_pf = x.transpose(1, 0, 2)  # (P, F, 2)
 
-    with trace_span("camera_bootstrap_ba"):
-        sub = max(int(n_points * bootstrap_frac), min(n_points, 200))
-        stride = max(n_points // sub, 1)
-        idx = jnp.arange(0, stride * sub, stride)
-        boot_cfg = LMConfig(
-            scale_factor=4.0, delta_tol=0.0, max_iter=bootstrap_iters,
-            accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
-        )
-        boot = bundle_adjust_chunked(
-            x_pf[idx], calib.X[idx], calib.K, calib.R, calib.t,
-            f0=f0, axis="x-up_z-forward", config=boot_cfg,
-            chunk_size=min(chunk_size, sub),
-        )
-
-    with trace_span("retriangulate"):
-        X_init = triangulate(x, boot.K, boot.R, boot.t, f0=f0)
+    if bootstrap_iters > 0:
+        with trace_span("camera_bootstrap_ba"):
+            sub = max(int(n_points * bootstrap_frac), min(n_points, 200))
+            stride = max(n_points // sub, 1)
+            idx = jnp.arange(0, stride * sub, stride)
+            boot_cfg = LMConfig(
+                scale_factor=4.0, delta_tol=0.0, max_iter=bootstrap_iters,
+                accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+            )
+            boot = bundle_adjust_chunked(
+                x_pf[idx], calib.X[idx], calib.K, calib.R, calib.t,
+                f0=f0, axis="x-up_z-forward", config=boot_cfg,
+                chunk_size=min(chunk_size, sub),
+            )
+        with trace_span("retriangulate"):
+            X_init = triangulate(x, boot.K, boot.R, boot.t, f0=f0)
+        K_init, R_init, t_init = boot.K, boot.R, boot.t
+    else:
+        X_init, K_init, R_init, t_init = calib.X, calib.K, calib.R, calib.t
 
     with trace_span("bundle_adjustment"):
         ba = bundle_adjust_chunked(
-            x_pf, X_init, boot.K, boot.R, boot.t,
+            x_pf, X_init, K_init, R_init, t_init,
             f0=f0, axis="x-up_z-forward", config=config,
             chunk_size=chunk_size,
         )

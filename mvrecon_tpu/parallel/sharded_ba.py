@@ -39,6 +39,7 @@ from ..models.bundle_adjustment import (
     bundle_adjust,  # noqa: F401 (re-exported convenience,
     fit_distortion,
     gauge_mask,
+    intrinsics_from_K,
     lm_optimize,
     lm_step,
     normalize_gauge,
@@ -148,8 +149,9 @@ def sharded_bundle_adjust_chunked(
             out_specs=(pt,) + (rep,) * 10,
         )
     )
+    f_in, u_in = intrinsics_from_K(init_K, f0)
     Xf, ff, uf, tf, Rf, e, c_f, nu_f, n_iter, n_retries, dist_f = sharded(
-        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free,
+        x_p, X0, f_in, u_in, t0, R0, vis_p, free,
         c0, nu0, dist0,
     )
 
@@ -297,8 +299,9 @@ def sharded_bundle_adjust(
         in_specs=(pt, pt, rep, rep, rep, rep, pt, rep, rep),
         out_specs=(pt, rep, rep, rep, rep, rep, rep, rep),
     )
+    f_in, u_in = intrinsics_from_K(init_K, f0)
     Xf, ff, uf, tf, Rf, e, n_iter, dist_f = sharded(
-        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free, dist0
+        x_p, X0, f_in, u_in, t0, R0, vis_p, free, dist0
     )
 
     Xg, Rg, tg = restore_gauge(info, Xf, Rf, tf)

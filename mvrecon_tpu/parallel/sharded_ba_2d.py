@@ -46,6 +46,7 @@ from ..models.bundle_adjustment import (
     default_distortion,
     fit_distortion,
     gauge_mask,
+    intrinsics_from_K,
     _huber_weights,
     lm_optimize,
     normalize_gauge,
@@ -367,8 +368,9 @@ def sharded_bundle_adjust_2d(
         in_specs=(pt, pt, rep, rep, rep, rep, pt, rep, rep),
         out_specs=(pt, rep, rep, rep, rep, rep, rep, rep),
     )
+    f_in, u_in = intrinsics_from_K(init_K, f0)
     Xf, ff, uf, tf, Rf, e, n_iter, dist_f = sharded(
-        x_p, X0, init_K[:, 0, 0], init_K[:, :2, 2], t0, R0, vis_p, free,
+        x_p, X0, f_in, u_in, t0, R0, vis_p, free,
         dist0,
     )
 

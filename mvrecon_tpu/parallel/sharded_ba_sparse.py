@@ -38,6 +38,7 @@ from ..models.bundle_adjustment import (
     build_K,
     default_distortion,
     gauge_mask,
+    intrinsics_from_K,
     normalize_gauge,
     resolve_distortion_model,
     resolve_robust,
@@ -163,8 +164,9 @@ def sharded_bundle_adjust_sparse(
         X0 = jnp.concatenate(
             [X0, jnp.broadcast_to(jnp.mean(X0, axis=0), (pad_p, 3))], axis=0
         )
+    f_in, u_in = intrinsics_from_K(init_K, f0)
     cam0 = BAState(
-        X=jnp.zeros((0, 3), dt), f=init_K[:, 0, 0], u=init_K[:, :2, 2],
+        X=jnp.zeros((0, 3), dt), f=f_in, u=u_in,
         t=t0, R=R0,
     )
     free = gauge_mask(nf, axis, dt)

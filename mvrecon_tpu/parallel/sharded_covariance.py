@@ -23,6 +23,7 @@ from ..models.bundle_adjustment import (
     _compute_derivs,
     _huber_weights,
     gauge_mask,
+    intrinsics_from_K,
     normalize_gauge,
     resolve_distortion_model,
     resolve_robust,
@@ -113,5 +114,5 @@ def sharded_ba_covariance(
         mesh=mesh,
         in_specs=(pt, pt, rep, rep, rep, rep, pt, rep, rep),
         out_specs=(pt, rep, rep, rep, rep),
-    )(x_p, X_p, K[:, 0, 0], K[:, :2, 2], t0, R0, vis_p, free, dist_in)
+    )(x_p, X_p, *intrinsics_from_K(K, f0), t0, R0, vis_p, free, dist_in)
     return _finalize(point_cov_n[:n_orig], cam_cov_n, info, sigma2, n_obs, e)

@@ -93,28 +93,53 @@ def test_pipeline_records_ba_log_for_animation():
     assert np.asarray(res2.ba_log["c"]).shape == ()
 
 
-def test_euclidean_pipeline_large_hierarchical():
-    """euclidean_reconstruction_large (round 5): camera bootstrap on a
-    point subsample + DLT re-triangulation must reach the noise floor
-    with a SHORT full-scale budget — the raw calibration init needs ~16
-    full-scale iterations at this shape (scripts/exp_pipeline_init.py),
-    the hierarchical init ~4."""
+def test_euclidean_pipeline_large_short_budget():
+    """euclidean_reconstruction_large (round 5): with the projective-
+    scale K normalization (intrinsics_from_K) the calibration init
+    enters BA at ~1.04x the noise floor, so a SHORT full-scale budget
+    reaches the floor — before the fix this shape needed ~16
+    iterations (scripts/exp_pipeline_init.py)."""
     from mvrecon_tpu.models.pipelines import euclidean_reconstruction_large
 
     scene = make_synthetic_scene(
         jax.random.key(7), n_images=24, n_slices=40, n_angles=20,
         dtype=jnp.float32,
     )
+    n_points, n_views = scene.x.shape[1], scene.x.shape[0]
+    noise_floor = n_points * n_views * 2 * 0.005**2
+    res = euclidean_reconstruction_large(
+        scene.x,
+        config=LMConfig(
+            scale_factor=4.0, delta_tol=0.0, max_iter=3,
+            accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
+        ),
+        chunk_size=256,
+    )
+    assert int(res.status) == 0
+    assert float(res.error) <= 1.1 * noise_floor
+    assert _rms(res, scene.x) < 0.006
+
+
+def test_euclidean_pipeline_large_bootstrap_path():
+    """The hierarchical bootstrap path (weak-init recovery): subsample
+    camera BA + DLT re-triangulation must also reach the floor when
+    given enough bootstrap iterations to converge."""
+    from mvrecon_tpu.models.pipelines import euclidean_reconstruction_large
+
+    scene = make_synthetic_scene(
+        jax.random.key(7), n_images=24, n_slices=40, n_angles=20,
+        dtype=jnp.float32,
+    )
+    n_points, n_views = scene.x.shape[1], scene.x.shape[0]
+    noise_floor = n_points * n_views * 2 * 0.005**2
     res = euclidean_reconstruction_large(
         scene.x,
         config=LMConfig(
             scale_factor=4.0, delta_tol=0.0, max_iter=6,
             accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
         ),
-        chunk_size=256, bootstrap_frac=0.1, bootstrap_iters=16,
+        chunk_size=256, bootstrap_frac=0.1, bootstrap_iters=12,
     )
     assert int(res.status) == 0
-    n_points, n_views = scene.x.shape[1], scene.x.shape[0]
-    noise_floor = n_points * n_views * 2 * 0.005**2
     assert float(res.error) <= 1.1 * noise_floor
     assert _rms(res, scene.x) < 0.006
