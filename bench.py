@@ -713,8 +713,12 @@ def main():
             out["headline_device_error"] = rec["error"]
             device_ok = False
     if not headline_done:
+        # the CPU fallback gets at least 120 s regardless of the (test-
+        # shrunk) device-headline timeout: a loaded host must not push
+        # the guaranteed-value chain all the way to the tiny shape
         rec = _run_child(
-            "headline_cpu", min(head_timeout, max(remaining(), 60.0)), "cpu",
+            "headline_cpu",
+            min(max(head_timeout, 120.0), max(remaining(), 60.0)), "cpu",
         )
         if "error" not in rec:
             out.update(_headline_out(rec, suffix="_CPU_FALLBACK"))

@@ -447,3 +447,44 @@ def test_save_bal_sparse_matches_dense_writer(tmp_path):
     save_bal_sparse(p2, pi, ci, xd[ci, pi], X0.shape[0], np.asarray(X0),
                     np.asarray(R), np.asarray(t0), np.asarray(K[:, 0, 0]))
     assert open(p1).read() == open(p2).read()
+
+
+def test_factor_mode_recompute_parity():
+    """factor_mode="recompute" (rematerialized factor rows — the
+    >100M-observation capacity mode) must reproduce the stored-factor
+    run: same operator evaluated chunk-by-chunk, so results agree to
+    CG tolerance."""
+    x, vis, X0, K, R, t0 = _problem()
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    kw = dict(f0=1.0, axis="x-up_z-forward", config=CFG, cg_tol=1e-12,
+              cg_max_iter=500)
+    res_a = bundle_adjust_sparse(obs, X0, K, R, t0, **kw)
+    res_b = bundle_adjust_sparse(obs, X0, K, R, t0,
+                                 factor_mode="recompute", obs_chunk=311,
+                                 **kw)
+    assert float(res_b.error) == pytest.approx(float(res_a.error), rel=1e-10)
+    np.testing.assert_allclose(res_b.X, res_a.X, atol=1e-8)
+    np.testing.assert_allclose(res_b.R, res_a.R, atol=1e-9)
+    assert int(res_b.n_iter) == int(res_a.n_iter)
+
+
+def test_factor_mode_recompute_robust_distortion():
+    """Rematerialization composes with the IRLS robust weights and the
+    distortion chain (both re-evaluated inside every chunk pass)."""
+    import dataclasses
+
+    x, vis, X0, K, R, t0 = _problem()
+    dist = jnp.asarray(
+        np.tile(np.array([[-0.05, 0.01]]), (K.shape[0], 1)), F64
+    )
+    cfg = dataclasses.replace(CFG, robust="huber", huber_delta=0.05)
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    kw = dict(f0=1.0, axis="x-up_z-forward", config=cfg, cg_tol=1e-12,
+              cg_max_iter=500, distortion=dist)
+    res_a = bundle_adjust_sparse(obs, X0, K, R, t0, **kw)
+    res_b = bundle_adjust_sparse(obs, X0, K, R, t0,
+                                 factor_mode="recompute", obs_chunk=311,
+                                 **kw)
+    assert float(res_b.error) == pytest.approx(float(res_a.error), rel=1e-10)
+    np.testing.assert_allclose(res_b.X, res_a.X, atol=1e-8)
+    assert int(res_b.n_iter) == int(res_a.n_iter)
