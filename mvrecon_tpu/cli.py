@@ -215,6 +215,14 @@ def build_parser() -> argparse.ArgumentParser:
              "is judged at full precision",
     )
     p_bal.add_argument(
+        "--recompute-factors", action="store_true",
+        help="(--sparse) never store the factor rows: rematerialize "
+             "them inside every pass — per-observation residency drops "
+             "to the observation list itself (hundreds of millions of "
+             "observations on one chip) at ~2x factor FLOPs per CG "
+             "iteration",
+    )
+    p_bal.add_argument(
         "--triangulate-init", action="store_true",
         help="(--sparse) ignore the file's 3D points and initialize by "
              "observation-list DLT triangulation through the file's "
@@ -292,6 +300,8 @@ def _cmd_bal_sparse(args, out: dict, dtype) -> None:
             X0, K0, R0, t0, f0=float(d["f0"]), axis="x-up_z-forward",
             config=cfg, cg_max_iter=args.cg_max_iter, distortion=dist,
             factor_dtype="bfloat16" if args.bf16_factors else None,
+            factor_mode=("recompute" if args.recompute_factors
+                         else "stored"),
         )
         out["shard_points"] = args.shard_points
         if args.bf16_factors:
@@ -313,9 +323,13 @@ def _cmd_bal_sparse(args, out: dict, dtype) -> None:
             obs, X0, K0, R0, t0, f0=float(d["f0"]), axis="x-up_z-forward",
             config=cfg, cg_max_iter=args.cg_max_iter, distortion=dist,
             factor_dtype="bfloat16" if args.bf16_factors else None,
+            factor_mode=("recompute" if args.recompute_factors
+                         else "stored"),
         )
         if args.bf16_factors:
             out["factor_dtype"] = "bfloat16"
+        if args.recompute_factors:
+            out["factor_mode"] = "recompute"
     out.update(
         format="bal", sparse=True,
         cams=nf, points=npts,

@@ -697,13 +697,20 @@ class _RematCtx(NamedTuple):
     d_P: Rows  # 3 x (P,)
 
 
-def _remat_pass(body_fn, init, obs: SparseObs, chunk: int):
+def _remat_pass(body_fn, init, obs: SparseObs, chunk: int,
+                axis_name=None):
     """fori_loop over dynamic column slices of the observation list —
     no padded (nch, C) copies of the (N,) arrays ever materialize (at
     hundreds of millions of observations the padded scan copies of the
     stored path would double the resident set). The tail chunk re-reads
     the last C columns with the already-processed prefix zero-weighted,
-    so every reduction (all w-gated) stays exact."""
+    so every reduction (all w-gated) stays exact. Under shard_map the
+    zero init must be marked device-varying (the body folds in varying
+    observation data) — ``axis_name`` routes it through ``_vary``."""
+    if axis_name is not None:
+        from .bundle_adjustment_chunked import _vary
+
+        init = _vary(init, axis_name)
     n = obs.point_idx.shape[0]
     c = min(chunk, max(n, 1))
     nch = -(-n // c)
@@ -768,7 +775,7 @@ def _trial_error_remat(cam_e: BAState, X_e: Rows, cam_w: BAState,
             w_c = w_c * robust_weight(mag, huber_delta, robust_kind)
         return acc + jnp.sum(w_c * (rp**2 + rq**2))
 
-    e = _remat_pass(body, jnp.zeros((), dt), obs, obs_chunk)
+    e = _remat_pass(body, jnp.zeros((), dt), obs, obs_chunk, axis_name)
     return _psum(e, axis_name)
 
 
@@ -836,7 +843,7 @@ def _build_sparse_system_remat(cam, X, obs, free, f0, c, huber_delta,
     zp = lambda k: tuple(jnp.zeros((npts,), dt) for _ in range(k))
     e_now, d_P, matE6, seen_w = _remat_pass(
         pass1, (jnp.zeros((), dt), zp(3), zp(6), jnp.zeros((npts,), dt)),
-        obs, obs_chunk,
+        obs, obs_chunk, axis_name,
     )
     e_now = _psum(e_now, axis_name)
 
@@ -882,15 +889,10 @@ def _build_sparse_system_remat(cam, X, obs, free, f0, c, huber_delta,
         return d_F, b_f, matG, corr, seen_cw
 
     zf = lambda k: tuple(jnp.zeros((nf,), dt) for _ in range(k))
-    from .bundle_adjustment_chunked import _vary
-
-    init2 = _vary(
-        (zf(9), zf(9), jnp.zeros((nf, 9, 9), dt),
-         jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf,), dt)),
-        axis_name,
-    )
+    init2 = (zf(9), zf(9), jnp.zeros((nf, 9, 9), dt),
+             jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf,), dt))
     d_F_rows, b_f_rows, matG, corr, seen_cw = _remat_pass(
-        pass2, init2, obs, obs_chunk
+        pass2, init2, obs, obs_chunk, axis_name
     )
     d_F = _psum(_rows_to_flat(d_F_rows), axis_name) * free
     b_f = _psum(_rows_to_flat(b_f_rows), axis_name)
@@ -917,7 +919,7 @@ def _build_sparse_system_remat(cam, X, obs, free, f0, c, huber_delta,
 
 def _f_point_rows_remat(vrows: Rows, ctx: _RematCtx, obs: SparseObs, f0,
                         huber_delta, dist, model, robust_kind, obs_chunk,
-                        npts):
+                        npts, axis_name=None):
     """Rematerialized F v: factors recomputed per chunk, point-sorted
     segment accumulation."""
     dt = ctx.X[0].dtype
@@ -941,13 +943,13 @@ def _f_point_rows_remat(vrows: Rows, ctx: _RematCtx, obs: SparseObs, f0,
 
     return _remat_pass(
         body, tuple(jnp.zeros((npts,), dt) for _ in range(3)), obs,
-        obs_chunk,
+        obs_chunk, axis_name,
     )
 
 
 def _ft_cam_rows_remat(w_p: Rows, ctx: _RematCtx, obs: SparseObs, f0,
                        huber_delta, dist, model, robust_kind, obs_chunk,
-                       nf):
+                       nf, axis_name=None):
     """Rematerialized F^T (point rows): factors recomputed per chunk,
     unsorted camera scatter-add accumulation."""
     dt = ctx.X[0].dtype
@@ -970,7 +972,7 @@ def _ft_cam_rows_remat(w_p: Rows, ctx: _RematCtx, obs: SparseObs, f0,
 
     return _remat_pass(
         body, tuple(jnp.zeros((nf,), dt) for _ in range(9)), obs,
-        obs_chunk,
+        obs_chunk, axis_name,
     )
 
 
@@ -985,13 +987,14 @@ def _schur_matvec_remat(v, ctx: _RematCtx, matGc, obs, free, seen_c, f0,
     vm = (v * free).reshape(nf, 9)
     s_p = _f_point_rows_remat(
         _cols_rows(vm), ctx, obs, f0, huber_delta, dist, model,
-        robust_kind, obs_chunk, npts,
+        robust_kind, obs_chunk, npts, axis_name,
     )
     w_p = _sym3_matvec(ctx.einv6, s_p)
     fe_fv = _psum(
         jnp.stack(
             _ft_cam_rows_remat(w_p, ctx, obs, f0, huber_delta, dist,
-                               model, robust_kind, obs_chunk, nf), -1,
+                               model, robust_kind, obs_chunk, nf,
+                               axis_name), -1,
         ),
         axis_name,
     )  # (F, 9)
@@ -1333,7 +1336,7 @@ def lm_optimize_sparse(
                 f_dxi = _f_point_rows_remat(
                     _cols_rows(delta_xi.reshape(nf, 9)), factors, obs, f0,
                     huber_delta, dist, model, robust_kind,
-                    matvec_chunk or obs_chunk, npts,
+                    matvec_chunk or obs_chunk, npts, axis_name,
                 )
             else:
                 einv6, d_P = factors[5], factors[6]

@@ -140,6 +140,7 @@ def sharded_bundle_adjust_sparse(
     weights=None,
     distortion: jax.Array | None = None,
     factor_dtype: str | None = None,
+    factor_mode: str = "stored",
 ) -> BAResult:
     """Sparse BA over ``mesh``'s ``points`` axis. Observation arrays may
     be NumPy (the partition is host-side by nature); the result matches
@@ -196,6 +197,7 @@ def sharded_bundle_adjust_sparse(
                 obs_l, state0, free_r, f0, seg_cfg, cg_tol, cg_max_iter,
                 obs_chunk, init_c=c_seg, init_nu=nu_seg, dist=dist_l,
                 axis_name=POINTS_AXIS, factor_dtype=factor_dtype,
+                factor_mode=factor_mode,
             )
             n_total = n_total + n_seg
         (final, e, c_f, nu_f, n_iter, n_retries, cg_total,
@@ -203,6 +205,7 @@ def sharded_bundle_adjust_sparse(
             obs_l, state0, free_r, f0, config, cg_tol, cg_max_iter,
             obs_chunk, init_c=c_seg, init_nu=nu_seg, dist=dist_l,
             axis_name=POINTS_AXIS, factor_dtype=factor_dtype,
+            factor_mode=factor_mode,
         )
         dist_out = (dist_l if dist_l is not None
                     else jnp.zeros((nf, 0), dt))

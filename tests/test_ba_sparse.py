@@ -488,3 +488,30 @@ def test_factor_mode_recompute_robust_distortion():
     assert float(res_b.error) == pytest.approx(float(res_a.error), rel=1e-10)
     np.testing.assert_allclose(res_b.X, res_a.X, atol=1e-8)
     assert int(res_b.n_iter) == int(res_a.n_iter)
+
+
+def test_sharded_recompute_matches_single_device():
+    """Rematerialization under the points-sharded core: the remat
+    passes psum the camera-side reductions exactly like the stored
+    path, so the 4-device run must match the single-device one."""
+    from mvrecon_tpu.parallel.mesh import make_mesh
+    from mvrecon_tpu.parallel.sharded_ba_sparse import (
+        sharded_bundle_adjust_sparse,
+    )
+
+    x, vis, X0, K, R, t0 = _problem()
+    pi, ci = np.nonzero(np.asarray(vis) > 0)
+    xy = np.asarray(x)[pi, ci]
+    kw = dict(f0=1.0, axis="x-up_z-forward", config=CFG, cg_tol=1e-12,
+              cg_max_iter=500)
+    obs = dense_to_sparse_obs(np.asarray(x), vis)
+    res_1 = bundle_adjust_sparse(obs, X0, K, R, t0,
+                                 factor_mode="recompute", **kw)
+    mesh = make_mesh({"points": 4})
+    res_4 = sharded_bundle_adjust_sparse(
+        mesh, pi, ci, xy, X0, K, R, t0, factor_mode="recompute",
+        obs_chunk=173, **kw,
+    )
+    assert float(res_4.error) == pytest.approx(float(res_1.error), rel=1e-10)
+    np.testing.assert_allclose(res_4.X, res_1.X, atol=1e-8)
+    assert int(res_4.n_iter) == int(res_1.n_iter)
