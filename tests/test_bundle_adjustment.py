@@ -211,6 +211,11 @@ def test_bundle_adjust_end_to_end_parity(ref, quiet, scene):
             X_, R_, t_, K_ = ref.perspective.perspective_self_calibration(
                 [x.copy() for x in x_list], 1.0, tol=1e-2, method="dual"
             )
+        # calibration K is projective-scale (K22 != 1); our BA normalizes
+        # it (intrinsics_from_K, docs/PARITY.md #6) while the reference
+        # reads K[0,0] raw, so feed BOTH the normalized K to compare the
+        # same trajectory
+        K_ = K_ / K_[:, 2:3, 2:3]
         max_iter = 30
 
     x = np.stack(x_list).transpose(1, 0, 2)
@@ -324,6 +329,7 @@ def test_bundle_adjust_x_right_axis_parity(ref, quiet):
         X_, R_, t_, K_ = ref.perspective.perspective_self_calibration(
             [x.copy() for x in x_list], 1.0, tol=1e-2, method="dual"
         )
+    K_ = K_ / K_[:, 2:3, 2:3]  # normalized K to both (PARITY #6)
     x = np.stack(x_list).transpose(1, 0, 2)
 
     adjuster = ref.ba.BundleAdjuster(

@@ -31,6 +31,8 @@ def test_bundle_adjust_f0_parity(ref, quiet):
         X_, R_, t_, K_ = ref.perspective.perspective_self_calibration(
             [x.copy() for x in x_list], f0, tol=5e-2, method="dual"
         )
+    # normalized K (K22 == f0) to both optimizers (docs/PARITY.md #6)
+    K_ = f0 * K_ / K_[:, 2:3, 2:3]
     x = np.stack(x_list).transpose(1, 0, 2)
 
     adjuster = ref.ba.BundleAdjuster(
