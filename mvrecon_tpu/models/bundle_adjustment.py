@@ -1546,7 +1546,16 @@ def lm_optimize(
                 rho = (e_prev - e_trial) / jnp.maximum(pred, 1e-30)
                 shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
                 c_next = jnp.where(accepted, c_cur * shrink, c_cur * nu_cur)
-                nu_next = jnp.where(accepted, jnp.full_like(nu_cur, 2.0), nu_cur * 2.0)
+                # never-accepting storms grow c super-exponentially
+                # (c *= nu, nu *= 2): unclamped it hits f32 Inf after
+                # ~17 rejections and the Inf/NaN-damped systems at BAL
+                # scale crash the TPU worker (round-5 root cause of the
+                # bal_large_sparse kernel fault). 1e25 already dominates
+                # any Hessian scale; 1e12 keeps c * nu finite in f32.
+                c_next = jnp.minimum(c_next, jnp.asarray(1e25, c_next.dtype))
+                nu_next = jnp.where(accepted, jnp.full_like(nu_cur, 2.0),
+                                    jnp.minimum(nu_cur * 2.0,
+                                                jnp.asarray(1e12, nu_cur.dtype)))
             else:
                 c_next = jnp.where(accepted, c_cur, c_cur * config.scale_factor)
                 nu_next = nu_cur

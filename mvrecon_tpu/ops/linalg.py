@@ -218,18 +218,25 @@ def chol9_blocks(g: jax.Array) -> jax.Array:
     E = g[..., 6:9, 3:6]
     F = g[..., 6:9, 6:9]
 
+    # HIGHEST precision throughout: these 3x3 products are negligible
+    # FLOPs, but the Schur-complement subtractions (D - L21 L21^T, ...)
+    # cancel almost completely for ill-conditioned blocks (e.g. the
+    # SCHUR_JACOBI preconditioner blocks of window-visibility BA), and a
+    # bf16-pass product there makes the remainder indefinite ->
+    # sqrt(negative) -> a NaN preconditioner (round-5 root cause of the
+    # sparse core's never-accepting LM storms on TPU).
+    hp = jax.lax.Precision.HIGHEST
     l11 = chol3x3(A)
     i11 = inv_lower3(l11)
-    l21 = jnp.einsum("...ij,...kj->...ik", B, i11)  # B L11^-T
-    l31 = jnp.einsum("...ij,...kj->...ik", C, i11)
-    s22 = D - jnp.einsum("...ij,...kj->...ik", l21, l21)
+    l21 = jnp.einsum("...ij,...kj->...ik", B, i11, precision=hp)  # B L11^-T
+    l31 = jnp.einsum("...ij,...kj->...ik", C, i11, precision=hp)
+    s22 = D - jnp.einsum("...ij,...kj->...ik", l21, l21, precision=hp)
     l22 = chol3x3(s22)
     i22 = inv_lower3(l22)
-    s32 = E - jnp.einsum("...ij,...kj->...ik", l31, l21)
-    l32 = jnp.einsum("...ij,...kj->...ik", s32, i22)
-    s33 = F - jnp.einsum("...ij,...kj->...ik", l31, l31) - jnp.einsum(
-        "...ij,...kj->...ik", l32, l32
-    )
+    s32 = E - jnp.einsum("...ij,...kj->...ik", l31, l21, precision=hp)
+    l32 = jnp.einsum("...ij,...kj->...ik", s32, i22, precision=hp)
+    s33 = F - jnp.einsum("...ij,...kj->...ik", l31, l31, precision=hp) \
+        - jnp.einsum("...ij,...kj->...ik", l32, l32, precision=hp)
     l33 = chol3x3(s33)
 
     z = jnp.zeros_like(l11)
@@ -244,6 +251,7 @@ def inv9_spd(g: jax.Array) -> jax.Array:
     camera blocks): blocked Cholesky + blocked triangular inversion,
     G^-1 = L^-T L^-1. Replaces ``jnp.linalg.inv`` on the camera blocks
     (~16 ms in-graph at (64, 100, 9, 9) on v5e — pure latency)."""
+    hp = jax.lax.Precision.HIGHEST
     l = chol9_blocks(g)
     i11 = inv_lower3(l[..., 0:3, 0:3])
     i22 = inv_lower3(l[..., 3:6, 3:6])
@@ -251,19 +259,22 @@ def inv9_spd(g: jax.Array) -> jax.Array:
     l21 = l[..., 3:6, 0:3]
     l31 = l[..., 6:9, 0:3]
     l32 = l[..., 6:9, 3:6]
-    m21 = -jnp.einsum("...ij,...jk,...kl->...il", i22, l21, i11)
-    m32 = -jnp.einsum("...ij,...jk,...kl->...il", i33, l32, i22)
+    m21 = -jnp.einsum("...ij,...jk,...kl->...il", i22, l21, i11,
+                      precision=hp)
+    m32 = -jnp.einsum("...ij,...jk,...kl->...il", i33, l32, i22,
+                      precision=hp)
     m31 = -jnp.einsum(
         "...ij,...jk->...ik", i33,
-        jnp.einsum("...ij,...jk->...ik", l31, i11)
-        + jnp.einsum("...ij,...jk->...ik", l32, m21),
+        jnp.einsum("...ij,...jk->...ik", l31, i11, precision=hp)
+        + jnp.einsum("...ij,...jk->...ik", l32, m21, precision=hp),
+        precision=hp,
     )
     z = jnp.zeros_like(i11)
     top = jnp.concatenate([i11, z, z], axis=-1)
     mid = jnp.concatenate([m21, i22, z], axis=-1)
     bot = jnp.concatenate([m31, m32, i33], axis=-1)
     linv = jnp.concatenate([top, mid, bot], axis=-2)
-    return jnp.einsum("...ji,...jk->...ik", linv, linv)
+    return jnp.einsum("...ji,...jk->...ik", linv, linv, precision=hp)
 
 
 def _round_robin_pairs(n: int):
