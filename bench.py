@@ -44,7 +44,7 @@ parseable artifact.
 
 Env knobs:
   MVRECON_BENCH_FAST=1          headline only
-  MVRECON_BENCH_WALL=<s>        global wall budget (default 2400)
+  MVRECON_BENCH_WALL=<s>        global wall budget (default 3000)
   MVRECON_BENCH_ONLY=a,b        run only these extra fields
   MVRECON_BENCH_FIELD_TIMEOUT=<s>  override every extra-field timeout
   MVRECON_BENCH_HEADLINE_TIMEOUT=<s>  override the headline timeout
@@ -362,73 +362,80 @@ def bench_bal(n_points=20_000, n_cams=100, vis_frac=0.2, outlier_frac=0.02):
 
 
 def bench_bal_large(n_points=1_000_000, n_cams=1_600, window=10):
-    """BAL-class sparse BA (VERDICT r3 #2): 1M points x 1,600 cameras x
-    10M observations at 0.6% fill on one chip via the O(n_obs)
+    """BAL-class sparse BA (VERDICT r3 #2 / r4 #2): 1M points x 1,600
+    cameras x 10M observations at 0.6% fill on one chip via the O(n_obs)
     observation-list core — a problem no dense-mask core can hold
-    (the (P, F, 2) array alone would be 13 GB)."""
+    (the (P, F, 2) array alone would be 13 GB).
+
+    Round-5 root-cause chain for the r3/r4 "TPU worker crashed" at this
+    scale: (1) a bf16 NaN in the blocked 9x9 Cholesky made LM reject
+    every step (fixed, ops/linalg.py); (2) the axon-tunneled worker
+    KILLS any single device execution > ~60 s — infrastructure, not the
+    design (a real chip has no such limit). The workload therefore runs
+    through resumable_bundle_adjust_sparse in 1-iteration segments
+    (exact same trajectory — pinned by test; one compile, reused by
+    every segment) with the problem generated on-device
+    (scripts/bench_sparse_capacity.py::generate — the host-side BAL
+    path is exercised by bal_sparse; shipping 200 MB of observations
+    over the ~1 MB/s tunnel measures the tunnel, not the chip)."""
     import importlib.util
+    import tempfile
 
     from mvrecon_tpu.config import LMConfig
+    from mvrecon_tpu.runtime.elastic import resumable_bundle_adjust_sparse
 
     if SMALL:
         n_points, n_cams, window = 4000, 40, 4
 
     spec = importlib.util.spec_from_file_location(
-        "bench_bal_sparse",
+        "bench_sparse_capacity",
         os.path.join(os.path.dirname(__file__), "scripts",
-                     "bench_bal_sparse.py"),
+                     "bench_sparse_capacity.py"),
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    from mvrecon_tpu.models.bundle_adjustment_sparse import (
-        SparseObs, bundle_adjust_sparse,
-    )
     from mvrecon_tpu.ops.procrustes import aligned_rmse
 
-    point_idx, cam_idx, xy, X_gt, K, R, t = mod.make_sparse_problem(
-        n_points, n_cams, window, outlier_frac=0.02
+    obs, X_gt, X0, K, R, t, t0 = mod.generate(
+        jax.random.key(0), n_points, n_cams, window
     )
-    n_obs = point_idx.shape[0]
+    _fetch(obs.xy)
+    n_obs = obs.n_obs
     n_points = X_gt.shape[0]
-    dtype = jnp.float32
-    obs = SparseObs(
-        point_idx=jnp.asarray(point_idx, jnp.int32),
-        cam_idx=jnp.asarray(cam_idx, jnp.int32),
-        # lane-major (2, N), transposed on host (see the core's docstring)
-        xy=jnp.asarray(np.ascontiguousarray(xy.T), dtype),
-        weights=jnp.ones((n_obs,), dtype),
-    )
-    rng = np.random.default_rng(1)
-    X0 = jnp.asarray(X_gt + 0.05 * rng.standard_normal(X_gt.shape), dtype)
-    t0 = jnp.asarray(t + 0.05 * rng.standard_normal(t.shape), dtype)
     config = LMConfig(
         scale_factor=4.0, delta_tol=1e-4, max_iter=30,
         accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
         robust="huber", huber_delta=0.02,
     )
+    ck = os.path.join(tempfile.mkdtemp(prefix="bal_large_"), "seg.npz")
 
-    def run():
-        res = bundle_adjust_sparse(
-            obs, X0, jnp.asarray(K, dtype), jnp.asarray(R, dtype), t0,
+    def run(path, total):
+        cg = []
+        res, n = resumable_bundle_adjust_sparse(
+            obs, X0, K, R, t0, path, total_iters=total, segment_iters=1,
             f0=1.0, axis="x-up_z-forward", config=config,
             cg_tol=1e-2, cg_max_iter=100,
+            on_segment=lambda done, r: cg.append(
+                int(r.log["cg_iters_total"])),
         )
         _fetch(res.X)
-        return res
+        return res, n, sum(cg)
 
-    run()
+    run(ck + ".warm", 1)  # compile the per-segment executable
     start = time.perf_counter()
-    res = run()
+    res, n, cg_total = run(ck, 30)
     wall = time.perf_counter() - start
     return {
         "cams": n_cams, "points": n_points, "observations": n_obs,
         "fill_frac": round(n_obs / (n_points * n_cams), 5),
         "wall_s": round(wall, 3),
-        "n_iter": int(res.n_iter),
-        "cg_iters_total": int(res.log["cg_iters_total"]),
+        "wall_s_per_iter": round(wall / max(n, 1), 3),
+        "n_iter": n,
+        "cg_iters_total": cg_total,
+        "segmented": "1-iter segments (axon 60s execution cap; see docstring)",
         "aligned_rmse_vs_gt": round(
-            float(aligned_rmse(res.X, jnp.asarray(X_gt, dtype))), 5
+            float(aligned_rmse(res.X, X_gt)), 5
         ),
     }
 
@@ -549,7 +556,7 @@ def _child_main(field, out_path, platform):
 EXTRA_FIELDS = [
     ("northstar_covariance", 900.0),
     ("northstar_pipeline", 900.0),
-    ("bal_large_sparse", 900.0),
+    ("bal_large_sparse", 1500.0),
     ("bal_sparse", 420.0),
     ("batched", 420.0),
     ("batched_converged", 600.0),
@@ -640,7 +647,7 @@ def _emit(out):
 
 
 def main():
-    wall_budget = float(os.environ.get("MVRECON_BENCH_WALL", "2400"))
+    wall_budget = float(os.environ.get("MVRECON_BENCH_WALL", "3000"))
     deadline = time.monotonic() + wall_budget
     out = {"metric": "error", "value": 0.0, "unit": "s", "vs_baseline": 0.0}
     emitted = threading.Event()

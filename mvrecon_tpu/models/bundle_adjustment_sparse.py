@@ -1428,14 +1428,14 @@ def lm_optimize_sparse(
     c0 = (jnp.asarray(config.init_damping, dt) if init_c is None
           else jnp.asarray(init_c, dt))
     nu0 = jnp.asarray(2.0, dt) if init_nu is None else jnp.asarray(init_nu, dt)
-    (cam_f, X_f, e_f, c_f, nu_f, n_iter, _, n_retries, cg_total,
+    (cam_f, X_f, e_f, c_f, nu_f, n_iter, done_f, n_retries, cg_total,
      log_f) = jax.lax.while_loop(
         cond, body,
         (cam0, X0, e0, c0, nu0, jnp.asarray(0), jnp.asarray(False),
          jnp.asarray(0), jnp.asarray(0), log0),
     )
     return (cam_f._replace(X=jnp.stack(X_f, -1)), e_f, c_f, nu_f, n_iter,
-            n_retries, cg_total, log_f if record else None)
+            n_retries, cg_total, log_f if record else None, done_f)
 
 
 def fit_distortion_sparse(
@@ -1593,7 +1593,7 @@ def bundle_adjust_sparse(
             obs_chunk=obs_chunk,
         )
         seg_cfg = dataclasses.replace(config, record_log=False)
-        state0, _, c_seg, nu_seg, n_seg, _, _, _ = lm_optimize_sparse(
+        state0, _, c_seg, nu_seg, n_seg, _, _, _, _ = lm_optimize_sparse(
             obs, state0, free, f0, seg_cfg, cg_tol, cg_max_iter, obs_chunk,
             init_c=c_seg, init_nu=nu_seg, dist=dist,
             factor_dtype=factor_dtype, matvec_chunk=matvec_chunk,
@@ -1602,14 +1602,19 @@ def bundle_adjust_sparse(
         n_total = n_total + n_seg
 
     (final, e, c_f, nu_f, n_iter, n_retries, cg_total,
-     scalar_log) = lm_optimize_sparse(
+     scalar_log, done_f) = lm_optimize_sparse(
         obs, state0, free, f0, config, cg_tol, cg_max_iter, obs_chunk,
         init_c=c_seg, init_nu=nu_seg, dist=dist, factor_dtype=factor_dtype,
         matvec_chunk=matvec_chunk, factor_mode=factor_mode,
     )
     Xg, Rg, tg = restore_gauge(info, final.X, final.R, final.t)
     log = {"n_solver_retries": n_retries, "c": c_f, "nu": nu_f,
-           "cg_iters_total": cg_total}
+           "cg_iters_total": cg_total,
+           # the |dE| <= delta_tol / never-accepted stop flag: segmented
+           # drivers (segment_iters == max_iter per call) need it because
+           # n_iter == max_iter cannot distinguish "converged on the
+           # segment's last iteration" from "still descending"
+           "converged": done_f}
     if scalar_log is not None:
         log["reprojection_error"] = scalar_log
     return BAResult(

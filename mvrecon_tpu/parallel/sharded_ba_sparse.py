@@ -193,7 +193,7 @@ def sharded_bundle_adjust_sparse(
                 axis_name=POINTS_AXIS,
             )
             seg_cfg = dataclasses.replace(config, record_log=False)
-            state0, _, c_seg, nu_seg, n_seg, _, _, _ = lm_optimize_sparse(
+            state0, _, c_seg, nu_seg, n_seg, _, _, _, _ = lm_optimize_sparse(
                 obs_l, state0, free_r, f0, seg_cfg, cg_tol, cg_max_iter,
                 obs_chunk, init_c=c_seg, init_nu=nu_seg, dist=dist_l,
                 axis_name=POINTS_AXIS, factor_dtype=factor_dtype,
@@ -201,7 +201,7 @@ def sharded_bundle_adjust_sparse(
             )
             n_total = n_total + n_seg
         (final, e, c_f, nu_f, n_iter, n_retries, cg_total,
-         scalar_log) = lm_optimize_sparse(
+         scalar_log, _done) = lm_optimize_sparse(
             obs_l, state0, free_r, f0, config, cg_tol, cg_max_iter,
             obs_chunk, init_c=c_seg, init_nu=nu_seg, dist=dist_l,
             axis_name=POINTS_AXIS, factor_dtype=factor_dtype,

@@ -350,3 +350,48 @@ print("COMPLETED", n)
     full = np.load(out2)
     np.testing.assert_allclose(float(resumed["e"]), float(full["e"]), rtol=1e-9)
     np.testing.assert_allclose(resumed["X"], full["X"], atol=1e-9)
+
+
+def test_resumable_sparse_matches_continuous(tmp_path):
+    """The sparse twin (round 5: also the bounded-execution driver for
+    environments that kill long device calls): 1-iteration segments with
+    kill-and-reinvoke reach exactly the continuous run's state."""
+    from mvrecon_tpu.geometry.scenes import make_synthetic_scene
+    from mvrecon_tpu.models.bundle_adjustment_sparse import (
+        bundle_adjust_sparse, dense_to_sparse_obs,
+    )
+    from mvrecon_tpu.runtime.elastic import resumable_bundle_adjust_sparse
+
+    scene = make_synthetic_scene(jax.random.key(2), n_images=10)
+    X_ = scene.X + 0.02 * jax.random.normal(jax.random.key(3), scene.X.shape,
+                                            scene.X.dtype)
+    xj = scene.x.transpose(1, 0, 2)
+    rng = np.random.default_rng(0)
+    vis = (rng.random(xj.shape[:2]) < 0.6).astype(np.float64)
+    obs = dense_to_sparse_obs(np.asarray(xj), vis)
+    cfg = LMConfig(scale_factor=4.0, delta_tol=0.0, max_iter=99,
+                   accept_divisor=1.0, init_damping=3e-3, damping="nielsen")
+    kw = dict(f0=1.0, axis="x-up_z-forward", config=cfg,
+              cg_tol=1e-12, cg_max_iter=500)
+
+    cont = bundle_adjust_sparse(
+        obs, X_, scene.K, scene.R, scene.t,
+        **{**kw, "config": LMConfig(**{**cfg.__dict__, "max_iter": 5})},
+    )
+    segs = []
+
+    seg, n1 = resumable_bundle_adjust_sparse(
+        obs, X_, scene.K, scene.R, scene.t,
+        str(tmp_path / "sp.npz"), total_iters=2, segment_iters=1,
+        on_segment=lambda done, res: segs.append(done), **kw,
+    )
+    assert n1 == 2 and segs == [1, 2]
+    resumed, n2 = resumable_bundle_adjust_sparse(
+        obs, X_, scene.K, scene.R, scene.t,
+        str(tmp_path / "sp.npz"), total_iters=5, segment_iters=1, **kw,
+    )
+    assert n2 == 3
+    np.testing.assert_allclose(float(resumed.error), float(cont.error),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(resumed.X), np.asarray(cont.X),
+                               atol=1e-8)
