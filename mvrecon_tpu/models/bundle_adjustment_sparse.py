@@ -10,9 +10,10 @@ production BA systems use: a flat observation list.
 TPU-native design (this is NOT a sparse-matrix port):
 
 - **Layout**: three static-shape arrays sorted by point id —
-  ``point_idx (N,) int32``, ``cam_idx (N,) int32``, ``xy (2, N)`` —
-  plus a camera-sorted permutation computed once per call. Static N,
-  static everything: one compile per problem shape.
+  ``point_idx (N,) int32``, ``cam_idx (N,) int32``, ``xy (2, N)``.
+  Static N, static everything: one compile per problem shape. No
+  camera sort exists: camera-side reductions contract a per-chunk
+  one-hot against the point-sorted order (below).
 - **Per-observation work is the virtual-camera trick**: the observation
   list is treated as ONE point seen by N per-observation "cameras"
   (camera parameters gathered per observation), so the whole model-
@@ -23,13 +24,19 @@ TPU-native design (this is NOT a sparse-matrix port):
   ``segment_sum`` over point ids (points are the sorted axis).
 - **Camera side**: the reduced camera (Schur) system is NEVER formed.
   The damped Schur complement S = G^ - F^T E^-1 F is applied matrix-
-  free: each matvec is two gathers, two rowwise dots, one sorted
-  point-segment-sum, a batched 3x3 solve, and one camera-segment-sum —
+  free: each matvec is two wide gathers, two rowwise dots, one sorted
+  point-segment-sum, a batched 3x3 solve, and one camera reduction —
   O(n_obs) FLOPs and bytes. A block-Jacobi (SCHUR_JACOBI) 9x9
   preconditioner built once per retry makes PCG converge in tens of
   iterations. This is the ITERATIVE_SCHUR architecture of production
-  BA solvers, recast as gathers + segment reductions + a
-  ``while_loop`` — the shapes XLA:TPU runs well.
+  BA solvers, recast for what the TPU actually runs fast (measured,
+  round 5): gathers move k elements per index through one stacked
+  (k, M)-table ``take`` (14-24x over k thin 1-D gathers — gather cost
+  is scalar-unit index throughput), and every camera-side segment
+  reduction is a chunked ONE-HOT MXU CONTRACTION (70x over
+  scatter-add; kills the camera argsort entirely). Point-side
+  reductions stay sorted ``segment_sum`` (the (N, k)-wide scatter
+  variant measured slower).
 - **LM protocol**: identical to the dense/chunked cores (Nielsen or
   reference damping, accept test, never-accepted stop, gauge handling
   via ``normalize_gauge``/``gauge_mask``), so segmented resume and the
@@ -186,8 +193,19 @@ Rows = tuple
 
 
 def _rows_gather(rows: Rows, idx: jax.Array) -> Rows:
-    """k 1-D gathers: (k x (M,), (N,) ids) -> k x (N,)."""
-    return tuple(r[idx] for r in rows)
+    """Row-stack gather: (k x (M,), (N,) ids) -> k x (N,).
+
+    ONE wide gather (`take` along the lane axis of the stacked (k, M)
+    table) instead of k thin 1-D gathers: XLA:TPU gather cost is
+    per-INDEX (scalar-unit bound), so moving k elements per index is
+    ~k x faster — measured 14-24x at N=5M, k=9 (344 -> 25 ms from an
+    (F,)-table, 947 -> 39 ms from a (P,)-table). The (k, M) stack of
+    loop-invariant rows is hoisted by XLA; the (k, N) result is
+    lane-major, so no tile-padding blowup."""
+    if len(rows) == 1:
+        return (rows[0][idx],)
+    g = jnp.take(jnp.stack(rows), idx, axis=1)
+    return tuple(g[i] for i in range(g.shape[0]))
 
 
 def _cols_rows(a: jax.Array) -> Rows:
@@ -489,49 +507,88 @@ def _trial_error(cam: BAState, X_t: jax.Array, obs: SparseObs, w: jax.Array,
     return _psum(jnp.sum(w * (res_p**2 + res_q**2)), axis_name)
 
 
-def _segment_cam_rows(rows, perm: jax.Array, ci_sorted: jax.Array,
-                      nf: int):
+def _cam_chunk(nf: int, obs_chunk: int, n: int) -> int:
+    """Chunk size for one-hot camera reductions: the (C, F) one-hot
+    must stay ~<= 64 MB f32 (and never exceed the array length)."""
+    return min(max(256, min(obs_chunk, (1 << 24) // max(nf, 1))),
+               max(n, 1))
+
+
+def _onehot(ci_c: jax.Array, nf: int, dt) -> jax.Array:
+    return (ci_c[:, None]
+            == jnp.arange(nf, dtype=ci_c.dtype)[None, :]).astype(dt)
+
+
+def _cam_sum_rows(rows, ci: jax.Array, nf: int, obs_chunk: int,
+                  axis_name=None):
     """Per-camera sum of per-observation rows: k x (N,) -> k x (F,) (or
-    a single (N,) -> (F,)). Each row permutes into camera-sorted order
-    (one 1-D gather) and reduces by a sorted segment sum."""
-    if not isinstance(rows, tuple):
-        return jax.ops.segment_sum(
-            rows[perm], ci_sorted, num_segments=nf, indices_are_sorted=True
-        )
-    return tuple(
-        jax.ops.segment_sum(r[perm], ci_sorted, num_segments=nf,
-                            indices_are_sorted=True)
-        for r in rows
-    )
+    a single (N,) -> (F,)) as chunked ONE-HOT MXU MATMULS.
+
+    XLA:TPU scatter-add (what segment_sum lowers to) runs at
+    scalar-unit index throughput (~50 ms per (5M,) row measured); a
+    (C, F) one-hot against the (C, k) row stack turns the same
+    reduction into an MXU contraction — measured 70x faster (6.4 vs
+    446 ms for nine 5M rows at F=100). The one-hot entries are exact
+    in any dtype; HIGHEST precision keeps f32 summand accuracy. No
+    camera-sorted permutation is needed (killing the former full-N
+    argsort + per-row permutation gathers)."""
+    single = not isinstance(rows, tuple)
+    rows_t = (rows,) if single else rows
+    k = len(rows_t)
+    n = ci.shape[-1]
+    dt = rows_t[0].dtype
+    if dt == jnp.bfloat16:
+        dt = jnp.float32
+    chunk = _cam_chunk(nf, obs_chunk, n)
+    nch = -(-n // chunk)
+    arange = jnp.arange(chunk, dtype=jnp.int32)
+
+    def body(kk, acc):
+        start = jnp.minimum(kk * chunk, n - chunk)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, axis=-1)
+        fresh = (start + arange) >= kk * chunk  # tail-overlap guard
+        data = jnp.stack(
+            [jnp.where(fresh, sl(r), 0).astype(dt) for r in rows_t], -1
+        )  # (C, k)
+        oh = _onehot(sl(ci), nf, dt)
+        return acc + jnp.einsum("cf,ck->fk", oh, data, precision=HIGHEST)
+
+    init = jnp.zeros((nf, k), dt)
+    if axis_name is not None:  # shard_map: the body folds varying data
+        from .bundle_adjustment_chunked import _vary
+
+        init = _vary(init, axis_name)
+    acc = jax.lax.fori_loop(0, nch, body, init)
+    out = tuple(acc[:, i] for i in range(k))
+    return out[0] if single else out
 
 
-def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
+def _camera_blocks_scan(b1, b2, alpha, w2, ci, nf, obs_chunk,
                         axis_name=None):
     """(F, 9, 9) camera blocks G and the preconditioner's correction
     C_c = sum_n alpha11 b1 b1^T + alpha12 (b1 b2^T + b2 b1^T) + alpha22
     b2 b2^T, accumulated over observation chunks so the (chunk, 9, 9)
     outer products never materialize at full N. ``b1``/``b2`` arrive as
     nine (N,) rows (possibly narrow — see ``factor_dtype``; the chunk
-    stacks upcast, so products and accumulators stay full-width); each
-    chunk stacks them to (C, 9) locally."""
+    stacks upcast, so products and accumulators stay full-width). The
+    per-camera reduction is a one-hot MXU contraction per chunk (see
+    :func:`_cam_sum_rows`) — chunks slice the point-sorted order
+    directly, no camera sort."""
     dt = w2.dtype
     n = b1[0].shape[-1]
-    b1s = _rows_gather(b1, perm)
-    b2s = _rows_gather(b2, perm)
-    a11, a12, a22 = (alpha[i][perm] for i in range(3))
-    w2s = w2[perm]
-    obs_chunk = min(obs_chunk, max(n, 1))
-    nch = -(-n // obs_chunk)
-    # tail padding maps to camera nf-1 with zero weight/alpha: inert
-    cis = jnp.pad(
-        ci_sorted, (0, nch * obs_chunk - n), constant_values=nf - 1
-    ).reshape(nch, obs_chunk)
+    chunk = _cam_chunk(nf, obs_chunk, n)
+    nch = -(-n // chunk)
+    arange = jnp.arange(chunk, dtype=jnp.int32)
 
-    def body(acc, inp):
+    def body(kk, acc):
         g_acc, c_acc = acc
-        b1r, b2r, a11c, a12c, a22c, w2c, cic = inp
-        b1c = jnp.stack(b1r, -1).astype(dt)  # (C, 9)
-        b2c = jnp.stack(b2r, -1).astype(dt)
+        start = jnp.minimum(kk * chunk, n - chunk)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, axis=-1)
+        fresh = (start + arange) >= kk * chunk
+        w2c = jnp.where(fresh, sl(w2), 0)
+        b1c = jnp.stack([sl(r) for r in b1], -1).astype(dt)  # (C, 9)
+        b2c = jnp.stack([sl(r) for r in b2], -1).astype(dt)
+        a11c, a12c, a22c = (jnp.where(fresh, sl(a), 0) for a in alpha)
         o11 = jnp.einsum("ni,nj->nij", b1c, b1c, precision=HIGHEST)
         o12 = jnp.einsum("ni,nj->nij", b1c, b2c, precision=HIGHEST)
         o22 = jnp.einsum("ni,nj->nij", b2c, b2c, precision=HIGHEST)
@@ -541,29 +598,19 @@ def _camera_blocks_scan(b1, b2, alpha, w2, perm, ci_sorted, nf, obs_chunk,
             + a12c[:, None, None] * (o12 + jnp.swapaxes(o12, -1, -2))
             + a22c[:, None, None] * o22
         )
-        seg = lambda v: jax.ops.segment_sum(
-            v, cic, num_segments=nf, indices_are_sorted=True
-        )
-        return (g_acc + seg(g_c), c_acc + seg(c_c)), ()
+        oh = _onehot(sl(ci), nf, dt)
+        seg = lambda v: jnp.einsum("cf,cij->fij", oh, v, precision=HIGHEST)
+        return (g_acc + seg(g_c), c_acc + seg(c_c))
 
     from .bundle_adjustment_chunked import _vary
 
     init = _vary(
         (jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf, 9, 9), dt)), axis_name
     )
-
-    def prep(a):
-        return _prep_chunks(a, obs_chunk, nch)
-
-    (g, c), _ = jax.lax.scan(
-        body, init,
-        (jax.tree.map(prep, b1s), jax.tree.map(prep, b2s), prep(a11),
-         prep(a12), prep(a22), prep(w2s), cis),
-    )
-    return g, c
+    return jax.lax.fori_loop(0, nch, body, init)
 
 
-def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
+def _build_sparse_system(cam, X, obs, free, f0, c,
                          huber_delta, dist, model, robust_kind, obs_chunk,
                          axis_name=None, factor_dtype=None):
     """One damped build: point blocks + gradients + camera blocks +
@@ -614,10 +661,12 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     einv6 = _sym3_inv(matEc6)
 
     # camera gradient d_F (9F,)
+    ci = obs.cam_idx
     d_F = _psum(
-        _rows_to_flat(_segment_cam_rows(
+        _rows_to_flat(_cam_sum_rows(
             tuple(w2 * (res_p * b1i + res_q * b2i)
-                  for b1i, b2i in zip(b1, b2)), perm, ci_sorted, nf
+                  for b1i, b2i in zip(b1, b2)), ci, nf, obs_chunk,
+            axis_name,
         )),
         axis_name,
     ) * free
@@ -634,14 +683,15 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     al22 = w2 * w2 * _dot_rows(a2, ea2)
 
     matG, corr = _camera_blocks_scan(
-        b1, b2, (al11, al12, al22), w2, perm, ci_sorted, nf, obs_chunk,
+        b1, b2, (al11, al12, al22), w2, ci, nf, obs_chunk,
         axis_name,
     )
     matG = _psum(matG, axis_name)
     corr = _psum(corr, axis_name)
     matGc = matG + c * matG * jnp.eye(9, dtype=dt)[None]
     seen_c = (
-        _psum(_segment_cam_rows(w, perm, ci_sorted, nf), axis_name) > 0
+        _psum(_cam_sum_rows(w, ci, nf, obs_chunk, axis_name),
+              axis_name) > 0
     ).astype(dt)
 
     # block-Jacobi preconditioner: the true Schur diagonal blocks,
@@ -661,8 +711,8 @@ def _build_sparse_system(cam, X, obs, perm, ci_sorted, free, f0, c,
     r1 = w2 * _dot_rows(a1, wp_g)
     r2 = w2 * _dot_rows(a2, wp_g)
     b_f = _psum(
-        _rows_to_flat(_segment_cam_rows(
-            _axpy_rows(r1, b1, r2, b2), perm, ci_sorted, nf
+        _rows_to_flat(_cam_sum_rows(
+            _axpy_rows(r1, b1, r2, b2), ci, nf, obs_chunk, axis_name
         )),
         axis_name,
     )
@@ -808,13 +858,16 @@ def _build_sparse_system_remat(cam, X, obs, free, f0, c, huber_delta,
         return jax.ops.segment_sum(rows_or_row, pi_c, num_segments=npts,
                                    indices_are_sorted=True)
 
-    def seg_c(rows_or_row, ci_c):
+    def seg_c(rows_or_row, oh):
+        # one-hot MXU contraction per chunk (see _cam_sum_rows): scatter-
+        # add to (F,)-sized rows is scalar-unit bound, ~70x slower
         if isinstance(rows_or_row, tuple):
-            return tuple(
-                jax.ops.segment_sum(r, ci_c, num_segments=nf) for r in
-                rows_or_row
-            )
-        return jax.ops.segment_sum(rows_or_row, ci_c, num_segments=nf)
+            data = jnp.stack(rows_or_row, -1).astype(oh.dtype)
+            fk = jnp.einsum("cf,ck->fk", oh, data, precision=HIGHEST)
+            return tuple(fk[:, i] for i in range(len(rows_or_row)))
+        return jnp.einsum(
+            "cf,c->f", oh, rows_or_row.astype(oh.dtype), precision=HIGHEST
+        )
 
     def add(a, b):
         return jax.tree.map(jnp.add, a, b)
@@ -859,14 +912,15 @@ def _build_sparse_system_remat(cam, X, obs, free, f0, c, huber_delta,
         pi_c, ci_c = cols[0], cols[1]
         a1, a2, b1, b2, rp, rq, w = fac(cols)
         w2 = 2.0 * w
+        oh = _onehot(ci_c, nf, dt)
         d_F, b_f, matG, corr, seen_cw = acc
         d_F = add(d_F, seg_c(
             tuple(w2 * (rp * b1i + rq * b2i) for b1i, b2i in zip(b1, b2)),
-            ci_c))
+            oh))
         wp_g = _rows_gather(wp, pi_c)
         r1 = w2 * _dot_rows(a1, wp_g)
         r2 = w2 * _dot_rows(a2, wp_g)
-        b_f = add(b_f, seg_c(_axpy_rows(r1, b1, r2, b2), ci_c))
+        b_f = add(b_f, seg_c(_axpy_rows(r1, b1, r2, b2), oh))
         einv_g = _rows_gather(einv6, pi_c)
         ea1 = _sym3_matvec(einv_g, a1)
         ea2 = _sym3_matvec(einv_g, a2)
@@ -878,21 +932,22 @@ def _build_sparse_system_remat(cam, X, obs, free, f0, c, huber_delta,
         o11 = jnp.einsum("ni,nj->nij", b1c, b1c, precision=HIGHEST)
         o12 = jnp.einsum("ni,nj->nij", b1c, b2c, precision=HIGHEST)
         o22 = jnp.einsum("ni,nj->nij", b2c, b2c, precision=HIGHEST)
-        matG = matG + seg_c(w2[:, None, None] * (o11 + o22), ci_c)
-        corr = corr + seg_c(
+        seg9 = lambda v: jnp.einsum("cf,cij->fij", oh, v,
+                                    precision=HIGHEST)
+        matG = matG + seg9(w2[:, None, None] * (o11 + o22))
+        corr = corr + seg9(
             al11[:, None, None] * o11
             + al12[:, None, None] * (o12 + jnp.swapaxes(o12, -1, -2))
-            + al22[:, None, None] * o22,
-            ci_c,
+            + al22[:, None, None] * o22
         )
-        seen_cw = seen_cw + seg_c(w, ci_c)
+        seen_cw = seen_cw + seg_c(w, oh)
         return d_F, b_f, matG, corr, seen_cw
 
     zf = lambda k: tuple(jnp.zeros((nf,), dt) for _ in range(k))
     init2 = (zf(9), zf(9), jnp.zeros((nf, 9, 9), dt),
              jnp.zeros((nf, 9, 9), dt), jnp.zeros((nf,), dt))
     d_F_rows, b_f_rows, matG, corr, seen_cw = _remat_pass(
-        pass2, init2, obs, obs_chunk, axis_name
+        pass2, init2, obs, _cam_chunk(nf, obs_chunk, obs.n_obs), axis_name
     )
     d_F = _psum(_rows_to_flat(d_F_rows), axis_name) * free
     b_f = _psum(_rows_to_flat(b_f_rows), axis_name)
@@ -964,16 +1019,15 @@ def _ft_cam_rows_remat(w_p: Rows, ctx: _RematCtx, obs: SparseObs, f0,
         w_g = _rows_gather(w_p, pi_c)
         r1 = w2 * _dot_rows(a1, w_g)
         r2 = w2 * _dot_rows(a2, w_g)
-        y = _axpy_rows(r1, b1, r2, b2)
-        return tuple(
-            ac + jax.ops.segment_sum(t, ci_c, num_segments=nf)
-            for ac, t in zip(acc, y)
-        )
+        y = jnp.stack(_axpy_rows(r1, b1, r2, b2), -1).astype(dt)  # (C, 9)
+        oh = _onehot(ci_c, nf, dt)
+        return acc + jnp.einsum("cf,ck->fk", oh, y, precision=HIGHEST)
 
-    return _remat_pass(
-        body, tuple(jnp.zeros((nf,), dt) for _ in range(9)), obs,
-        obs_chunk, axis_name,
+    acc = _remat_pass(
+        body, jnp.zeros((nf, 9), dt), obs,
+        _cam_chunk(nf, obs_chunk, obs.n_obs), axis_name,
     )
+    return tuple(acc[:, i] for i in range(9))
 
 
 def _schur_matvec_remat(v, ctx: _RematCtx, matGc, obs, free, seen_c, f0,
@@ -1051,56 +1105,55 @@ def _f_point_rows(vrows: Rows, factors, pi, ci, npts, matvec_chunk=None):
     return s_p
 
 
-def _ft_cam_rows(w_p: Rows, factors, pi, perm, ci_sorted, nf,
-                 matvec_chunk=None):
+def _ft_cam_rows(w_p: Rows, factors, pi, ci, nf, obs_chunk,
+                 matvec_chunk=None, axis_name=None):
     """F^T (Einv-weighted point rows) as nine camera rows: per
-    observation r = w2 (a . w_point), summed into camera segments as
-    r1 b1 + r2 b2 (camera-sorted via ``perm``). Chunked twin of the
-    full-N path under ``matvec_chunk`` (padding chunks gather index 0 —
-    a real observation — so a validity mask zeroes their r scalars)."""
+    observation r = w2 (a . w_point), summed into camera one-hot MXU
+    contractions (:func:`_cam_sum_rows`) — no camera sort. The
+    ``matvec_chunk`` twin bounds the full-N transients (the gathered
+    w rows, dots, y rows) by computing y inside the chunk loop."""
     a1, a2, b1, b2, w2, _, _ = factors
     dt = w2.dtype
     if matvec_chunk is None:
         w_g = _rows_gather(w_p, pi)
         r1 = w2 * _dot_rows(a1, w_g)
         r2 = w2 * _dot_rows(a2, w_g)
-        return _segment_cam_rows(
-            _axpy_rows(r1, b1, r2, b2), perm, ci_sorted, nf
+        return _cam_sum_rows(
+            _axpy_rows(r1, b1, r2, b2), ci, nf, obs_chunk, axis_name
         )
 
     n = w2.shape[-1]
-    chunk = min(matvec_chunk, max(n, 1))
+    chunk = _cam_chunk(nf, matvec_chunk, n)
     nch = -(-n // chunk)
-    perm_pad = jnp.pad(perm, (0, nch * chunk - n)).reshape(nch, chunk)
-    cis_pad = jnp.pad(ci_sorted, (0, nch * chunk - n),
-                      constant_values=nf - 1).reshape(nch, chunk)
-    valid = (jnp.arange(nch * chunk) < n).astype(dt).reshape(nch, chunk)
+    arange = jnp.arange(chunk, dtype=jnp.int32)
 
-    def body(acc, cols):
-        idxc, cic, vld = cols
-        a1g = _rows_gather(a1, idxc)
-        a2g = _rows_gather(a2, idxc)
-        b1g = _rows_gather(b1, idxc)
-        b2g = _rows_gather(b2, idxc)
-        w_g = _rows_gather(w_p, pi[idxc])
-        r1 = vld * w2[idxc] * _dot_rows(a1g, w_g)
-        r2 = vld * w2[idxc] * _dot_rows(a2g, w_g)
-        y = _axpy_rows(r1, b1g, r2, b2g)
-        return tuple(
-            ac + jax.ops.segment_sum(t, cic, num_segments=nf,
-                                     indices_are_sorted=True)
-            for ac, t in zip(acc, y)
-        ), ()
+    def body(kk, acc):
+        start = jnp.minimum(kk * chunk, n - chunk)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, axis=-1)
+        fresh = (start + arange) >= kk * chunk
+        a1g = tuple(sl(r) for r in a1)
+        a2g = tuple(sl(r) for r in a2)
+        b1g = tuple(sl(r) for r in b1)
+        b2g = tuple(sl(r) for r in b2)
+        w_g = _rows_gather(w_p, sl(pi))
+        w2c = jnp.where(fresh, sl(w2), 0)
+        r1 = w2c * _dot_rows(a1g, w_g)
+        r2 = w2c * _dot_rows(a2g, w_g)
+        y = jnp.stack(_axpy_rows(r1, b1g, r2, b2g), -1).astype(dt)  # (C, 9)
+        oh = _onehot(sl(ci), nf, dt)
+        return acc + jnp.einsum("cf,ck->fk", oh, y, precision=HIGHEST)
 
-    rows, _ = jax.lax.scan(
-        body, tuple(jnp.zeros((nf,), dt) for _ in range(9)),
-        (perm_pad, cis_pad, valid),
-    )
-    return rows
+    init = jnp.zeros((nf, 9), dt)
+    if axis_name is not None:
+        from .bundle_adjustment_chunked import _vary
+
+        init = _vary(init, axis_name)
+    acc = jax.lax.fori_loop(0, nch, body, init)
+    return tuple(acc[:, i] for i in range(9))
 
 
-def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
-                  axis_name=None, matvec_chunk=None):
+def _schur_matvec(v, factors, matGc, obs, free, seen_c,
+                  axis_name=None, matvec_chunk=None, obs_chunk=1 << 16):
     """S v for the damped, gauge-projected Schur complement — matrix-free,
     O(n_obs). v is (9F,). Under sharding only the F^T Einv F correction
     psums (one (9F,) vector per CG iteration — the entire cross-device
@@ -1116,8 +1169,8 @@ def _schur_matvec(v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
     w_p = _sym3_matvec(einv6, s_p)
     fe_fv = _psum(
         jnp.stack(
-            _ft_cam_rows(w_p, factors, pi, perm, ci_sorted, nf,
-                         matvec_chunk), -1,
+            _ft_cam_rows(w_p, factors, pi, ci, nf, obs_chunk,
+                         matvec_chunk, axis_name), -1,
         ),
         axis_name,
     )  # (F, 9)
@@ -1230,11 +1283,8 @@ def lm_optimize_sparse(
     model = resolve_distortion_model(dist, config.distortion_model)
     obs_chunk = min(obs_chunk, max(obs.n_obs, 1))
 
-    if remat:
-        perm = ci_sorted = None  # camera sums scatter-add per chunk
-    else:
-        perm = jnp.argsort(obs.cam_idx, stable=True)
-        ci_sorted = obs.cam_idx[perm]
+    # camera-side reductions are one-hot MXU contractions over the
+    # point-sorted order in BOTH modes — no camera sort exists anymore
 
     nielsen = config.damping == "nielsen"
     robust_cfg = resolve_robust(config.robust)
@@ -1293,7 +1343,7 @@ def lm_optimize_sparse(
             else:
                 (factors, matGc, m_inv, rhs, d_F, diag_g, e_w, matE,
                  seen_c) = _build_sparse_system(
-                    cam, X, obs, perm, ci_sorted, free, f0, c_cur,
+                    cam, X, obs, free, f0, c_cur,
                     huber_delta, dist, model, robust_kind, obs_chunk,
                     axis_name, f_dt,
                 )
@@ -1309,8 +1359,8 @@ def lm_optimize_sparse(
                         matvec_chunk or obs_chunk, axis_name,
                     )
                 return _schur_matvec(
-                    v, factors, matGc, obs, perm, ci_sorted, free, seen_c,
-                    axis_name, matvec_chunk,
+                    v, factors, matGc, obs, free, seen_c,
+                    axis_name, matvec_chunk, obs_chunk,
                 )
 
             def pc(v):
@@ -1479,7 +1529,14 @@ def fit_distortion_sparse(
                 q_c[None], r_c[None], jnp.stack([x_c, y_c], -1)[None],
                 w_c[None], jnp.stack(d_c, -1),
             )
-            return acc + jax.ops.segment_sum(t, ci_c, num_segments=nf), ()
+            # one-hot MXU contraction (see _cam_sum_rows): t is
+            # (C, ...) per-observation terms -> (F, ...) camera sums
+            oh = _onehot(ci_c, nf, t.dtype)
+            tf = jnp.einsum(
+                "cf,cx->fx", oh, t.reshape(t.shape[0], -1),
+                precision=HIGHEST,
+            ).reshape((nf,) + t.shape[1:])
+            return acc + tf, ()
 
         n = p.shape[0]
         chunk = min(obs_chunk, max(n, 1))

@@ -64,40 +64,43 @@ def main():
         R=jnp.asarray(R, dt),
     )
     free = gauge_mask(nf, "x-up_z-forward", dt)
-    perm = jnp.argsort(obs.cam_idx, stable=True)
-    ci_sorted = obs.cam_idx[perm]
     c = jnp.asarray(1e-3, dt)
 
+    # every operand is a jit ARGUMENT: closure-captured device arrays are
+    # baked into the HLO as literals, and the factor rows alone are
+    # hundreds of MB — the axon remote-compile endpoint rejects the
+    # payload (HTTP 413)
     build = jax.jit(
-        lambda st, cc: bas._build_sparse_system(
+        lambda st, o, fr, cc: bas._build_sparse_system(
             BAState(X=jnp.zeros((0, 3), dt), f=st.f, u=st.u, t=st.t, R=st.R),
-            st.X.T, obs, perm, ci_sorted, free, 1.0, cc,
+            tuple(st.X[:, i] for i in range(3)), o, fr, 1.0, cc,
             None, None, None, "huber", 1 << 16,
         )
     )
     out = {"n_points": int(state.X.shape[0]), "n_cams": nf,
            "n_obs": int(obs.n_obs)}
 
-    r = build(state, c)
+    r = build(state, obs, free, c)
     _sync(r[3])
     start = time.perf_counter()
-    r = build(state, c)
+    r = build(state, obs, free, c)
     _sync(r[3])
     out["build_s"] = round(time.perf_counter() - start, 4)
     factors, matGc, m_inv, rhs = r[0], r[1], r[2], r[3]
     seen_c = r[8]
 
     mv = jax.jit(
-        lambda v: bas._schur_matvec(
-            v, factors, matGc, obs, perm, ci_sorted, free, seen_c
+        lambda v, fa, g, o, fr, sc: bas._schur_matvec(
+            v, fa, g, o, fr, sc
         )
     )
-    v = mv(rhs)
+    args = (factors, matGc, obs, free, seen_c)
+    v = mv(rhs, *args)
     _sync(v)
     n_rep = 10
     start = time.perf_counter()
     for _ in range(n_rep):
-        v = mv(v)
+        v = mv(v, *args)
     _sync(v)
     out["matvec_s"] = round((time.perf_counter() - start) / n_rep, 5)
 
