@@ -361,7 +361,9 @@ def bench_bal(n_points=20_000, n_cams=100, vis_frac=0.2, outlier_frac=0.02):
     }
 
 
-def bench_bal_large(n_points=1_000_000, n_cams=1_600, window=10):
+def bench_bal_large(n_points=1_000_000, n_cams=1_600, window=10,
+                    total_iters=12, cg_max_iter=40,
+                    ckpt=None, prior=None, progress=None):
     """BAL-class sparse BA (VERDICT r3 #2 / r4 #2): 1M points x 1,600
     cameras x 10M observations at 0.6% fill on one chip via the O(n_obs)
     observation-list core — a problem no dense-mask core can hold
@@ -377,7 +379,17 @@ def bench_bal_large(n_points=1_000_000, n_cams=1_600, window=10):
     every segment) with the problem generated on-device
     (scripts/bench_sparse_capacity.py::generate — the host-side BAL
     path is exercised by bal_sparse; shipping 200 MB of observations
-    over the ~1 MB/s tunnel measures the tunnel, not the chip)."""
+    over the ~1 MB/s tunnel measures the tunnel, not the chip).
+
+    Crash-resume protocol (the r5 addition after a rc=0 manual run but
+    a crashed first bench run at the same shapes): `cg_max_iter=40`
+    bounds the worst segment ~2.5x below the 60 s kill (cg=93 measured
+    45.7 s — only 1.3x headroom under tunnel variance), `ckpt` pins the
+    segment checkpoint to a path the parent keeps across attempts, and
+    `progress`/`prior` persist per-segment stats through the --out file
+    so a retried child RESUMES mid-solve instead of restarting. Timing
+    is the sum of per-segment walls (the honest metric across a crash;
+    generation/compile excluded like every other field's warm run)."""
     import importlib.util
     import tempfile
 
@@ -408,32 +420,62 @@ def bench_bal_large(n_points=1_000_000, n_cams=1_600, window=10):
         accept_divisor=1.0, init_damping=3e-3, damping="nielsen",
         robust="huber", huber_delta=0.02,
     )
-    ck = os.path.join(tempfile.mkdtemp(prefix="bal_large_"), "seg.npz")
-
-    def run(path, total):
-        cg = []
-        res, n = resumable_bundle_adjust_sparse(
-            obs, X0, K, R, t0, path, total_iters=total, segment_iters=1,
-            f0=1.0, axis="x-up_z-forward", config=config,
-            cg_tol=1e-2, cg_max_iter=100,
-            on_segment=lambda done, r: cg.append(
-                int(r.log["cg_iters_total"])),
-        )
-        _fetch(res.X)
-        return res, n, sum(cg)
-
-    run(ck + ".warm", 1)  # compile the per-segment executable
-    start = time.perf_counter()
-    res, n, cg_total = run(ck, 30)
-    wall = time.perf_counter() - start
-    return {
+    ck = ckpt or os.path.join(tempfile.mkdtemp(prefix="bal_large_"),
+                              "seg.npz")
+    resumed = os.path.exists(ck)
+    seg_walls = list((prior or {}).get("seg_walls_s", []))
+    cg = list((prior or {}).get("cg_iters", []))
+    stats = {
         "cams": n_cams, "points": n_points, "observations": n_obs,
         "fill_frac": round(n_obs / (n_points * n_cams), 5),
-        "wall_s": round(wall, 3),
-        "wall_s_per_iter": round(wall / max(n, 1), 3),
-        "n_iter": n,
-        "cg_iters_total": cg_total,
+        "cg_max_iter": cg_max_iter,
         "segmented": "1-iter segments (axon 60s execution cap; see docstring)",
+        "resumed_from_crash": resumed,
+    }
+    crash_after = os.environ.get("MVRECON_BENCH_INJECT_CRASH_AFTER_SEG")
+
+    if not resumed:
+        # compile the per-segment executable outside the timed walls
+        resumable_bundle_adjust_sparse(
+            obs, X0, K, R, t0, ck + ".warm", total_iters=1,
+            segment_iters=1, f0=1.0, axis="x-up_z-forward", config=config,
+            cg_tol=1e-2, cg_max_iter=cg_max_iter,
+        )
+
+    t_last = [time.perf_counter()]
+
+    def on_segment(done, r):
+        now = time.perf_counter()
+        seg_walls.append(round(now - t_last[0], 3))
+        t_last[0] = now
+        cg.append(int(r.log["cg_iters_total"]))
+        _fetch(r.X)
+        if progress is not None:
+            progress({**stats, "in_progress": True, "segments_done": done,
+                      "seg_walls_s": seg_walls, "cg_iters": cg,
+                      "error_E": float(r.error)})
+        if (crash_after and not resumed
+                and done == int(crash_after)):  # tests: simulated worker kill
+            os._exit(9)
+
+    res, n = resumable_bundle_adjust_sparse(
+        obs, X0, K, R, t0, ck, total_iters=total_iters, segment_iters=1,
+        f0=1.0, axis="x-up_z-forward", config=config,
+        cg_tol=1e-2, cg_max_iter=cg_max_iter, on_segment=on_segment,
+    )
+    if res is None:  # retried after a crash at exit: ckpt already complete
+        return {k: v for k, v in (prior or stats).items()
+                if k != "in_progress"}
+    _fetch(res.X)
+    n_total = len(seg_walls)  # includes segments run by a crashed attempt
+    wall = sum(seg_walls)
+    return {
+        **stats,
+        "wall_s": round(wall, 3),
+        "wall_s_per_iter": round(wall / max(n_total, 1), 3),
+        "n_iter": n_total,
+        "seg_walls_s": seg_walls,
+        "cg_iters_total": sum(cg),
         "aligned_rmse_vs_gt": round(
             float(aligned_rmse(res.X, X_gt)), 5
         ),
@@ -534,7 +576,15 @@ def _child_main(field, out_path, platform):
     elif field == "bal_sparse":
         write(bench_bal())
     elif field == "bal_large_sparse":
-        write(bench_bal_large())
+        prior = None
+        if os.path.exists(out_path):  # retried child: resume mid-solve
+            try:
+                with open(out_path) as f:
+                    prior = json.load(f)
+            except (OSError, ValueError):
+                prior = None
+        write(bench_bal_large(ckpt=out_path + ".ckpt", prior=prior,
+                              progress=write))
     elif field == "batched":
         write(bench_batched())
     elif field == "batched_converged":
@@ -569,12 +619,18 @@ def _field_timeout(default, env="MVRECON_BENCH_FIELD_TIMEOUT"):
     return float(ov) if ov else default
 
 
-def _run_child(field, timeout_s, platform=None):
+def _run_child(field, timeout_s, platform=None, attempts=1):
     """Run one field in a subprocess; kill the whole process group on
     timeout (a leaked grandchild — e.g. a device compile helper — must
     not hold the output pipe open). Returns the field's dict, an
     {"error"/"partial"} record on failure, reading whatever the child
-    managed to write before dying."""
+    managed to write before dying.
+
+    ``attempts > 1`` re-runs a crashed child with the SAME --out path:
+    resume-capable fields (bal_large_sparse) find their checkpoint at
+    out_path + ".ckpt" plus the partial stats in --out and continue the
+    solve mid-way — a tunneled-worker kill costs one segment, not the
+    field. The per-call deadline covers ALL attempts."""
     fd, out_path = tempfile.mkstemp(prefix=f"bench_{field}_", suffix=".json")
     os.close(fd)
     os.unlink(out_path)
@@ -582,36 +638,50 @@ def _run_child(field, timeout_s, platform=None):
            "--field", field, "--out", out_path]
     if platform:
         cmd += ["--platform", platform]
-    t0 = time.monotonic()
-    proc = subprocess.Popen(
-        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
-        text=True, start_new_session=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    timed_out = False
-    try:
-        _, err_txt = proc.communicate(timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        timed_out = True
+    deadline = time.monotonic() + timeout_s
+    result, timed_out, err_txt, rc = None, False, "", 0
+    for attempt in range(attempts):
+        budget = deadline - time.monotonic()
+        if budget <= 5.0:
+            break
+        t0 = time.monotonic()
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+            text=True, start_new_session=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
         try:
-            os.killpg(proc.pid, signal.SIGKILL)
-        except (ProcessLookupError, PermissionError):
-            proc.kill()
-        try:
-            _, err_txt = proc.communicate(timeout=20.0)
-        except subprocess.TimeoutExpired:  # pragma: no cover - pipe leak
-            err_txt = ""
-    wall = time.monotonic() - t0
+            _, err_txt = proc.communicate(timeout=budget)
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            try:
+                _, err_txt = proc.communicate(timeout=20.0)
+            except subprocess.TimeoutExpired:  # pragma: no cover - pipe leak
+                err_txt = ""
+        wall = time.monotonic() - t0
+        rc = proc.returncode
 
-    result = None
-    if os.path.exists(out_path):
+        result = None
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as f:
+                    result = json.load(f)
+            except (OSError, ValueError):
+                result = None
+        ok = (not timed_out and rc == 0 and result is not None
+              and not result.get("in_progress"))
+        if ok or timed_out:
+            break
+
+    for suffix in ("", ".ckpt", ".ckpt.warm"):
         try:
-            with open(out_path) as f:
-                result = json.load(f)
-        except (OSError, ValueError):
-            result = None
-        finally:
-            os.unlink(out_path)
+            os.unlink(out_path + suffix)
+        except OSError:
+            pass
 
     if timed_out:
         note = f"timeout: child killed after {wall:.0f}s"
@@ -619,10 +689,13 @@ def _run_child(field, timeout_s, platform=None):
             result["partial"] = note
             return result
         return {"error": note}
-    if proc.returncode != 0 or result is None:
+    if rc != 0 or result is None:
         tail = (err_txt or "").strip().splitlines()
-        msg = tail[-1][:500] if tail else f"child rc={proc.returncode}"
-        return {"error": f"child rc={proc.returncode}: {msg}"[:600]}
+        msg = tail[-1][:500] if tail else f"child rc={rc}"
+        if result is not None:  # salvage the last partial record
+            result["partial"] = f"child rc={rc}: {msg}"[:600]
+            return result
+        return {"error": f"child rc={rc}: {msg}"[:600]}
     return result
 
 
@@ -759,7 +832,12 @@ def main():
                 for n in names:
                     out[n] = {"skipped": "wall budget exhausted"}
                 continue
-            rec = _run_child(field, min(timeout, remaining()), platform_arg)
+            rec = _run_child(
+                field, min(timeout, remaining()), platform_arg,
+                # resume-capable field: a crashed child (tunneled-worker
+                # kill) is re-run and continues from its checkpoint
+                attempts=3 if field == "bal_large_sparse" else 1,
+            )
             if field == "northstar_covariance":
                 out["northstar"] = rec.get(
                     "northstar", {"error": rec.get("error", "missing")}

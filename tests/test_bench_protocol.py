@@ -89,6 +89,26 @@ def test_wedged_extra_field_degrades_not_kills():
 
 
 @pytest.mark.slow
+def test_crashed_resumable_field_resumes_mid_solve():
+    """A tunneled-worker kill mid-way through the segmented sparse solve
+    (the r5 bal_large_sparse failure: a 45.7 s segment stretched past the
+    axon 60 s execution cap) must cost one child re-exec, not the field:
+    the retried child finds the checkpoint + partial stats at the same
+    --out path and CONTINUES the solve, and the final record carries the
+    dead attempt's segment walls too."""
+    out = run_bench({
+        "MVRECON_BENCH_ONLY": "bal_large_sparse",
+        "MVRECON_BENCH_INJECT_CRASH_AFTER_SEG": "2",
+    })
+    assert_finite_headline(out)
+    rec = out["bal_large_sparse"]
+    assert "error" not in rec, rec
+    assert rec["resumed_from_crash"] is True
+    assert rec["n_iter"] == len(rec["seg_walls_s"]) >= 3
+    assert "aligned_rmse_vs_gt" in rec
+
+
+@pytest.mark.slow
 def test_wall_budget_skips_tail_fields():
     """When the global budget is exhausted the tail fields are recorded
     as skipped — the line still lands with the headline."""
