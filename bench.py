@@ -493,9 +493,14 @@ def bench_batched(n_scenes=256, n_views=100, ba_iters=15, scene_chunk=64,
         ba_iters = min(ba_iters, 8)
     dtype = jnp.float32
     keys = jax.random.split(jax.random.key(0), n_scenes)
-    x = jnp.stack(
-        [make_synthetic_scene(k, n_images=n_views, dtype=dtype).x for k in keys]
-    )
+    # One jitted vmap over keys: generating 256 scenes op-by-op is ~13k
+    # tiny device executions, which a high-latency tunnel turns into tens
+    # of minutes (observed 2026-08-19 evening: the un-jitted loop alone
+    # blew the 420 s field budget while the device itself was healthy).
+    gen = jax.jit(jax.vmap(
+        lambda k: make_synthetic_scene(k, n_images=n_views, dtype=dtype).x
+    ))
+    x = gen(keys)
     # Nielsen gain-ratio damping: measured 42.8 vs 30.8 scenes/s over the
     # reference schedule on this workload, with tighter convergence
     # (max E 1.28 vs 4.64 against a ~1.0 noise floor) — fewer rejected

@@ -38,12 +38,12 @@ def main():
     dtype = jnp.float32
     keys = jax.random.split(jax.random.key(0), n_scenes)
     print(f"building {n_scenes} scenes x {n_views} views ...", flush=True)
-    x = jnp.stack(
-        [
-            make_synthetic_scene(k, n_images=n_views, dtype=dtype).x
-            for k in keys
-        ]
-    )  # (S, F, P, 2)
+    # one jitted vmap (see bench.py::bench_batched): the op-by-op loop is
+    # thousands of tiny device executions — minutes over a slow tunnel
+    gen = jax.jit(jax.vmap(
+        lambda k: make_synthetic_scene(k, n_images=n_views, dtype=dtype).x
+    ))
+    x = gen(keys)  # (S, F, P, 2)
     print("scenes ready", x.shape, flush=True)
 
     # Nielsen damping: see bench.py::bench_batched for the measured win.
