@@ -483,7 +483,7 @@ def bench_bal_large(n_points=1_000_000, n_cams=1_600, window=10,
 
 
 def bench_batched(n_scenes=256, n_views=100, ba_iters=15, scene_chunk=64,
-                  delta_tol=0.0):
+                  delta_tol=0.0, progress=None):
     from mvrecon_tpu.config import LMConfig
     from mvrecon_tpu.geometry.scenes import make_synthetic_scene
     from mvrecon_tpu.parallel.batched import batched_euclidean_reconstruction
@@ -501,6 +501,8 @@ def bench_batched(n_scenes=256, n_views=100, ba_iters=15, scene_chunk=64,
         lambda k: make_synthetic_scene(k, n_images=n_views, dtype=dtype).x
     ))
     x = gen(keys)
+    if progress:  # salvageable stage marker if the tunnel wedges later
+        progress({"in_progress": True, "stage": "scenes_ready"})
     # Nielsen gain-ratio damping: measured 42.8 vs 30.8 scenes/s over the
     # reference schedule on this workload, with tighter convergence
     # (max E 1.28 vs 4.64 against a ~1.0 noise floor) — fewer rejected
@@ -520,7 +522,11 @@ def bench_batched(n_scenes=256, n_views=100, ba_iters=15, scene_chunk=64,
         n_iter = np.asarray(res.n_iter)
         return errs, status, n_iter
 
+    t_warm = time.perf_counter()
     run()
+    if progress:  # a timeout after this point still records the warm wall
+        progress({"in_progress": True, "stage": "warm",
+                  "warmup_wall_s": round(time.perf_counter() - t_warm, 3)})
     start = time.perf_counter()
     errs, status, n_iter = run()
     wall = time.perf_counter() - start
@@ -591,12 +597,13 @@ def _child_main(field, out_path, platform):
         write(bench_bal_large(ckpt=out_path + ".ckpt", prior=prior,
                               progress=write))
     elif field == "batched":
-        write(bench_batched())
+        write(bench_batched(progress=write))
     elif field == "batched_converged":
         # run-to-convergence variant (the reference stopping contract,
         # lib/bundle_adjustment.py:186-191): per-scene early exit at
         # |dE| <= 1e-3, budget 40 — scenes/s-to-noise-floor
-        write(bench_batched(ba_iters=8 if SMALL else 40, delta_tol=1e-3))
+        write(bench_batched(ba_iters=8 if SMALL else 40, delta_tol=1e-3,
+                            progress=write))
     else:
         raise SystemExit(f"unknown bench field: {field}")
 
@@ -613,8 +620,12 @@ EXTRA_FIELDS = [
     ("northstar_pipeline", 900.0),
     ("bal_large_sparse", 1500.0),
     ("bal_sparse", 420.0),
-    ("batched", 420.0),
-    ("batched_converged", 600.0),
+    # Sized for a degraded tunnel: with a healthy one each field is
+    # ~2-4 min; post-kill tunnel queueing was measured to stretch the
+    # batched child to ~13 min (2026-08-19 evening). Priority ordering
+    # means these tail budgets can never starve the earlier fields.
+    ("batched", 900.0),
+    ("batched_converged", 900.0),
 ]
 HEADLINE_TIMEOUT = 600.0
 
